@@ -1,0 +1,153 @@
+"""Configuration schema for retirement Monte Carlo scenarios.
+
+The JSON schema is wire-compatible with the reference project's config files
+(reference: backend/config.py:12-126): the same ``config.json`` documents load
+unchanged. Validation bounds, aliases, derived fields and soft warnings match
+the reference so that host layers (CLI/server/frontend) interoperate.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, List, Optional
+
+from pydantic import BaseModel, Field, field_validator, ValidationInfo
+
+log = logging.getLogger("mcrt.config")
+
+
+class ConfigurationError(Exception):
+    """A configuration file could not be read or parsed."""
+
+
+class OtherIncomeStreamConfig(BaseModel):
+    """One additional retirement income stream (pension, rent, annuity...).
+
+    Payment timing: the stream is *eligible* from ``start_at_age`` but only
+    pays during retirement, i.e. payments begin at
+    ``max(retirement_age, start_at_age)`` (reference: backend/config.py:23-32).
+    """
+
+    name: str = Field(..., description="Display name for this income stream.")
+    monthly_amount_today: float = Field(
+        ..., ge=0, description="Monthly amount in T=0 (today's) real dollars."
+    )
+    start_at_age: float = Field(
+        ..., ge=0, le=120, description="Age at which the stream becomes eligible."
+    )
+    duration_years: Optional[int] = Field(
+        None,
+        ge=0,
+        description="Years of payments once started; None means indefinitely.",
+    )
+    inflation_indexed: bool = Field(
+        True,
+        description=(
+            "True: tracks the price level from T=0. False: nominal amount is "
+            "frozen at its value on the first payment date."
+        ),
+    )
+    tax_rate: float = Field(..., ge=0.0, le=1.0, description="Tax on this income.")
+
+
+class Config(BaseModel):
+    """Scenario configuration (same JSON schema as the reference config.json)."""
+
+    Nickname: str = Field(
+        "DefaultScenario", alias="scenario", description="Scenario nickname."
+    )
+
+    # Household economics
+    initial_balance: float = Field(..., ge=0)
+    monthly_contribution: float = Field(..., ge=0)
+    contribution_growth_rate_annual: float = Field(0.0, ge=0)
+    monthly_expenses: float = Field(
+        ..., ge=0, description="Monthly spending in T=0 real dollars."
+    )
+    current_age: float = Field(..., ge=0, le=120)
+    retirement_years: int = Field(..., gt=0)
+
+    # Asset 1 ("equity-like"): arithmetic annual mean/vol, with either an
+    # annual mark-to-market gains tax or a realized-gains tax on sales.
+    allocation_inv1_pct: float = Field(..., ge=0.0, le=1.0)
+    inv1_returns_mean: float = Field(..., gt=-1.0)
+    inv1_returns_volatility: float = Field(..., ge=0.0)
+    inv1_annual_tax_on_gains_rate: float = Field(..., ge=0.0, le=1.0)
+    inv1_realized_gains_tax_rate: float = Field(0.0, ge=0.0, le=1.0)
+    inv1_use_realized_gains_tax_system: bool = Field(False)
+
+    # Asset 2 ("inflation-linked"): returns are inflation times a premium.
+    inv2_premium_over_inflation_mean: float = Field(..., gt=-1.0)
+    inv2_premium_over_inflation_volatility: float = Field(..., ge=0.0)
+    inv2_annual_tax_on_gains_rate: float = Field(..., ge=0.0, le=1.0)
+    inv2_realized_gains_tax_rate: float = Field(0.0, ge=0.0, le=1.0)
+    inv2_use_realized_gains_tax_system: bool = Field(True)
+
+    # Inflation process and its coupling to equity shocks.
+    inflation_rate_mean: float = Field(..., gt=-1.0)
+    inflation_rate_volatility: float = Field(..., ge=0.0)
+    equity_inflation_correlation: float = Field(
+        0.0,
+        ge=-1.0,
+        le=1.0,
+        description="Correlation of equity log-returns with inflation log-rates.",
+    )
+
+    # Simulation controls
+    num_simulations_main: int = Field(..., gt=0)
+    num_simulations_search: int = Field(..., gt=0)
+    target_probability: float = Field(..., ge=0.0, le=100.0)
+    starting_working_months_search: int = Field(..., ge=0)
+    seed: Optional[int] = Field(None, ge=0)
+    # Retained for config-file compatibility; the TPU engine parallelises over
+    # devices instead of processes (reference used a multiprocessing.Pool).
+    num_processes: Optional[int] = Field(1, ge=1)
+
+    other_income_streams: List[OtherIncomeStreamConfig] = Field(default_factory=list)
+
+    model_config = {"validate_by_name": True, "validate_assignment": True}
+
+    @field_validator("inflation_rate_volatility")
+    @classmethod
+    def _warn_high_inflation_vol(cls, v: float, info: ValidationInfo) -> float:
+        if v > 0.05:
+            log.warning(
+                "Inflation volatility (%.1f%%) is relatively high for scenario '%s'.",
+                v * 100,
+                info.data.get("Nickname", "N/A"),
+            )
+        return v
+
+    @field_validator("inv1_returns_volatility")
+    @classmethod
+    def _warn_low_equity_vol(cls, v: float, info: ValidationInfo) -> float:
+        if v < 0.05:
+            log.warning(
+                "Equity (Inv1) volatility (%.1f%%) is unusually low for scenario "
+                "'%s'; typical equity vol is ~15%%. Sequence-of-returns risk will "
+                "be understated.",
+                v * 100,
+                info.data.get("Nickname", "N/A"),
+            )
+        return v
+
+    @property
+    def allocation_inv2_pct(self) -> float:
+        return 1.0 - self.allocation_inv1_pct
+
+
+def load_config_from_json(file_path: str) -> Dict[str, Any]:
+    """Read a scenario JSON file into a plain dict (validate via ``Config``)."""
+    if not os.path.exists(file_path):
+        raise ConfigurationError(f"Configuration file not found at: {file_path}")
+    try:
+        with open(file_path, "r", encoding="utf-8") as fh:
+            return json.load(fh)
+    except json.JSONDecodeError as exc:
+        raise ConfigurationError(f"Error parsing JSON file '{file_path}': {exc}") from exc
+    except Exception as exc:  # pragma: no cover - unexpected IO failures
+        raise ConfigurationError(
+            f"Unexpected error reading config file '{file_path}': {exc}"
+        ) from exc

@@ -1,0 +1,297 @@
+"""Engine: the compiled-run orchestrator.
+
+Owns seed/stream management, scan-length bucketing (so a handful of
+compilations serve every working-month value), candidate batching for the
+search, device placement/sharding, and host-side result assembly.
+
+Compilation model: every user-editable scenario number is a traced input —
+editing rates/amounts/ages re-runs the same executable. Only structural
+changes (retirement_years, stream count, path count, horizon bucket)
+recompile, and jit caches each combination.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..constants import MONTHS_PER_YEAR, NUM_SAMPLE_PATHS, SMALL_EPSILON
+from ..logging_utils import generate_seed_from_timestamp
+from ..models.retirement import SimParams
+from ..ops.shocks import stream_keys
+from ..ops.stats import RunSummary, summarize
+from ..timing import expected_trajectory_length
+from .kernel import PathOutputs, simulate_paths
+
+log = logging.getLogger("mcrt.engine")
+
+# Scan lengths are rounded up to this many months so that nearby
+# working-month values reuse one executable (must be a multiple of 12).
+SCAN_BUCKET_MONTHS = 60
+
+# Candidate batches are padded to this width so every probe call — ladder or
+# verification sweep — reuses a single compiled executable.
+PROBE_WIDTH = 16
+
+
+def enable_persistent_compilation_cache() -> None:
+    """Cache compiled executables on disk so fresh processes skip XLA compiles."""
+    try:
+        cache_dir = os.environ.get(
+            "MCRT_COMPILE_CACHE", os.path.expanduser("~/.cache/mcrt_jax_cache")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as exc:  # pragma: no cover - best-effort optimisation
+        log.debug("persistent compilation cache unavailable: %s", exc)
+
+
+@dataclass
+class RunResult:
+    """Host-side results of one full simulation batch."""
+
+    working_months: int
+    num_simulations: int
+    # Per-path arrays (numpy)
+    success: np.ndarray
+    final_balance: np.ndarray
+    start_balance: np.ndarray
+    years_to_ruin: np.ndarray
+    first_year_gross: np.ndarray
+    first_year_real_gross: np.ndarray
+    inflation_at_retirement: np.ndarray
+    # Reduced tables (numpy), trajectory tables trimmed to the exact length
+    success_probability: float
+    median_start_balance: float
+    median_final_successful: float
+    swr: float
+    final_balance_percentiles: np.ndarray  # (9,)
+    trajectory_percentiles: np.ndarray  # (7, L)
+    real_trajectory_percentiles: np.ndarray  # (7, L)
+    sample_trajectories: np.ndarray  # (k, L)
+    sample_real_trajectories: np.ndarray  # (k, L)
+    wr_percentiles: np.ndarray  # (5, R)
+    wr_observation_counts: np.ndarray  # (R,)
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return max(multiple, ((value + multiple - 1) // multiple) * multiple)
+
+
+class Engine:
+    """Compiled Monte Carlo engine for one scenario configuration."""
+
+    def __init__(
+        self,
+        config: Config,
+        main_seed_override: Optional[int] = None,
+        dtype=None,
+        devices: Optional[Sequence[jax.Device]] = None,
+    ):
+        self.config = config.model_copy(deep=True)
+        if main_seed_override is not None:
+            if main_seed_override < 0:
+                raise ValueError("main_seed_override must be nonnegative.")
+            self.main_seed = int(main_seed_override)
+        elif self.config.seed is not None:
+            self.main_seed = int(self.config.seed)
+        else:
+            self.main_seed = generate_seed_from_timestamp()
+
+        enable_persistent_compilation_cache()
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self.dtype = dtype
+        self.retirement_years = int(self.config.retirement_years)
+        self.params = SimParams.from_config(self.config, dtype=dtype)
+        self.search_key, self.final_key = stream_keys(self.main_seed)
+        self._devices = devices
+        log.info(
+            "Engine initialized for scenario '%s' with main seed: %d",
+            self.config.Nickname,
+            self.main_seed,
+        )
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+    def _key(self, stream: str) -> jax.Array:
+        if stream == "search":
+            return self.search_key
+        if stream == "final":
+            return self.final_key
+        raise ValueError(f"Unknown seed stream '{stream}'")
+
+    def _t_scan(self, max_working_months: int) -> int:
+        horizon = max_working_months + self.retirement_years * MONTHS_PER_YEAR
+        return _round_up(horizon, SCAN_BUCKET_MONTHS)
+
+    # ------------------------------------------------------------------
+    # probe: batched success probabilities for the search
+    # ------------------------------------------------------------------
+    def probe(
+        self,
+        months: Sequence[int],
+        num_simulations: int,
+        stream: str = "search",
+        horizon_months: Optional[int] = None,
+    ) -> List[float]:
+        """Success probability (percent) for each working-month candidate.
+
+        Candidates batch as a vmap axis with shared shocks (common random
+        numbers are structural — draws depend only on (stream, month, path)).
+        Batches are padded to PROBE_WIDTH and, when ``horizon_months`` pins
+        the scan length, every call in a search reuses ONE executable.
+        """
+        months = [int(m) for m in months]
+        if not months:
+            return []
+        t_scan = self._t_scan(int(horizon_months or max(months)))
+        key = self._key(stream)
+        out: List[float] = []
+        for i in range(0, len(months), PROBE_WIDTH):
+            chunk = months[i : i + PROBE_WIDTH]
+            padded = chunk + [chunk[-1]] * (PROBE_WIDTH - len(chunk))
+            probs = _probe_jit(
+                self.params,
+                jnp.asarray(padded, dtype=jnp.int32),
+                key,
+                n_paths=int(num_simulations),
+                t_scan=t_scan,
+                retirement_years=self.retirement_years,
+                dtype=self.dtype,
+            )
+            out.extend(float(v) for v in np.asarray(probs)[: len(chunk)])
+        return out
+
+    # ------------------------------------------------------------------
+    # full run with all statistics
+    # ------------------------------------------------------------------
+    def run(
+        self, working_months: int, num_simulations: int, stream: str = "final"
+    ) -> RunResult:
+        working_months = int(working_months)
+        n = int(num_simulations)
+        t_scan = self._t_scan(working_months)
+        traj_len = 1 + t_scan // MONTHS_PER_YEAR
+        k = min(NUM_SAMPLE_PATHS, n)
+        sample_idx = jnp.asarray(
+            np.random.default_rng(self.main_seed).choice(n, size=k, replace=False),
+            dtype=jnp.int32,
+        )
+        outs, summary = _run_jit(
+            self.params,
+            jnp.asarray(working_months, dtype=jnp.int32),
+            self._key(stream),
+            sample_idx,
+            n_paths=n,
+            t_scan=t_scan,
+            retirement_years=self.retirement_years,
+            traj_len=traj_len,
+            dtype=self.dtype,
+        )
+        L = expected_trajectory_length(working_months, self.retirement_years)
+        return RunResult(
+            working_months=working_months,
+            num_simulations=n,
+            success=np.asarray(outs.success),
+            final_balance=np.asarray(outs.final_balance),
+            start_balance=np.asarray(outs.start_balance),
+            years_to_ruin=np.asarray(outs.years_to_ruin),
+            first_year_gross=np.asarray(outs.first_year_gross),
+            first_year_real_gross=np.asarray(outs.first_year_real_gross),
+            inflation_at_retirement=np.asarray(outs.inflation_at_retirement),
+            success_probability=float(summary.success_probability),
+            median_start_balance=float(summary.median_start_balance),
+            median_final_successful=float(summary.median_final_successful),
+            swr=float(summary.swr),
+            final_balance_percentiles=np.asarray(summary.final_balance_percentiles),
+            trajectory_percentiles=np.asarray(summary.trajectory_percentiles)[:, :L],
+            real_trajectory_percentiles=np.asarray(
+                summary.real_trajectory_percentiles
+            )[:, :L],
+            sample_trajectories=np.asarray(summary.sample_trajectories)[:, :L],
+            sample_real_trajectories=np.asarray(
+                summary.sample_real_trajectories
+            )[:, :L],
+            wr_percentiles=np.asarray(summary.wr_percentiles),
+            wr_observation_counts=np.asarray(summary.wr_observation_counts),
+        )
+
+    # ------------------------------------------------------------------
+    # single-path inspection (tests / debugging)
+    # ------------------------------------------------------------------
+    def run_path(self, working_months: int, stream: str = "final") -> dict:
+        """Simulate one path and return a reference-style result dict
+        (reference: backend/simulation.py:939-950)."""
+        res = self.run(working_months, 1, stream=stream)
+        L = expected_trajectory_length(working_months, self.retirement_years)
+        traj = res.sample_trajectories[0][:L]
+        real = res.sample_real_trajectories[0][:L]
+        return {
+            "Start Balance": float(res.start_balance[0]),
+            "Final Balance": float(max(0.0, res.final_balance[0])),
+            "Success": bool(res.success[0]),
+            "YearsToRuin": float(res.years_to_ruin[0]),
+            "First Year Gross Withdrawal": float(res.first_year_gross[0]),
+            "First Year Real Gross Withdrawal": float(res.first_year_real_gross[0]),
+            "Trajectory": [float(v) for v in traj],
+            "RealTrajectory": [float(v) for v in real],
+            "WithdrawalRateTrajectory": [
+                float(v) for v in res.wr_percentiles[2]  # median == the path
+            ],
+            "Inflation At Retirement": float(res.inflation_at_retirement[0]),
+        }
+
+
+def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype):
+    def one(w):
+        outs = simulate_paths(
+            params,
+            w,
+            key,
+            n_paths=n_paths,
+            t_scan=t_scan,
+            retirement_years=retirement_years,
+            traj_len=0,
+            dtype=dtype,
+        )
+        return jnp.mean(outs.success.astype(jnp.float32)) * 100.0
+
+    return jax.vmap(one)(w_vec)
+
+
+_probe_jit = jax.jit(
+    _probe_impl,
+    static_argnames=("n_paths", "t_scan", "retirement_years", "dtype"),
+)
+
+
+def _run_impl(
+    params, w, key, sample_idx, n_paths, t_scan, retirement_years, traj_len, dtype
+):
+    outs = simulate_paths(
+        params,
+        w,
+        key,
+        n_paths=n_paths,
+        t_scan=t_scan,
+        retirement_years=retirement_years,
+        traj_len=traj_len,
+        dtype=dtype,
+    )
+    return outs, summarize(outs, sample_idx)
+
+
+_run_jit = jax.jit(
+    _run_impl,
+    static_argnames=("n_paths", "t_scan", "retirement_years", "traj_len", "dtype"),
+)

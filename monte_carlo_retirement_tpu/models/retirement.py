@@ -1,0 +1,148 @@
+"""The retirement-planning model: stochastic processes + scenario parameters.
+
+``SimParams`` is the traced parameter pytree handed to the compiled kernel.
+Every scalar that a user can edit in the dashboard is a *traced* array leaf,
+so changing ages, rates, taxes or amounts NEVER triggers recompilation; only
+structural knobs (retirement_years, number of income streams, path counts)
+are static.
+
+Model (matching the reference's stochastic setup, backend/simulation.py:14-29,
+452-474):
+  * Asset 1 (equity-like): annual arithmetic mean/vol converted to lognormal
+    params so that E[annual gross] = 1 + mean; monthly gross factor is
+    exp(mu/12 + sigma/sqrt(12) * z).
+  * Inflation: same lognormal construction; its unit shock is correlated with
+    the equity shock by rho (exact at rho = +/-1).
+  * Asset 2 (inflation-linked): gross factor = inflation gross x premium gross,
+    with the premium drawn independently.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..constants import MONTHS_PER_YEAR
+
+
+def arithmetic_to_log_params(mean: float, vol: float) -> Tuple[float, float]:
+    """Lognormal (mu, sigma) such that E[exp(mu + sigma Z)] = 1 + mean.
+
+    vol == 0 degenerates to the deterministic drift log(1 + mean).
+    """
+    if mean <= -1.0:
+        raise ValueError("Arithmetic mean must be greater than -100%.")
+    if vol < 0:
+        raise ValueError("Volatility cannot be negative.")
+    if vol == 0:
+        return math.log(1.0 + mean), 0.0
+    gross = 1.0 + mean
+    sigma = math.sqrt(math.log(1.0 + (vol * vol) / (gross * gross)))
+    mu = math.log(gross) - 0.5 * sigma * sigma
+    return mu, sigma
+
+
+class SimParams(NamedTuple):
+    """Traced scenario parameters (all leaves are jnp scalars / small arrays).
+
+    Stream arrays all have shape (n_streams,); ``n_streams`` is static.
+    ``months_from_t0`` is (start_at_age - current_age) * 12 computed host-side
+    in float64 so the in-kernel payment start month
+    ceil(months_from_t0 - W - eps) is exact at month boundaries.
+    """
+
+    initial_balance: jnp.ndarray
+    monthly_contribution: jnp.ndarray
+    contribution_growth: jnp.ndarray
+    monthly_expenses: jnp.ndarray
+    alloc1: jnp.ndarray  # target allocation of asset 1 in [0, 1]
+
+    mu1: jnp.ndarray  # equity lognormal drift (annual)
+    sigma1: jnp.ndarray
+    mu_inf: jnp.ndarray  # inflation lognormal drift (annual)
+    sigma_inf: jnp.ndarray
+    mu_prem: jnp.ndarray  # asset-2 premium lognormal drift (annual)
+    sigma_prem: jnp.ndarray
+    rho: jnp.ndarray  # equity-inflation shock correlation
+
+    ann_tax1: jnp.ndarray  # annual mark-to-market tax rates
+    ann_tax2: jnp.ndarray
+    real_tax1: jnp.ndarray  # realized-gains tax rates on sales
+    real_tax2: jnp.ndarray
+    use_real1: jnp.ndarray  # bool: asset taxed on realization (else annually)
+    use_real2: jnp.ndarray
+
+    stream_amount: jnp.ndarray  # (n_streams,) monthly amount in T=0 dollars
+    stream_months_from_t0: jnp.ndarray  # (n_streams,) (start_age - age) * 12
+    stream_duration_months: jnp.ndarray  # (n_streams,) +inf when indefinite
+    stream_indexed: jnp.ndarray  # (n_streams,) bool
+    stream_tax: jnp.ndarray  # (n_streams,)
+
+    @property
+    def n_streams(self) -> int:
+        return int(self.stream_amount.shape[0])
+
+    @staticmethod
+    def from_config(config: Config, dtype=jnp.float32) -> "SimParams":
+        """Build the traced parameter pytree from a validated Config."""
+        mu1, s1 = arithmetic_to_log_params(
+            config.inv1_returns_mean, config.inv1_returns_volatility
+        )
+        mui, si = arithmetic_to_log_params(
+            config.inflation_rate_mean, config.inflation_rate_volatility
+        )
+        mup, sp = arithmetic_to_log_params(
+            config.inv2_premium_over_inflation_mean,
+            config.inv2_premium_over_inflation_volatility,
+        )
+        streams = config.other_income_streams
+        n = len(streams)
+        amounts = np.array([s.monthly_amount_today for s in streams], dtype=np.float64)
+        from_t0 = np.array(
+            [
+                (float(s.start_at_age) - float(config.current_age)) * MONTHS_PER_YEAR
+                for s in streams
+            ],
+            dtype=np.float64,
+        )
+        durations = np.array(
+            [
+                np.inf if s.duration_years is None
+                else float(s.duration_years) * MONTHS_PER_YEAR
+                for s in streams
+            ],
+            dtype=np.float64,
+        )
+        indexed = np.array([s.inflation_indexed for s in streams], dtype=bool)
+        taxes = np.array([s.tax_rate for s in streams], dtype=np.float64)
+
+        f = lambda x: jnp.asarray(x, dtype=dtype)
+        return SimParams(
+            initial_balance=f(config.initial_balance),
+            monthly_contribution=f(config.monthly_contribution),
+            contribution_growth=f(config.contribution_growth_rate_annual),
+            monthly_expenses=f(config.monthly_expenses),
+            alloc1=f(config.allocation_inv1_pct),
+            mu1=f(mu1),
+            sigma1=f(s1),
+            mu_inf=f(mui),
+            sigma_inf=f(si),
+            mu_prem=f(mup),
+            sigma_prem=f(sp),
+            rho=f(config.equity_inflation_correlation),
+            ann_tax1=f(config.inv1_annual_tax_on_gains_rate),
+            ann_tax2=f(config.inv2_annual_tax_on_gains_rate),
+            real_tax1=f(config.inv1_realized_gains_tax_rate),
+            real_tax2=f(config.inv2_realized_gains_tax_rate),
+            use_real1=jnp.asarray(config.inv1_use_realized_gains_tax_system),
+            use_real2=jnp.asarray(config.inv2_use_realized_gains_tax_system),
+            stream_amount=f(amounts.reshape(n)),
+            stream_months_from_t0=f(from_t0.reshape(n)),
+            stream_duration_months=f(durations.reshape(n)),
+            stream_indexed=jnp.asarray(indexed.reshape(n)),
+            stream_tax=f(taxes.reshape(n)),
+        )

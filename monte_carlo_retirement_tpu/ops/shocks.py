@@ -1,0 +1,74 @@
+"""Correlated lognormal shock generation (counter-based, CRN-stable).
+
+Design: one threefry key per *absolute month* — ``fold_in(stream_key, m)`` —
+and a single bulk ``normal(key_m, (n_paths, 3))`` draw per month. Path ``p``
+always reads row ``p``, so the shock for (stream, month, path) is a pure
+function of those three coordinates. Consequences:
+
+  * Common random numbers across working-month candidates for free (the
+    reference achieved this with a per-(stream, n) seed cache,
+    backend/simulation.py:152-199).
+  * Stable under different ``n_paths``: threefry counters are row-major, so
+    row p's three draws are identical for any batch size >= p+1.
+  * Search vs final streams are independent roots (fold_in 0 / 1 of the main
+    seed key), mirroring SeedSequence.spawn(2) (backend/simulation.py:148-151).
+
+Statistical (not bitwise) parity with the reference's NumPy Philox draws is
+the contract; distributional tests live in tests/test_statistical.py.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..constants import MONTHS_PER_YEAR
+
+SQRT_MONTHS = MONTHS_PER_YEAR ** 0.5
+
+
+def stream_keys(main_seed: int) -> Tuple[jax.Array, jax.Array]:
+    """Derive the two independent root keys: (search, final)."""
+    root = jax.random.PRNGKey(main_seed)
+    return jax.random.fold_in(root, 0), jax.random.fold_in(root, 1)
+
+
+def monthly_shocks(
+    stream_key: jax.Array, month: jnp.ndarray, n_paths: int, rho: jnp.ndarray, dtype
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Standard-normal shocks (z_equity, z_inflation, z_premium) for one month.
+
+    The inflation shock is rho-correlated with the equity shock via the exact
+    two-factor construction z_inf = rho*z_eq + sqrt(1-rho^2)*z_ind, which is
+    exact at the singular endpoints rho = +/-1.
+    """
+    key_m = jax.random.fold_in(stream_key, month)
+    z = jax.random.normal(key_m, (n_paths, 3), dtype=dtype)
+    z_eq = z[:, 0]
+    z_inf = rho * z_eq + jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho)) * z[:, 1]
+    z_prem = z[:, 2]
+    return z_eq, z_inf, z_prem
+
+
+def monthly_gross_factors(
+    z_eq: jnp.ndarray,
+    z_inf: jnp.ndarray,
+    z_prem: jnp.ndarray,
+    mu1: jnp.ndarray,
+    sigma1: jnp.ndarray,
+    mu_inf: jnp.ndarray,
+    sigma_inf: jnp.ndarray,
+    mu_prem: jnp.ndarray,
+    sigma_prem: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Monthly gross return factors (asset1, inflation, asset2).
+
+    Monthly factor from annual lognormal params: exp(mu/12 + sigma/sqrt(12)*z).
+    Asset 2 compounds inflation times its premium factor.
+    """
+    g1 = jnp.exp(mu1 / MONTHS_PER_YEAR + sigma1 / SQRT_MONTHS * z_eq)
+    gi = jnp.exp(mu_inf / MONTHS_PER_YEAR + sigma_inf / SQRT_MONTHS * z_inf)
+    gp = jnp.exp(mu_prem / MONTHS_PER_YEAR + sigma_prem / SQRT_MONTHS * z_prem)
+    return g1, gi, gi * gp

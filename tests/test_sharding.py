@@ -1,0 +1,84 @@
+"""Multi-device path-parallel tests on the virtual 8-CPU-device mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monte_carlo_retirement_tpu.engine.kernel import simulate_paths
+from monte_carlo_retirement_tpu.models.retirement import SimParams
+from monte_carlo_retirement_tpu.ops.shocks import stream_keys
+from monte_carlo_retirement_tpu.parallel.mesh import (
+    make_mesh,
+    pad_to_devices,
+    paths_sharding,
+)
+from tests.conftest import make_config
+
+
+def test_virtual_mesh_has_eight_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_run_matches_single_device():
+    """Sharding the paths axis over 8 devices must not change any statistic:
+    the kernel is elementwise over paths and the reductions are collective."""
+    cfg = make_config(retirement_years=5, seed=11)
+    params = SimParams.from_config(cfg, dtype=jnp.float64)
+    _, final_key = stream_keys(11)
+    n = pad_to_devices(64, 8)
+
+    kwargs = dict(
+        n_paths=n, t_scan=120, retirement_years=5, traj_len=11, dtype=jnp.float64
+    )
+    outs_single = simulate_paths(params, jnp.int32(24), final_key, **kwargs)
+
+    mesh = make_mesh()
+    sharding = paths_sharding(mesh)
+
+    @jax.jit
+    def sharded(params, w, key):
+        outs = simulate_paths(params, w, key, **kwargs)
+        outs = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, sharding), outs
+        )
+        return outs
+
+    outs_sharded = sharded(params, jnp.int32(24), final_key)
+    np.testing.assert_allclose(
+        np.asarray(outs_single.final_balance),
+        np.asarray(outs_sharded.final_balance),
+        rtol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs_single.success), np.asarray(outs_sharded.success)
+    )
+    assert len(outs_sharded.final_balance.sharding.device_set) == 8
+
+
+def test_sharded_reduction_collectives():
+    """Success-rate reduction over a sharded batch lowers to collectives and
+    matches the replicated result."""
+    cfg = make_config(retirement_years=5, seed=13)
+    params = SimParams.from_config(cfg, dtype=jnp.float64)
+    _, final_key = stream_keys(13)
+    mesh = make_mesh()
+    sharding = paths_sharding(mesh)
+
+    @jax.jit
+    def success_rate(params, w, key):
+        outs = simulate_paths(
+            params, w, key,
+            n_paths=128, t_scan=120, retirement_years=5, traj_len=0,
+            dtype=jnp.float64,
+        )
+        shard = jax.lax.with_sharding_constraint(outs.success, sharding)
+        return jnp.mean(shard.astype(jnp.float64)) * 100.0
+
+    rate = float(success_rate(params, jnp.int32(24), final_key))
+    outs = simulate_paths(
+        params, jnp.int32(24), final_key,
+        n_paths=128, t_scan=120, retirement_years=5, traj_len=0,
+        dtype=jnp.float64,
+    )
+    assert rate == pytest.approx(float(np.mean(np.asarray(outs.success))) * 100.0)
