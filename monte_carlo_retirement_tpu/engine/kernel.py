@@ -6,23 +6,31 @@ loop, backend/simulation.py:476-950):
   * The time axis is a `lax.scan` with a small struct-of-arrays carry; the
     path axis is a plain vector dimension inside the step, so sharding the
     paths over a device mesh requires no kernel changes.
-  * `working_months` (W) is a *traced* scalar. Accumulation vs retirement is
-    decided per-month by masks, so one compilation serves every candidate W —
-    the working-month search batches candidates with `vmap` over W, and the
-    monthly shocks are a pure function of (stream, month, path), which yields
-    common random numbers across candidates by construction.
-  * Divergent control flow (ruin `break`s, partial tax years, stream start
-    dates) becomes branchless masking. Dead paths freeze their entire state,
-    which reproduces the reference's early-`break` semantics exactly.
+  * `working_months` (W) is a *traced* scalar. The month phase — accumulation
+    vs retirement vs past-horizon — is a SCALAR predicate (identical for all
+    paths), so it lowers to real `lax.cond` branches: each scan iteration
+    executes only its phase's body, the annual-tax block runs only on
+    absolute 12-month boundaries, and months past the horizon are free. One
+    compilation still serves every candidate W; under the search's
+    `vmap`-over-candidates the conds degrade gracefully to selects.
+  * Per-path divergence (ruin, stream starts, capacity limits) stays
+    branchless masking inside the phase bodies. Dead paths freeze their whole
+    state, which reproduces the reference's early-`break` semantics exactly —
+    including the yearly trajectory samples: a path that dies mid-year
+    freezes its balance, so the regular year-end record captures the
+    at-death value with no extra per-month writes.
   * Yearly trajectory / price-level / withdrawal-rate series are recorded by
-    in-carry ring buffers updated with `dynamic_update_slice` at a per-month
-    slot index, instead of materialising (T, n_paths) scan outputs in HBM.
+    in-carry buffers updated with `dynamic_update_slice` at scalar slots on
+    scalar-predicated months, instead of materialising (T, n_paths) scan
+    outputs in HBM. Probe mode (`traj_len=0`) also drops every
+    summary-only carry field (years-to-ruin, first-year withdrawals,
+    retirement snapshot), halving HBM carry traffic for the search.
 
-Event timeline inside one month m (1-indexed absolute month):
+Event timeline inside one retirement month m (1-indexed absolute month):
   income & need -> ruin check A -> growth & inflation -> ruin check B ->
-  capacity-limited pro-rata withdrawal -> contribution -> rebalance ->
-  annual tax at absolute 12-month boundaries -> final-period settle at the
-  horizon end -> death/record resolution.
+  capacity-limited pro-rata withdrawal -> rebalance -> annual tax at
+  absolute 12-month boundaries -> final-period settle at the horizon end ->
+  death resolution -> year-end records.
 """
 
 from __future__ import annotations
@@ -49,16 +57,20 @@ EPS = SMALL_EPSILON
 
 
 class PathOutputs(NamedTuple):
-    """Per-path results of one batched simulation run."""
+    """Per-path results of one batched simulation run.
+
+    In probe mode (traj_len == 0) only ``success`` and ``final_balance`` are
+    populated; the remaining fields are None.
+    """
 
     success: jnp.ndarray  # (n,) bool — every month of spending was funded
     final_balance: jnp.ndarray  # (n,)
-    start_balance: jnp.ndarray  # (n,) balance on the retirement date
-    years_to_ruin: jnp.ndarray  # (n,) NaN when successful
-    first_year_gross: jnp.ndarray  # (n,) nominal gross withdrawals, year 0
-    first_year_real_gross: jnp.ndarray  # (n,) deflated to retirement-date $
-    inflation_at_retirement: jnp.ndarray  # (n,) price level on retirement date
-    trajectory: Optional[jnp.ndarray]  # (n, L) yearly samples, or None
+    start_balance: Optional[jnp.ndarray]  # (n,) balance on the retirement date
+    years_to_ruin: Optional[jnp.ndarray]  # (n,) NaN when successful
+    first_year_gross: Optional[jnp.ndarray]  # (n,) nominal gross withdrawals, year 0
+    first_year_real_gross: Optional[jnp.ndarray]  # (n,) in retirement-date $
+    inflation_at_retirement: Optional[jnp.ndarray]  # (n,) price level at retirement
+    trajectory: Optional[jnp.ndarray]  # (n, L) yearly samples
     price_levels: Optional[jnp.ndarray]  # (n, L) price level at each sample
     withdrawal_rates: Optional[jnp.ndarray]  # (n, R) real % of start balance
 
@@ -73,14 +85,15 @@ class _Carry(NamedTuple):
     g2acc: jnp.ndarray
     alive: jnp.ndarray
     preret_failed: jnp.ndarray
-    ytr: jnp.ndarray
-    start_bal: jnp.ndarray
-    infl_ret: jnp.ndarray
-    yg: jnp.ndarray  # gross withdrawals in the current retirement year
-    yr: jnp.ndarray  # same, deflated to retirement-date dollars
-    fy_g: jnp.ndarray
-    fy_r: jnp.ndarray
     fixed_nom: Optional[jnp.ndarray]  # (n, S) frozen nominal stream amounts
+    # Summary-tracking fields (None in probe mode):
+    ytr: Optional[jnp.ndarray]
+    start_bal: Optional[jnp.ndarray]
+    infl_ret: Optional[jnp.ndarray]
+    yg: Optional[jnp.ndarray]  # gross withdrawals, current retirement year
+    yr: Optional[jnp.ndarray]  # same, deflated to retirement-date dollars
+    fy_g: Optional[jnp.ndarray]
+    fy_r: Optional[jnp.ndarray]
     traj: Optional[jnp.ndarray]
     price: Optional[jnp.ndarray]
     wr: Optional[jnp.ndarray]
@@ -106,15 +119,12 @@ def simulate_paths(
     retirement_years: int,
     traj_len: int,
     dtype,
-    shocks: Optional[jnp.ndarray] = None,
 ) -> PathOutputs:
     """Simulate ``n_paths`` full lifetimes with ``working_months`` (traced).
 
-    ``t_scan`` must be >= working_months + 12 * retirement_years. With
-    ``traj_len`` == 0 the trajectory/price/withdrawal-rate buffers are elided
-    (probe mode for the search). ``shocks`` may supply precomputed draws of
-    shape (t_scan, n_paths, 3); otherwise draws are generated inside the scan
-    from ``stream_key`` (identical values either way).
+    ``t_scan`` must be >= working_months + 12 * retirement_years (months past
+    the horizon are skipped by a scalar branch). ``traj_len`` == 0 selects
+    probe mode: no trajectory buffers and no summary-only carry fields.
     """
     p = params
     R = retirement_years
@@ -123,6 +133,7 @@ def simulate_paths(
     zeros = jnp.zeros((n_paths,), dtype=dtype)
     track = traj_len > 0
     n_streams = p.n_streams
+    frtol = fail_rtol(dtype)
 
     w_f = W.astype(dtype)
     full_wy = W // MONTHS_PER_YEAR
@@ -131,6 +142,14 @@ def simulate_paths(
 
     b1_0 = f(p.initial_balance * p.alloc1) * jnp.ones_like(zeros)
     b2_0 = f(p.initial_balance) - b1_0
+
+    if n_streams:
+        # First eligible retirement-month index per stream (scalar per stream;
+        # months_from_t0 is precomputed host-side in float64).
+        stream_start_m = jnp.maximum(
+            0.0,
+            jnp.ceil(jnp.maximum(0.0, f(p.stream_months_from_t0) - w_f) - EPS),
+        )  # (S,)
 
     init = _Carry(
         b1=b1_0,
@@ -142,16 +161,16 @@ def simulate_paths(
         g2acc=zeros,
         alive=jnp.ones((n_paths,), dtype=bool),
         preret_failed=jnp.zeros((n_paths,), dtype=bool),
-        ytr=jnp.full((n_paths,), jnp.nan, dtype=dtype),
-        start_bal=f(p.initial_balance) * jnp.ones_like(zeros),
-        infl_ret=jnp.ones_like(zeros),
-        yg=zeros,
-        yr=zeros,
-        fy_g=zeros,
-        fy_r=zeros,
         fixed_nom=(
             jnp.full((n_paths, n_streams), -1.0, dtype=dtype) if n_streams else None
         ),
+        ytr=jnp.full((n_paths,), jnp.nan, dtype=dtype) if track else None,
+        start_bal=f(p.initial_balance) * jnp.ones_like(zeros) if track else None,
+        infl_ret=jnp.ones_like(zeros) if track else None,
+        yg=zeros if track else None,
+        yr=zeros if track else None,
+        fy_g=zeros if track else None,
+        fy_r=zeros if track else None,
         traj=(
             jnp.zeros((n_paths, traj_len), dtype=dtype)
             .at[:, 0]
@@ -159,46 +178,135 @@ def simulate_paths(
             if track
             else None
         ),
-        price=(
-            jnp.ones((n_paths, traj_len), dtype=dtype) if track else None
-        ),
-        wr=(jnp.full((n_paths, R), jnp.nan, dtype=dtype) if track else None),
+        price=jnp.ones((n_paths, traj_len), dtype=dtype) if track else None,
+        wr=jnp.full((n_paths, R), jnp.nan, dtype=dtype) if track else None,
     )
 
-    def step(carry: _Carry, xs):
-        m, z_m = xs  # m: absolute month, 1-indexed
-        is_accum = m <= W
+    def growth_factors(m):
+        z_eq, z_inf, z_prem = monthly_shocks(stream_key, m, n_paths, f(p.rho), dtype)
+        return monthly_gross_factors(
+            z_eq, z_inf, z_prem,
+            f(p.mu1), f(p.sigma1), f(p.mu_inf), f(p.sigma_inf),
+            f(p.mu_prem), f(p.sigma_prem),
+        )
+
+    def annual_tax(c: _Carry):
+        return apply_annual_gain_taxes(
+            c.b1, c.c1, c.b2, c.c2, c.g1acc, c.g2acc,
+            f(p.alloc1),
+            p.use_real1, f(p.real_tax1), f(p.ann_tax1),
+            p.use_real2, f(p.real_tax2), f(p.ann_tax2),
+        )
+
+    def monthly_rebalance(b1, c1, b2, c2):
+        return rebalance(
+            b1, c1, b2, c2, f(p.alloc1),
+            p.use_real1, f(p.real_tax1), p.use_real2, f(p.real_tax2),
+        )
+
+    def write_col(buf, col, value, mask):
+        """buf[:, col] = where(mask, value, buf[:, col]) at a scalar col."""
+        zero = jnp.int32(0)
+        col = jnp.clip(col, 0, buf.shape[1] - 1).astype(jnp.int32)
+        old = lax.dynamic_slice(buf, (zero, col), (n_paths, 1))[:, 0]
+        new = jnp.where(mask, value, old)
+        return lax.dynamic_update_slice(buf, new[:, None], (zero, col))
+
+    # ------------------------------------------------------------------
+    # Accumulation month body (m <= W)
+    # ------------------------------------------------------------------
+    def accum_month(m, c: _Carry) -> _Carry:
+        g1, gi, g2 = growth_factors(m)
+        g1acc = c.g1acc + c.b1 * (g1 - 1.0)
+        g2acc = c.g2acc + c.b2 * (g2 - 1.0)
+        b1 = c.b1 * g1
+        b2 = c.b2 * g2
+        infl = c.infl * gi
+
+        # Contribution grows at the start of each contribution year.
+        contrib_years = ((m - 1) // MONTHS_PER_YEAR).astype(dtype)
+        contrib = f(p.monthly_contribution) * jnp.power(
+            1.0 + f(p.contribution_growth), contrib_years
+        )
+        ca1 = contrib * f(p.alloc1)
+        ca2 = contrib - ca1
+        b1, c1 = b1 + ca1, c.c1 + ca1
+        b2, c2 = b2 + ca2, c.c2 + ca2
+
+        b1, c1, b2, c2 = monthly_rebalance(b1, c1, b2, c2)
+
+        mid = c._replace(b1=b1, c1=c1, b2=b2, c2=c2, infl=infl,
+                         g1acc=g1acc, g2acc=g2acc)
+
+        # Annual mark-to-market taxes at absolute 12-month boundaries.
+        def on_boundary(cc: _Carry) -> _Carry:
+            tb1, tc1, tb2, tc2, tfail = annual_tax(cc)
+            cc = cc._replace(
+                b1=tb1, c1=tc1, b2=tb2, c2=tc2,
+                g1acc=jnp.zeros_like(cc.g1acc), g2acc=jnp.zeros_like(cc.g2acc),
+                preret_failed=cc.preret_failed | tfail,
+            )
+            if track:
+                total = cc.b1 + cc.b2
+                ones = jnp.ones((n_paths,), dtype=bool)
+                cc = cc._replace(
+                    traj=write_col(cc.traj, m // MONTHS_PER_YEAR, total, ones),
+                    price=write_col(cc.price, m // MONTHS_PER_YEAR, cc.infl, ones),
+                )
+            return cc
+
+        mid = lax.cond(
+            m % MONTHS_PER_YEAR == 0, on_boundary, lambda cc: cc, mid
+        )
+
+        # Retirement-date snapshot (+ partial-year trajectory sample).
+        def at_retirement(cc: _Carry) -> _Carry:
+            kill = cc.preret_failed
+            cc = cc._replace(alive=cc.alive & ~kill)
+            if track:
+                cc = cc._replace(
+                    start_bal=cc.b1 + cc.b2,
+                    infl_ret=cc.infl,
+                    ytr=jnp.where(kill, 0.0, cc.ytr),
+                )
+                def partial_sample(c2_: _Carry) -> _Carry:
+                    ones = jnp.ones((n_paths,), dtype=bool)
+                    slot = full_wy + 1
+                    return c2_._replace(
+                        traj=write_col(c2_.traj, slot, c2_.b1 + c2_.b2, ones),
+                        price=write_col(c2_.price, slot, c2_.infl, ones),
+                    )
+                cc = lax.cond(
+                    partial_wy == 1, partial_sample, lambda x: x, cc
+                )
+            return cc
+
+        return lax.cond(m == W, at_retirement, lambda cc: cc, mid)
+
+    # ------------------------------------------------------------------
+    # Retirement month body (W < m <= t_end)
+    # ------------------------------------------------------------------
+    def ret_month(m, c: _Carry) -> _Carry:
         k = m - W  # retirement month, 1-indexed
-        ret_idx = k - 1  # retirement month, 0-indexed
-        in_ret = (m > W) & (m <= t_end)
-        boundary = (m % MONTHS_PER_YEAR) == 0
-        year_end = in_ret & ((k % MONTHS_PER_YEAR) == 0)
-        new_year = in_ret & ((ret_idx % MONTHS_PER_YEAR) == 0)
-        alive0 = carry.alive
-        act_ret = in_ret & alive0
+        ret_idx = k - 1
+        alive0 = c.alive
 
-        # --- new retirement year: reset the per-year withdrawal accumulators
-        yg = jnp.where(new_year, 0.0, carry.yg)
-        yr = jnp.where(new_year, 0.0, carry.yr)
+        # New retirement year: reset the per-year withdrawal accumulators.
+        if track:
+            new_year = (ret_idx % MONTHS_PER_YEAR) == 0
+            yg = jnp.where(new_year, 0.0, c.yg)
+            yr = jnp.where(new_year, 0.0, c.yr)
 
-        # --- other income & net spending need (retirement months only)
-        price0 = carry.infl  # price level at the start of the month
+        # --- other income & net spending need
+        price0 = c.infl
         expenses = f(p.monthly_expenses) * price0
-        fixed_nom = carry.fixed_nom
+        fixed_nom = c.fixed_nom
         if n_streams:
             ret_idx_f = ret_idx.astype(dtype)
-            start_m = jnp.maximum(
-                0.0,
-                jnp.ceil(
-                    jnp.maximum(0.0, f(p.stream_months_from_t0) - w_f) - EPS
-                ),
+            active_s = (ret_idx_f >= stream_start_m) & (
+                ret_idx_f < stream_start_m + f(p.stream_duration_months)
             )  # (S,)
-            active_s = (
-                in_ret
-                & (ret_idx_f >= start_m)
-                & (ret_idx_f < start_m + f(p.stream_duration_months))
-            )  # (S,)
-            starts_now = active_s & (ret_idx_f == start_m)
+            starts_now = active_s & (ret_idx_f == stream_start_m)
             fixed_nom = jnp.where(
                 starts_now[None, :] & (fixed_nom < 0),
                 f(p.stream_amount)[None, :] * price0[:, None],
@@ -222,42 +330,38 @@ def simulate_paths(
         need = jnp.maximum(0.0, expenses - net_income)
 
         # --- ruin check A: broke before the month begins
-        total0 = carry.b1 + carry.b2
-        dies_a = act_ret & (total0 <= EPS) & (need > EPS)
+        total0 = c.b1 + c.b2
+        dies_a = alive0 & (total0 <= EPS) & (need > EPS)
 
-        # --- market growth & inflation
-        z_eq, z_inf, z_prem = z_m
-        g1, gi, g2 = monthly_gross_factors(
-            z_eq, z_inf, z_prem,
-            f(p.mu1), f(p.sigma1), f(p.mu_inf), f(p.sigma_inf),
-            f(p.mu_prem), f(p.sigma_prem),
-        )
-        gmask = is_accum | (act_ret & ~dies_a)
-        g1acc = carry.g1acc + jnp.where(gmask, carry.b1 * (g1 - 1.0), 0.0)
-        g2acc = carry.g2acc + jnp.where(gmask, carry.b2 * (g2 - 1.0), 0.0)
-        b1 = jnp.where(gmask, carry.b1 * g1, carry.b1)
-        b2 = jnp.where(gmask, carry.b2 * g2, carry.b2)
-        c1, c2 = carry.c1, carry.c2
-        infl = jnp.where(gmask, carry.infl * gi, carry.infl)
+        # --- market growth & inflation (dead/ruined paths freeze)
+        g1, gi, g2 = growth_factors(m)
+        gmask = alive0 & ~dies_a
+        g1acc = c.g1acc + jnp.where(gmask, c.b1 * (g1 - 1.0), 0.0)
+        g2acc = c.g2acc + jnp.where(gmask, c.b2 * (g2 - 1.0), 0.0)
+        b1 = jnp.where(gmask, c.b1 * g1, c.b1)
+        b2 = jnp.where(gmask, c.b2 * g2, c.b2)
+        infl = jnp.where(gmask, c.infl * gi, c.infl)
+        c1, c2 = c.c1, c.c2
 
         # --- ruin check B: growth alone cannot fund the month
         total1 = b1 + b2
-        dies_b = act_ret & ~dies_a & (total1 <= EPS) & (need > EPS)
+        dies_b = gmask & (total1 <= EPS) & (need > EPS)
         b1 = jnp.where(dies_b, jnp.maximum(0.0, b1), b1)
         b2 = jnp.where(dies_b, jnp.maximum(0.0, b2), b2)
 
         # --- capacity-limited withdrawal, split pro-rata by net capacity
-        wmask = act_ret & ~dies_a & ~dies_b
+        wmask = gmask & ~dies_b
         nc1 = net_liquidation_value(b1, c1, p.use_real1, f(p.real_tax1))
         nc2 = net_liquidation_value(b2, c2, p.use_real2, f(p.real_tax2))
         tnc = nc1 + nc2
         target = jnp.maximum(0.0, jnp.minimum(need, tnc))
-        # Funding failures need a relative slack under float32 (see
-        # ops.tax.fail_rtol); in float64 this reduces to the reference's
-        # absolute epsilon.
-        ftol = EPS + fail_rtol(dtype) * (need + total1)
+        # Funding failures use a dtype-relative slack (ops.tax.fail_rtol);
+        # in float64 this is the reference's absolute epsilon.
+        ftol = EPS + frtol * (need + total1)
         fail_cap = wmask & (need > EPS) & (target < need - ftol)
-        prop1 = jnp.where(tnc > EPS, nc1 / jnp.where(tnc > EPS, tnc, 1.0), f(p.alloc1))
+        prop1 = jnp.where(
+            tnc > EPS, nc1 / jnp.where(tnc > EPS, tnc, 1.0), f(p.alloc1)
+        )
 
         wb1, wc1, gw1, nw1 = withdraw_net_target(
             b1, c1, target * prop1, p.use_real1, f(p.real_tax1)
@@ -269,154 +373,137 @@ def simulate_paths(
         c1 = jnp.where(wmask, wc1, c1)
         b2 = jnp.where(wmask, wb2, b2)
         c2 = jnp.where(wmask, wc2, c2)
-        gw = jnp.where(wmask, gw1 + gw2, 0.0)
-        yg = yg + gw
-        yr = yr + gw * carry.infl_ret / jnp.maximum(price0, EPS)
+        if track:
+            gw = jnp.where(wmask, gw1 + gw2, 0.0)
+            yg = yg + gw
+            yr = yr + gw * c.infl_ret / jnp.maximum(price0, EPS)
         fail_net = wmask & (need > EPS) & (nw1 + nw2 < need - ftol)
 
-        # --- contributions (accumulation only); grows at each contribution year
-        contrib_years = ((m - 1) // MONTHS_PER_YEAR).astype(dtype)
-        contrib = f(p.monthly_contribution) * jnp.power(
-            1.0 + f(p.contribution_growth), contrib_years
-        )
-        ca1 = contrib * f(p.alloc1)
-        ca2 = contrib - ca1
-        b1 = b1 + jnp.where(is_accum, ca1, 0.0)
-        c1 = c1 + jnp.where(is_accum, ca1, 0.0)
-        b2 = b2 + jnp.where(is_accum, ca2, 0.0)
-        c2 = c2 + jnp.where(is_accum, ca2, 0.0)
+        # --- monthly rebalance (runs even in a capacity-failure month;
+        #     ruin-check deaths skip it)
+        rb1, rc1, rb2, rc2 = monthly_rebalance(b1, c1, b2, c2)
+        b1 = jnp.where(wmask, rb1, b1)
+        c1 = jnp.where(wmask, rc1, c1)
+        b2 = jnp.where(wmask, rb2, b2)
+        c2 = jnp.where(wmask, rc2, c2)
 
-        # --- monthly rebalance (runs even in the month a funding failure is
-        #     detected; ruin-check deaths skip it)
-        rmask = is_accum | wmask
-        rb1, rc1, rb2, rc2 = rebalance(
-            b1, c1, b2, c2, f(p.alloc1),
-            p.use_real1, f(p.real_tax1), p.use_real2, f(p.real_tax2),
-        )
-        b1 = jnp.where(rmask, rb1, b1)
-        c1 = jnp.where(rmask, rc1, c1)
-        b2 = jnp.where(rmask, rb2, b2)
-        c2 = jnp.where(rmask, rc2, c2)
+        mid = c._replace(b1=b1, c1=c1, b2=b2, c2=c2, infl=infl,
+                         g1acc=g1acc, g2acc=g2acc, fixed_nom=fixed_nom)
 
-        # --- annual mark-to-market taxes at absolute 12-month boundaries
-        tmask = boundary & (is_accum | (wmask & ~fail_cap & ~fail_net))
-        tb1, tc1, tb2, tc2, tfail = apply_annual_gain_taxes(
-            b1, c1, b2, c2, g1acc, g2acc,
-            f(p.alloc1),
-            p.use_real1, f(p.real_tax1), f(p.ann_tax1),
-            p.use_real2, f(p.real_tax2), f(p.ann_tax2),
-        )
-        b1 = jnp.where(tmask, tb1, b1)
-        c1 = jnp.where(tmask, tc1, c1)
-        b2 = jnp.where(tmask, tb2, b2)
-        c2 = jnp.where(tmask, tc2, c2)
-        g1acc = jnp.where(tmask, 0.0, g1acc)
-        g2acc = jnp.where(tmask, 0.0, g2acc)
-        preret_failed = carry.preret_failed | (is_accum & tmask & tfail)
-        ret_tax_fail = in_ret & tmask & tfail
+        # --- annual taxes at absolute boundaries (skipped by failing paths)
+        tmask_ok = wmask & ~fail_cap & ~fail_net
 
-        # --- horizon end: settle a trailing partial tax period so terminal
-        #     wealth is net of accrued liability (tax dates stay absolute)
+        def on_boundary(cc: _Carry):
+            tb1, tc1, tb2, tc2, tfail = annual_tax(cc)
+            cc = cc._replace(
+                b1=jnp.where(tmask_ok, tb1, cc.b1),
+                c1=jnp.where(tmask_ok, tc1, cc.c1),
+                b2=jnp.where(tmask_ok, tb2, cc.b2),
+                c2=jnp.where(tmask_ok, tc2, cc.c2),
+                g1acc=jnp.where(tmask_ok, 0.0, cc.g1acc),
+                g2acc=jnp.where(tmask_ok, 0.0, cc.g2acc),
+            )
+            return cc, tmask_ok & tfail
+
+        mid, ret_tax_fail = lax.cond(
+            m % MONTHS_PER_YEAR == 0,
+            on_boundary,
+            lambda cc: (cc, jnp.zeros((n_paths,), dtype=bool)),
+            mid,
+        )
+
         dies_regular = dies_a | dies_b | fail_cap | fail_net | ret_tax_fail
-        smask = (
-            (m == t_end)
-            & ((W % MONTHS_PER_YEAR) != 0)
-            & alive0
-            & ~dies_regular
-        )
-        sb1, sc1, sb2, sc2, sfail = apply_annual_gain_taxes(
-            b1, c1, b2, c2, g1acc, g2acc,
-            f(p.alloc1),
-            p.use_real1, f(p.real_tax1), f(p.ann_tax1),
-            p.use_real2, f(p.real_tax2), f(p.ann_tax2),
-        )
-        b1 = jnp.where(smask, sb1, b1)
-        c1 = jnp.where(smask, sc1, c1)
-        b2 = jnp.where(smask, sb2, b2)
-        c2 = jnp.where(smask, sc2, c2)
-        settle_fail = smask & sfail
 
-        # --- retirement-date snapshot & pre-retirement tax ruin
-        at_w = m == W
-        total2 = b1 + b2
-        start_bal = jnp.where(at_w, total2, carry.start_bal)
-        infl_ret = jnp.where(at_w, infl, carry.infl_ret)
-        kill_at_w = at_w & preret_failed
+        # --- horizon end: settle a trailing partial tax period
+        def settle(cc: _Carry):
+            sb1, sc1, sb2, sc2, sfail = annual_tax(cc)
+            smask = alive0 & ~dies_regular
+            cc = cc._replace(
+                b1=jnp.where(smask, sb1, cc.b1),
+                c1=jnp.where(smask, sc1, cc.c1),
+                b2=jnp.where(smask, sb2, cc.b2),
+                c2=jnp.where(smask, sc2, cc.c2),
+            )
+            return cc, smask & sfail
+
+        mid, settle_fail = lax.cond(
+            (m == t_end) & ((W % MONTHS_PER_YEAR) != 0),
+            settle,
+            lambda cc: (cc, jnp.zeros((n_paths,), dtype=bool)),
+            mid,
+        )
 
         # --- death resolution
-        ytr = carry.ytr
-        ytr = jnp.where(dies_regular, (ret_idx.astype(dtype) + 1.0) / MONTHS_PER_YEAR, ytr)
-        ytr = jnp.where(settle_fail, jnp.asarray(R, dtype=dtype), ytr)
-        ytr = jnp.where(kill_at_w, 0.0, ytr)
-        alive = alive0 & ~dies_regular & ~settle_fail & ~kill_at_w
-
-        # --- first-retirement-year withdrawal capture
-        year0 = (ret_idx // MONTHS_PER_YEAR) == 0
-        cap_fy = act_ret & year0 & (dies_regular | year_end)
-        fy_g = jnp.where(cap_fy, yg, carry.fy_g)
-        fy_r = jnp.where(cap_fy, yr, carry.fy_r)
-
-        # --- yearly records
-        traj, price, wr = carry.traj, carry.price, carry.wr
+        alive = alive0 & ~dies_regular & ~settle_fail
+        mid = mid._replace(alive=alive)
         if track:
-            slot = jnp.where(
-                m <= W,
-                jnp.where(at_w, full_wy + partial_wy, m // MONTHS_PER_YEAR),
-                full_wy
-                + partial_wy
-                + (k + MONTHS_PER_YEAR - 1) // MONTHS_PER_YEAR,
+            ytr = mid.ytr
+            ytr = jnp.where(
+                dies_regular,
+                (ret_idx.astype(dtype) + 1.0) / MONTHS_PER_YEAR,
+                ytr,
             )
-            slot = jnp.clip(slot, 0, traj_len - 1).astype(jnp.int32)
-            zero = jnp.int32(0)
-            rec_accum = is_accum & (boundary | (at_w & (partial_wy == 1)))
-            rec_ret = act_ret & (dies_regular | (year_end & ~dies_regular))
-            rec = rec_accum | rec_ret
-            value = jnp.where(dies_regular, jnp.maximum(0.0, total2), total2)
-            traj_col = jnp.where(rec, value, lax.dynamic_slice(
-                traj, (zero, slot), (n_paths, 1)
-            )[:, 0])
-            traj = lax.dynamic_update_slice(traj, traj_col[:, None], (zero, slot))
-            price_col = jnp.where(rec, infl, lax.dynamic_slice(
-                price, (zero, slot), (n_paths, 1)
-            )[:, 0])
-            price = lax.dynamic_update_slice(price, price_col[:, None], (zero, slot))
+            ytr = jnp.where(settle_fail, jnp.asarray(R, dtype=dtype), ytr)
+            # First-retirement-year capture: at death in year 0 or its end.
+            year0 = (ret_idx // MONTHS_PER_YEAR) == 0
+            year_end = (k % MONTHS_PER_YEAR) == 0
+            cap_fy = alive0 & year0 & (dies_regular | year_end)
+            mid = mid._replace(
+                ytr=ytr,
+                yg=yg,
+                yr=yr,
+                fy_g=jnp.where(cap_fy, yg, mid.fy_g),
+                fy_r=jnp.where(cap_fy, yr, mid.fy_r),
+            )
 
-            yslot = jnp.clip(k // MONTHS_PER_YEAR - 1, 0, R - 1).astype(jnp.int32)
-            wr_mask = year_end & alive0 & ~dies_regular
-            wr_value = jnp.where(
-                carry.start_bal > EPS, yr / jnp.maximum(carry.start_bal, EPS) * 100.0, 0.0
-            )
-            wr_col = jnp.where(
-                wr_mask, wr_value,
-                lax.dynamic_slice(wr, (zero, yslot), (n_paths, 1))[:, 0],
-            )
-            wr = lax.dynamic_update_slice(wr, wr_col[:, None], (zero, yslot))
+            # --- year-end records (scalar predicate). Dead paths freeze, so
+            # the year-end value IS the at-death balance for deaths this year
+            # and 0-padding (with masked write skipped) for older deaths.
+            def record(cc: _Carry) -> _Carry:
+                slot = full_wy + partial_wy + k // MONTHS_PER_YEAR
+                y = k // MONTHS_PER_YEAR - 1
+                total2 = cc.b1 + cc.b2
+                # Death month (1-indexed within retirement) = round(ytr * 12);
+                # rounding guards the /12*12 float round-trip. NaN (alive or
+                # pre-retirement failure) compares false on both sides.
+                death_k = jnp.round(cc.ytr * MONTHS_PER_YEAR)
+                died_this_year = (death_k > y * MONTHS_PER_YEAR + 0.5) & (
+                    death_k < k.astype(dtype) + 0.5
+                )
+                write_mask = cc.alive | died_this_year
+                value = jnp.where(cc.alive, total2, jnp.maximum(0.0, total2))
+                cc = cc._replace(
+                    traj=write_col(cc.traj, slot, value, write_mask),
+                    price=write_col(cc.price, slot, cc.infl, write_mask),
+                )
+                wr_mask = alive0 & ~dies_regular  # completed the whole year
+                wr_value = jnp.where(
+                    cc.start_bal > EPS,
+                    cc.yr / jnp.maximum(cc.start_bal, EPS) * 100.0,
+                    0.0,
+                )
+                cc = cc._replace(wr=write_col(cc.wr, y, wr_value, wr_mask))
+                return cc
 
-        new_carry = _Carry(
-            b1=b1, c1=c1, b2=b2, c2=c2, infl=infl,
-            g1acc=g1acc, g2acc=g2acc,
-            alive=alive, preret_failed=preret_failed, ytr=ytr,
-            start_bal=start_bal, infl_ret=infl_ret,
-            yg=yg, yr=yr, fy_g=fy_g, fy_r=fy_r,
-            fixed_nom=fixed_nom, traj=traj, price=price, wr=wr,
+            mid = lax.cond(
+                (k % MONTHS_PER_YEAR) == 0, record, lambda cc: cc, mid
+            )
+        return mid
+
+    # ------------------------------------------------------------------
+    def step(carry: _Carry, m):
+        new = lax.cond(
+            m <= W,
+            lambda c: accum_month(m, c),
+            lambda c: lax.cond(
+                m <= t_end, lambda cc: ret_month(m, cc), lambda cc: cc, c
+            ),
+            carry,
         )
-        return new_carry, None
+        return new, None
 
     months = jnp.arange(1, t_scan + 1, dtype=jnp.int32)
-    if shocks is None:
-        def gen_step(carry, m):
-            z = monthly_shocks(stream_key, m, n_paths, f(p.rho), dtype)
-            return step(carry, (m, z))
-
-        final, _ = lax.scan(gen_step, init, months)
-    else:
-        sh = jnp.asarray(shocks, dtype=dtype)
-        z_eq = sh[:, :, 0]
-        z_inf = f(p.rho) * z_eq + jnp.sqrt(
-            jnp.maximum(0.0, 1.0 - f(p.rho) ** 2)
-        ) * sh[:, :, 1]
-        z_prem = sh[:, :, 2]
-        final, _ = lax.scan(step, init, (months, (z_eq, z_inf, z_prem)))
+    final, _ = lax.scan(step, init, months)
 
     return PathOutputs(
         success=final.alive,

@@ -94,7 +94,7 @@ class Engine:
         config: Config,
         main_seed_override: Optional[int] = None,
         dtype=None,
-        devices: Optional[Sequence[jax.Device]] = None,
+        mesh=None,
     ):
         self.config = config.model_copy(deep=True)
         if main_seed_override is not None:
@@ -113,7 +113,9 @@ class Engine:
         self.retirement_years = int(self.config.retirement_years)
         self.params = SimParams.from_config(self.config, dtype=dtype)
         self.search_key, self.final_key = stream_keys(self.main_seed)
-        self._devices = devices
+        # Optional jax.sharding.Mesh with a 'paths' axis: shards the path
+        # batch over devices (data-parallel over ICI).
+        self.mesh = mesh
         log.info(
             "Engine initialized for scenario '%s' with main seed: %d",
             self.config.Nickname,
@@ -168,6 +170,7 @@ class Engine:
                 t_scan=t_scan,
                 retirement_years=self.retirement_years,
                 dtype=self.dtype,
+                mesh=self.mesh,
             )
             out.extend(float(v) for v in np.asarray(probs)[: len(chunk)])
         return out
@@ -197,6 +200,7 @@ class Engine:
             retirement_years=self.retirement_years,
             traj_len=traj_len,
             dtype=self.dtype,
+            mesh=self.mesh,
         )
         L = expected_trajectory_length(working_months, self.retirement_years)
         return RunResult(
@@ -252,7 +256,7 @@ class Engine:
         }
 
 
-def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype):
+def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype, mesh):
     def one(w):
         outs = simulate_paths(
             params,
@@ -264,19 +268,29 @@ def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype):
             traj_len=0,
             dtype=dtype,
         )
-        return jnp.mean(outs.success.astype(jnp.float32)) * 100.0
+        return outs.success
 
-    return jax.vmap(one)(w_vec)
+    success = jax.vmap(one, in_axes=(0,))(w_vec)  # (k, n_paths)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import PATHS_AXIS
+
+        success = jax.lax.with_sharding_constraint(
+            success, NamedSharding(mesh, P(None, PATHS_AXIS))
+        )
+    return jnp.mean(success.astype(jnp.float32), axis=1) * 100.0
 
 
 _probe_jit = jax.jit(
     _probe_impl,
-    static_argnames=("n_paths", "t_scan", "retirement_years", "dtype"),
+    static_argnames=("n_paths", "t_scan", "retirement_years", "dtype", "mesh"),
 )
 
 
 def _run_impl(
-    params, w, key, sample_idx, n_paths, t_scan, retirement_years, traj_len, dtype
+    params, w, key, sample_idx, n_paths, t_scan, retirement_years, traj_len, dtype,
+    mesh,
 ):
     outs = simulate_paths(
         params,
@@ -288,10 +302,15 @@ def _run_impl(
         traj_len=traj_len,
         dtype=dtype,
     )
+    if mesh is not None:
+        from ..parallel.mesh import constrain_paths_axis
+
+        outs = constrain_paths_axis(mesh, outs)
     return outs, summarize(outs, sample_idx)
 
 
 _run_jit = jax.jit(
     _run_impl,
-    static_argnames=("n_paths", "t_scan", "retirement_years", "traj_len", "dtype"),
+    static_argnames=("n_paths", "t_scan", "retirement_years", "traj_len", "dtype",
+                     "mesh"),
 )

@@ -43,3 +43,21 @@ def shard_paths(mesh: Mesh, array: jax.Array) -> jax.Array:
 def pad_to_devices(n_paths: int, n_devices: int) -> int:
     """Smallest multiple of ``n_devices`` that is >= ``n_paths``."""
     return ((n_paths + n_devices - 1) // n_devices) * n_devices
+
+
+def constrain_paths_axis(mesh: Mesh, tree):
+    """Constrain every array leaf's leading axis to the 'paths' mesh axis.
+
+    Applied inside jit, this makes XLA partition the whole simulation SPMD
+    over the mesh: the per-path state vectors and the counter-based RNG iota
+    split by rows, and downstream reductions (success means, percentile
+    sorts) lower to ICI collectives.
+    """
+    sharding = NamedSharding(mesh, P(PATHS_AXIS))
+
+    def _constrain(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return jax.lax.with_sharding_constraint(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(_constrain, tree)
