@@ -390,48 +390,40 @@ def simulate_paths(
         mid = c._replace(b1=b1, c1=c1, b2=b2, c2=c2, infl=infl,
                          g1acc=g1acc, g2acc=g2acc, fixed_nom=fixed_nom)
 
-        # --- annual taxes at absolute boundaries (skipped by failing paths)
+        # --- annual taxes. Two mutually exclusive scalar triggers share ONE
+        # instantiation of the tax subgraph (graph size = compile time):
+        #   * absolute 12-month boundary — skipped by paths failing this
+        #     month; resets the gain accumulators; a failure is a death.
+        #   * horizon end with a trailing partial tax period (settle) — the
+        #     reference's terminal-wealth settlement; no accumulator reset.
         tmask_ok = wmask & ~fail_cap & ~fail_net
+        is_boundary = (m % MONTHS_PER_YEAR) == 0
+        is_settle = (m == t_end) & ((W % MONTHS_PER_YEAR) != 0)
 
-        def on_boundary(cc: _Carry):
+        def apply_tax(cc: _Carry):
             tb1, tc1, tb2, tc2, tfail = annual_tax(cc)
+            dies_pre = dies_a | dies_b | fail_cap | fail_net
+            mask = jnp.where(is_boundary, tmask_ok, alive0 & ~dies_pre)
             cc = cc._replace(
-                b1=jnp.where(tmask_ok, tb1, cc.b1),
-                c1=jnp.where(tmask_ok, tc1, cc.c1),
-                b2=jnp.where(tmask_ok, tb2, cc.b2),
-                c2=jnp.where(tmask_ok, tc2, cc.c2),
-                g1acc=jnp.where(tmask_ok, 0.0, cc.g1acc),
-                g2acc=jnp.where(tmask_ok, 0.0, cc.g2acc),
+                b1=jnp.where(mask, tb1, cc.b1),
+                c1=jnp.where(mask, tc1, cc.c1),
+                b2=jnp.where(mask, tb2, cc.b2),
+                c2=jnp.where(mask, tc2, cc.c2),
+                g1acc=jnp.where(mask & is_boundary, 0.0, cc.g1acc),
+                g2acc=jnp.where(mask & is_boundary, 0.0, cc.g2acc),
             )
-            return cc, tmask_ok & tfail
+            fail = mask & tfail
+            return cc, fail & is_boundary, fail & is_settle
 
-        mid, ret_tax_fail = lax.cond(
-            m % MONTHS_PER_YEAR == 0,
-            on_boundary,
-            lambda cc: (cc, jnp.zeros((n_paths,), dtype=bool)),
+        no_fail = jnp.zeros((n_paths,), dtype=bool)
+        mid, ret_tax_fail, settle_fail = lax.cond(
+            is_boundary | is_settle,
+            apply_tax,
+            lambda cc: (cc, no_fail, no_fail),
             mid,
         )
 
         dies_regular = dies_a | dies_b | fail_cap | fail_net | ret_tax_fail
-
-        # --- horizon end: settle a trailing partial tax period
-        def settle(cc: _Carry):
-            sb1, sc1, sb2, sc2, sfail = annual_tax(cc)
-            smask = alive0 & ~dies_regular
-            cc = cc._replace(
-                b1=jnp.where(smask, sb1, cc.b1),
-                c1=jnp.where(smask, sc1, cc.c1),
-                b2=jnp.where(smask, sb2, cc.b2),
-                c2=jnp.where(smask, sc2, cc.c2),
-            )
-            return cc, smask & sfail
-
-        mid, settle_fail = lax.cond(
-            (m == t_end) & ((W % MONTHS_PER_YEAR) != 0),
-            settle,
-            lambda cc: (cc, jnp.zeros((n_paths,), dtype=bool)),
-            mid,
-        )
 
         # --- death resolution
         alive = alive0 & ~dies_regular & ~settle_fail

@@ -1,0 +1,134 @@
+"""CLI driver: config -> search -> final run -> logs + PNG plots.
+
+Same flow and outputs as the reference's main entry point
+(reference: backend/main.py:16-179): loads a scenario JSON (argv[1] or
+config.json), estimates required working months, runs the final batch on the
+independent seed stream, logs headline results and percentiles, and writes
+`ret_proj_<scenario>_<timestamp>_{HIST,TRAJ}.png`.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import logging
+import sys
+
+from ..config import Config, ConfigurationError, load_config_from_json
+from ..constants import MONTHS_PER_YEAR, SMALL_EPSILON
+from ..engine.simulator import (
+    RetirementMonteCarloSimulator,
+    median_first_year_withdrawal_rate,
+)
+from ..logging_utils import (
+    configure_logging,
+    log_input_parameters,
+    log_simulation_results,
+)
+from .plotting import plot_portfolio_trajectories, plot_simulation_results
+
+log = logging.getLogger("mcrt.cli")
+
+
+def main() -> None:
+    timestamp = _dt.datetime.now().strftime("%Y%m%d_%H%M%S")
+    log_filename = f"ret_proj_log_{timestamp}.log"
+    configure_logging(logfile=log_filename)
+    log.info("Logging initialized. Log file: %s", log_filename)
+
+    config_path = sys.argv[1] if len(sys.argv) > 1 else "config.json"
+    if len(sys.argv) <= 1:
+        log.info("No config file specified via argument. Defaulting to '%s'",
+                 config_path)
+    log.info("Loading configuration from: %s", config_path)
+    try:
+        config = Config(**load_config_from_json(config_path))
+        log.info(
+            "Configuration for scenario '%s' loaded and validated successfully.",
+            config.Nickname,
+        )
+    except ConfigurationError as exc:
+        log.error("Configuration file error: %s", exc)
+        return
+    except Exception as exc:
+        log.error("Configuration validation error: %s", exc, exc_info=True)
+        return
+
+    log_input_parameters(config)
+    simulator = RetirementMonteCarloSimulator(config)
+
+    log.info("--- Estimating Required Working Months for '%s' ---", config.Nickname)
+    required, achieved, _curve = simulator.find_minimum_working_months(verbose=True)
+    if required == -1:
+        log.error(
+            "Target probability of %.2f%% could not be met for '%s'. "
+            "Highest probability achieved: %.2f%%. Skipping final simulation.",
+            config.target_probability,
+            config.Nickname,
+            achieved,
+        )
+        return
+    log.info(
+        "--- Search Complete. Required: %d m (%.1f yrs) with prob %.2f%%. ---",
+        required,
+        required / MONTHS_PER_YEAR,
+        achieved,
+    )
+
+    log.info(
+        "--- Running Final Detailed Simulation (%d sims, %d working months) ---",
+        config.num_simulations_main,
+        required,
+    )
+    simulator.use_final_seeds()
+    summary_df, traj_pct_df, samples, _, _, _, _ = (
+        simulator.run_monte_carlo_simulations(required, config.num_simulations_main)
+    )
+    if summary_df.empty:
+        log.error("Final simulation yielded no results.")
+        return
+
+    success_mask = summary_df["Success"].astype(bool)
+    success_prob = float(success_mask.mean() * 100.0)
+    successful = summary_df.loc[success_mask, "Final Balance"]
+    median_final = float(successful.median()) if not successful.empty else 0.0
+    median_start = float(summary_df["Start Balance"].median())
+    swr = median_first_year_withdrawal_rate(summary_df)
+
+    log_simulation_results(
+        config,
+        required,
+        success_prob,
+        median_start,
+        median_final,
+        swr,
+        summary_df["Final Balance"].to_numpy(),
+    )
+
+    safe_name = "".join(
+        c if c.isalnum() or c in ("_", "-") else "_" for c in config.Nickname
+    )
+    base = f"ret_proj_{safe_name}_{timestamp}"
+    plot_simulation_results(
+        summary_df,
+        config,
+        {
+            "required_working_months": required,
+            "final_success_probability": success_prob,
+            "median_start_retirement_balance": median_start,
+            "median_final_balance": median_final,
+            "SWR": swr,
+        },
+        f"{base}_HIST.png",
+    )
+    if traj_pct_df is not None:
+        plot_portfolio_trajectories(
+            traj_pct_df, samples, required, config, f"{base}_TRAJ.png"
+        )
+    else:
+        log.warning("Trajectory data missing; skipping trajectory plot.")
+    log.info("--- Main execution finished for '%s'. Log: %s ---",
+             config.Nickname, log_filename)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""Assembly of the plot-ready simulation response payload.
+
+Behavioral contract follows the reference's response builder
+(reference: backend/server.py:190-228, 416-565): same keys, same rounding,
+same NaN handling, same reference-line and cohort rules.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import pandas as pd
+
+from ..config import Config
+from ..constants import MONTHS_PER_YEAR, SMALL_EPSILON
+from ..engine.simulator import median_first_year_withdrawal_rate
+from ..timing import (
+    retirement_age,
+    stream_payment_start_month_index,
+    trajectory_time_points,
+)
+
+
+def safe_float(value: float) -> Optional[float]:
+    """NaN/Inf -> None so strict JSON serialisation never fails."""
+    if value is None or math.isnan(value) or math.isinf(value):
+        return None
+    return round(value, 2)
+
+
+def dedupe_search_curve(points: List[dict]) -> List[dict]:
+    """Keep the latest probability per working_months, sorted ascending."""
+    latest: Dict[int, dict] = {}
+    for point in points:
+        latest[int(point["working_months"])] = point
+    return [latest[m] for m in sorted(latest)]
+
+
+def _trajectory_payload(pct_df, sample_paths, years: List[float]) -> Optional[dict]:
+    if pct_df is None or pct_df.empty:
+        return None
+    if len(years) != len(pct_df):
+        raise ValueError(
+            "Trajectory time-point count does not match trajectory data "
+            f"({len(years)} != {len(pct_df)})."
+        )
+    percentiles = {
+        f"p{int(col * 100)}": [round(float(v), 2) for v in pct_df[col]]
+        for col in pct_df.columns
+    }
+    samples = (
+        [[round(float(v), 2) for v in path] for path in sample_paths]
+        if sample_paths
+        else []
+    )
+    return {"years": years, "percentiles": percentiles, "sample_paths": samples}
+
+
+def build_result(
+    config: Config,
+    simulator,
+    required_w_months: int,
+    search_curve: Optional[List[dict]] = None,
+) -> dict:
+    """Run the final simulation batch and assemble the full response dict.
+
+    ``simulator`` needs only ``run_monte_carlo_simulations`` (the facade's
+    pandas 7-tuple), preserving the reference's fake-simulator test seam.
+    """
+    (
+        summary_df,
+        traj_pct_df,
+        sample_paths,
+        wr_pct_df,
+        real_pct_df,
+        real_sample_paths,
+        wr_counts,
+    ) = simulator.run_monte_carlo_simulations(
+        working_months=required_w_months,
+        num_simulations=config.num_simulations_main,
+    )
+    if summary_df.empty:
+        raise ValueError(f"Simulation for '{config.Nickname}' yielded no results.")
+
+    if "Success" in summary_df.columns:
+        success_mask = summary_df["Success"].astype(bool)
+    else:
+        success_mask = summary_df["Final Balance"] > SMALL_EPSILON
+    success_prob = float(success_mask.mean() * 100.0)
+
+    successful_finals = summary_df.loc[success_mask, "Final Balance"]
+    median_final = float(successful_finals.median()) if not successful_finals.empty else 0.0
+    median_start = float(summary_df["Start Balance"].median())
+    swr = median_first_year_withdrawal_rate(summary_df)
+
+    quantiles = summary_df["Final Balance"].quantile(
+        [0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99]
+    )
+    balance_percentiles = {
+        f"p{int(q * 100)}": round(max(0.0, float(v)), 2)
+        for q, v in quantiles.items()
+    }
+
+    years = trajectory_time_points(required_w_months, config.retirement_years)
+    retirement_year = required_w_months / MONTHS_PER_YEAR
+
+    # Reference markers: retirement start + every materially nonzero stream.
+    reference_lines = [{"name": "Retirement Starts", "year": retirement_year}]
+    for stream in config.other_income_streams or []:
+        if stream.monthly_amount_today <= SMALL_EPSILON or stream.duration_years == 0:
+            continue
+        pay_start = stream_payment_start_month_index(
+            config.current_age, required_w_months, stream.start_at_age
+        )
+        reference_lines.append(
+            {
+                "name": stream.name,
+                "year": round(retirement_year + pay_start / MONTHS_PER_YEAR, 3),
+            }
+        )
+
+    withdrawal_rate = None
+    if wr_pct_df is not None and not wr_pct_df.empty:
+        wr_percentiles: Dict[str, List[Optional[float]]] = {}
+        for col in wr_pct_df.columns:
+            series = [
+                None
+                if v is None or (isinstance(v, float) and math.isnan(v))
+                else round(float(v), 3)
+                for v in wr_pct_df[col]
+            ]
+            wr_percentiles[f"p{int(col * 100)}"] = series
+        withdrawal_rate = {
+            "years": [retirement_year + i for i in range(len(wr_pct_df))],
+            "percentiles": wr_percentiles,
+            "observation_counts": wr_counts or [],
+            "total_paths": int(len(summary_df)),
+        }
+
+    search_curve_data = None
+    if search_curve:
+        search_curve_data = {
+            "points": dedupe_search_curve(search_curve),
+            "target_probability": config.target_probability,
+            "selected_working_months": required_w_months,
+        }
+
+    ruin_histogram = None
+    if "YearsToRuin" in summary_df.columns:
+        failed = summary_df.loc[~success_mask, "YearsToRuin"].dropna()
+        ruin_histogram = {
+            "years_to_ruin": [round(float(v), 1) for v in failed],
+            "failure_count": int(len(failed)),
+            "total_paths": int(len(summary_df)),
+        }
+
+    return {
+        "scenario": config.Nickname,
+        "summary": {
+            "required_working_months": required_w_months,
+            "required_working_years": round(retirement_year, 1),
+            "working_period_is_estimate": bool(search_curve),
+            "retirement_age": round(
+                retirement_age(config.current_age, required_w_months), 1
+            ),
+            "success_probability": round(success_prob, 2),
+            "target_probability": config.target_probability,
+            "median_start_balance": round(median_start, 2),
+            "median_final_balance_successful": round(median_final, 2),
+            "swr": safe_float(swr),
+            "final_balance_percentiles": balance_percentiles,
+        },
+        "trajectory": _trajectory_payload(traj_pct_df, sample_paths, years),
+        "trajectory_real": _trajectory_payload(real_pct_df, real_sample_paths, years),
+        "withdrawal_rate": withdrawal_rate,
+        "search_curve": search_curve_data,
+        "ruin_histogram": ruin_histogram,
+        "histogram": {
+            "final_balances": [round(float(v), 2) for v in summary_df["Final Balance"]],
+            "start_balances": [round(float(v), 2) for v in summary_df["Start Balance"]],
+            "success_flags": [bool(v) for v in summary_df["Success"]],
+        },
+        "reference_lines": reference_lines,
+    }

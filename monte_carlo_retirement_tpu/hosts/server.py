@@ -1,0 +1,277 @@
+"""HTTP API host (aiohttp): REST + Server-Sent-Events progress streaming.
+
+Same endpoint surface, request/response schemas, SSE event protocol and port
+as the reference's FastAPI server (reference: backend/server.py:273-413), so
+the dashboard frontend works unchanged:
+
+  GET  /api/health
+  GET  /api/config/default
+  POST /api/validate
+  POST /api/simulate            (full JSON result)
+  POST /api/simulate/stream     (SSE: phase / search_iter / search_refining /
+                                 search_complete / result / error)
+  GET  /                        (static dashboard from frontend/)
+
+The simulation itself runs in a worker thread; SSE progress events cross the
+thread boundary via ``loop.call_soon_threadsafe`` into an asyncio queue.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import os
+from typing import List, Optional
+
+from aiohttp import web
+from pydantic import ValidationError
+
+from ..config import Config
+from ..constants import MONTHS_PER_YEAR
+from ..engine.simulator import RetirementMonteCarloSimulator
+from ..logging_utils import configure_logging
+from .payload import build_result
+from .schemas import SimulationRequest, SimulationResponse
+
+log = logging.getLogger("mcrt.server")
+
+_PACKAGE_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PROJECT_ROOT = os.path.dirname(_PACKAGE_ROOT)
+FRONTEND_DIR = os.path.join(_PROJECT_ROOT, "frontend")
+DEFAULT_CONFIG_PATH = os.path.join(_PROJECT_ROOT, "config.json")
+
+
+# ---------------------------------------------------------------------------
+# Core request handling
+# ---------------------------------------------------------------------------
+
+def _parse_request(body: dict) -> tuple[SimulationRequest, Config]:
+    request = SimulationRequest(**body)
+    config = Config(**request.config)
+    return request, config
+
+
+def _run_simulation(config: Config, working_months_override: Optional[int]) -> dict:
+    """Heavy synchronous work — executed on a worker thread."""
+    simulator = RetirementMonteCarloSimulator(config)
+    search_curve: List[dict] = []
+    if working_months_override is not None:
+        required = working_months_override
+        log.info(
+            "Using working-months override: %d (%.1f yrs)",
+            required,
+            required / MONTHS_PER_YEAR,
+        )
+    else:
+        log.info("Estimating required working months for '%s'", config.Nickname)
+        required, achieved, search_curve = simulator.find_minimum_working_months(
+            verbose=True
+        )
+        if required == -1:
+            raise ValueError(
+                f"Target probability of {config.target_probability:.2f}% could "
+                f"not be met. Highest achieved: {achieved:.2f}%"
+            )
+    simulator.use_final_seeds()
+    return build_result(config, simulator, required, search_curve=search_curve)
+
+
+# ---------------------------------------------------------------------------
+# Handlers
+# ---------------------------------------------------------------------------
+
+async def health(_request: web.Request) -> web.Response:
+    return web.json_response({"status": "ok"})
+
+
+async def default_config(_request: web.Request) -> web.Response:
+    if not os.path.exists(DEFAULT_CONFIG_PATH):
+        raise web.HTTPNotFound(text="Default config.json not found.")
+    with open(DEFAULT_CONFIG_PATH, "r", encoding="utf-8") as fh:
+        return web.json_response(json.load(fh))
+
+
+async def validate(request: web.Request) -> web.Response:
+    body = await request.json()
+    try:
+        _, config = _parse_request(body)
+    except (ValidationError, ValueError) as exc:
+        raise web.HTTPUnprocessableEntity(text=f"Invalid configuration: {exc}")
+    return web.json_response({"valid": True, "scenario": config.Nickname})
+
+
+async def simulate(request: web.Request) -> web.Response:
+    body = await request.json()
+    try:
+        req, config = _parse_request(body)
+    except (ValidationError, ValueError) as exc:
+        raise web.HTTPUnprocessableEntity(text=f"Invalid configuration: {exc}")
+
+    log.info("Received simulation request for scenario '%s'", config.Nickname)
+    try:
+        result = await asyncio.to_thread(
+            _run_simulation, config, req.working_months_override
+        )
+    except ValueError as exc:
+        raise web.HTTPBadRequest(text=str(exc))
+    except Exception as exc:  # pragma: no cover - unexpected engine failure
+        log.exception("Simulation failed")
+        raise web.HTTPInternalServerError(text=f"Simulation error: {exc}")
+
+    validated = SimulationResponse.model_validate(result).model_dump(mode="json")
+    log.info("Simulation complete for '%s'", config.Nickname)
+    return web.json_response(validated)
+
+
+async def simulate_stream(request: web.Request) -> web.StreamResponse:
+    body = await request.json()
+    try:
+        req, config = _parse_request(body)
+    except (ValidationError, ValueError) as exc:
+        raise web.HTTPUnprocessableEntity(text=f"Invalid configuration: {exc}")
+
+    log.info("Received streaming simulation request for '%s'", config.Nickname)
+
+    response = web.StreamResponse(
+        status=200,
+        headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        },
+    )
+    await response.prepare(request)
+
+    loop = asyncio.get_event_loop()
+    queue: asyncio.Queue = asyncio.Queue()
+
+    def emit(event: Optional[dict]) -> None:
+        loop.call_soon_threadsafe(queue.put_nowait, event)
+
+    def worker() -> None:
+        try:
+            simulator = RetirementMonteCarloSimulator(config)
+            search_curve: List[dict] = []
+            if req.working_months_override is not None:
+                required = req.working_months_override
+                emit({
+                    "type": "phase",
+                    "phase": "final_sim",
+                    "message": f"Using override: {required} months",
+                })
+            else:
+                emit({
+                    "type": "phase",
+                    "phase": "search",
+                    "message": "Estimating required working months…",
+                })
+                required, achieved, search_curve = (
+                    simulator.find_minimum_working_months(
+                        verbose=True, progress_callback=emit
+                    )
+                )
+                if required == -1:
+                    emit({
+                        "type": "error",
+                        "message": (
+                            f"Target {config.target_probability:.1f}% not met. "
+                            f"Highest: {achieved:.1f}%"
+                        ),
+                    })
+                    return
+                emit({
+                    "type": "search_complete",
+                    "working_months": required,
+                    "working_years": round(required / MONTHS_PER_YEAR, 1),
+                    "probability": round(achieved, 2),
+                })
+
+            emit({
+                "type": "phase",
+                "phase": "final_sim",
+                "message": (
+                    f"Running {config.num_simulations_main} final simulations "
+                    f"with {required} working months…"
+                ),
+            })
+            simulator.use_final_seeds()
+            result = build_result(
+                config, simulator, required, search_curve=search_curve
+            )
+            validated = SimulationResponse.model_validate(result).model_dump(
+                mode="json"
+            )
+            emit({"type": "result", "data": validated})
+        except Exception as exc:
+            emit({"type": "error", "message": str(exc)})
+        finally:
+            emit(None)
+
+    loop.run_in_executor(None, worker)
+
+    while True:
+        event = await queue.get()
+        if event is None:
+            break
+        frame = f"data: {json.dumps(event, allow_nan=False)}\n\n"
+        await response.write(frame.encode("utf-8"))
+    await response.write_eof()
+    return response
+
+
+# ---------------------------------------------------------------------------
+# App assembly
+# ---------------------------------------------------------------------------
+
+@web.middleware
+async def cors_middleware(request: web.Request, handler):
+    if request.method == "OPTIONS":
+        response = web.Response()
+    else:
+        try:
+            response = await handler(request)
+        except web.HTTPException as exc:
+            exc.headers.update(_cors_headers())
+            raise
+    response.headers.update(_cors_headers())
+    return response
+
+
+def _cors_headers() -> dict:
+    return {
+        "Access-Control-Allow-Origin": "*",
+        "Access-Control-Allow-Methods": "*",
+        "Access-Control-Allow-Headers": "*",
+        "Access-Control-Allow-Credentials": "true",
+    }
+
+
+async def index(_request: web.Request) -> web.Response:
+    index_path = os.path.join(FRONTEND_DIR, "index.html")
+    if not os.path.exists(index_path):
+        raise web.HTTPNotFound(text="Frontend not built.")
+    return web.FileResponse(index_path)
+
+
+def create_app() -> web.Application:
+    app = web.Application(middlewares=[cors_middleware])
+    app.router.add_get("/api/health", health)
+    app.router.add_get("/api/config/default", default_config)
+    app.router.add_post("/api/validate", validate)
+    app.router.add_post("/api/simulate", simulate)
+    app.router.add_post("/api/simulate/stream", simulate_stream)
+    if os.path.isdir(FRONTEND_DIR):
+        app.router.add_get("/", index)
+        app.router.add_static("/", FRONTEND_DIR)
+    return app
+
+
+def main(host: str = "0.0.0.0", port: int = 8080) -> None:
+    configure_logging(logfile="server.log")
+    log.info("Monte Carlo Retirement API (TPU) starting on %s:%d", host, port)
+    web.run_app(create_app(), host=host, port=port)
+
+
+if __name__ == "__main__":
+    main()

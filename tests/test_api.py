@@ -1,0 +1,220 @@
+"""API-layer tests: payload assembly, schema validation, HTTP + SSE."""
+
+import asyncio
+import json
+
+import pandas as pd
+import pytest
+
+from monte_carlo_retirement_tpu.engine.simulator import RetirementMonteCarloSimulator
+from monte_carlo_retirement_tpu.hosts.payload import build_result, dedupe_search_curve
+from monte_carlo_retirement_tpu.hosts.schemas import SimulationResponse
+from tests.conftest import make_config
+
+
+def test_build_result_keeps_success_flags_and_zero_balance_median():
+    """The histogram cohort must match the backend successful-path cohort,
+    including successful income-only paths that finish at $0."""
+    config = make_config(num_simulations_main=3, retirement_years=1)
+    summary = pd.DataFrame(
+        {
+            "Start Balance": [100.0, 100.0, 100.0],
+            "Final Balance": [0.0, 50.0, 25.0],
+            "Success": [True, True, False],
+            "YearsToRuin": [float("nan"), float("nan"), 0.5],
+            "First Year Gross Withdrawal": [0.0, 10.0, 10.0],
+            "First Year Real Gross Withdrawal": [0.0, 10.0, 10.0],
+            "Inflation At Retirement": [1.0, 1.0, 1.0],
+        }
+    )
+
+    class FakeSimulator:
+        def run_monte_carlo_simulations(self, **_kwargs):
+            return summary, None, None, None, None, None, None
+
+    result = build_result(config, FakeSimulator(), required_w_months=0, search_curve=[])
+    SimulationResponse.model_validate(result)
+
+    assert result["summary"]["success_probability"] == pytest.approx(66.67)
+    assert result["summary"]["median_final_balance_successful"] == pytest.approx(25.0)
+    assert result["histogram"]["final_balances"] == [0.0, 50.0, 25.0]
+    assert result["histogram"]["success_flags"] == [True, True, False]
+    assert result["ruin_histogram"]["failure_count"] == 1
+    assert result["ruin_histogram"]["years_to_ruin"] == [0.5]
+
+
+def test_build_result_preserves_exact_fractional_timeline():
+    """API rounding must not shift 13-month retirement markers to 1.1 years."""
+    config = make_config(
+        num_simulations_main=2, retirement_years=1, monthly_expenses=0.0, seed=5
+    )
+    simulator = RetirementMonteCarloSimulator(config)
+    result = build_result(
+        config,
+        simulator,
+        required_w_months=13,
+        search_curve=[
+            {"working_months": 13, "working_years": 1.1, "probability": 100.0}
+        ],
+    )
+    SimulationResponse.model_validate(result)
+
+    retirement_year = 13 / 12
+    assert result["trajectory"]["years"] == pytest.approx(
+        [0.0, 1.0, retirement_year, retirement_year + 1]
+    )
+    assert result["withdrawal_rate"]["years"][0] == pytest.approx(retirement_year)
+    assert result["reference_lines"][0]["year"] == pytest.approx(retirement_year)
+    assert result["summary"]["working_period_is_estimate"] is True
+
+
+def test_dedupe_search_curve_keeps_latest_sorted():
+    points = [
+        {"working_months": 24, "probability": 90.0},
+        {"working_months": 12, "probability": 50.0},
+        {"working_months": 24, "probability": 92.0},
+    ]
+    deduped = dedupe_search_curve(points)
+    assert [p["working_months"] for p in deduped] == [12, 24]
+    assert deduped[1]["probability"] == 92.0
+
+
+def _client_fixture():
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from monte_carlo_retirement_tpu.hosts.server import create_app
+
+    return TestClient(TestServer(create_app()))
+
+
+def _run(coro):
+    return asyncio.new_event_loop().run_until_complete(coro)
+
+
+def test_health_validate_and_default_config_endpoints():
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            resp = await client.get("/api/health")
+            assert resp.status == 200
+            assert await resp.json() == {"status": "ok"}
+
+            resp = await client.get("/api/config/default")
+            assert resp.status == 200
+            default = await resp.json()
+            assert "initial_balance" in default
+
+            cfg = make_config().model_dump(by_alias=True)
+            resp = await client.post("/api/validate", json={"config": cfg})
+            assert resp.status == 200
+            body = await resp.json()
+            assert body["valid"] is True and body["scenario"] == "test"
+
+            resp = await client.post(
+                "/api/validate", json={"config": {"scenario": "broken"}}
+            )
+            assert resp.status == 422
+        finally:
+            await client.close()
+
+    _run(scenario())
+
+
+def test_simulate_endpoint_with_override():
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            cfg = make_config(
+                num_simulations_main=2, retirement_years=1, monthly_expenses=0.0,
+                seed=8,
+            ).model_dump(by_alias=True)
+            resp = await client.post(
+                "/api/simulate",
+                json={"config": cfg, "working_months_override": 13},
+            )
+            assert resp.status == 200
+            parsed = SimulationResponse.model_validate(await resp.json())
+            assert parsed.summary.required_working_months == 13
+            assert parsed.summary.working_period_is_estimate is False
+        finally:
+            await client.close()
+
+    _run(scenario())
+
+
+def test_streaming_endpoint_emits_schema_valid_result():
+    """The SSE endpoint must deliver exactly one schema-valid result event."""
+
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            cfg = make_config(
+                num_simulations_main=2, retirement_years=1, monthly_expenses=0.0,
+                seed=8,
+            ).model_dump(by_alias=True)
+            resp = await client.post(
+                "/api/simulate/stream",
+                json={"config": cfg, "working_months_override": 13},
+            )
+            assert resp.status == 200
+            text = await resp.text()
+        finally:
+            await client.close()
+
+        events = [
+            json.loads(line.removeprefix("data: "))
+            for line in text.splitlines()
+            if line.startswith("data: ")
+        ]
+        result_events = [e for e in events if e.get("type") == "result"]
+        assert len(result_events) == 1
+        parsed = SimulationResponse.model_validate(result_events[0]["data"])
+        assert parsed.summary.required_working_months == 13
+        assert parsed.summary.working_period_is_estimate is False
+        phases = [e for e in events if e.get("type") == "phase"]
+        assert phases and phases[0]["phase"] == "final_sim"
+
+    _run(scenario())
+
+
+def test_streaming_endpoint_runs_search_and_emits_progress():
+    """Without an override the SSE stream carries search progress events."""
+
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            cfg = make_config(
+                initial_balance=50_000.0,
+                monthly_contribution=4_000.0,
+                monthly_expenses=3_000.0,
+                retirement_years=5,
+                num_simulations_search=16,
+                num_simulations_main=16,
+                target_probability=80.0,
+                seed=3,
+            ).model_dump(by_alias=True)
+            resp = await client.post("/api/simulate/stream", json={"config": cfg})
+            assert resp.status == 200
+            text = await resp.text()
+        finally:
+            await client.close()
+
+        events = [
+            json.loads(line.removeprefix("data: "))
+            for line in text.splitlines()
+            if line.startswith("data: ")
+        ]
+        kinds = [e["type"] for e in events]
+        assert "search_iter" in kinds
+        assert "search_complete" in kinds
+        assert kinds[-1] == "result"
+        result = [e for e in events if e["type"] == "result"][0]
+        parsed = SimulationResponse.model_validate(result["data"])
+        assert parsed.search_curve is not None
+        assert parsed.summary.working_period_is_estimate is True
+
+    _run(scenario())
