@@ -1,0 +1,84 @@
+// API client: REST + SSE streaming against the TPU backend.
+// Contract: GET /api/config/default, POST /api/validate, POST
+// /api/simulate/stream with SSE frames "data: {json}\n\n" and event types
+// phase / search_iter / search_refining / search_complete / result / error.
+
+const BASE = "";
+
+export async function getDefaultConfig() {
+  const resp = await fetch(`${BASE}/api/config/default`);
+  if (!resp.ok) throw new Error(`default config: HTTP ${resp.status}`);
+  return resp.json();
+}
+
+export async function validateConfig(config) {
+  const resp = await fetch(`${BASE}/api/validate`, {
+    method: "POST",
+    headers: { "content-type": "application/json" },
+    body: JSON.stringify({ config }),
+  });
+  if (!resp.ok) throw new Error(await resp.text());
+  return resp.json();
+}
+
+// Run a simulation over SSE; callbacks: onProgress(event), onResult(data),
+// onError(message).
+export async function runSimulationStream(
+  config,
+  workingMonthsOverride,
+  { onProgress, onResult, onError },
+) {
+  const body = { config };
+  if (workingMonthsOverride !== null && workingMonthsOverride !== undefined
+      && workingMonthsOverride !== "") {
+    const v = Number(workingMonthsOverride);
+    if (!Number.isInteger(v) || v < 0) {
+      onError("Working-months override must be a nonnegative integer.");
+      return;
+    }
+    body.working_months_override = v;
+  }
+  let resp;
+  try {
+    resp = await fetch(`${BASE}/api/simulate/stream`, {
+      method: "POST",
+      headers: { "content-type": "application/json" },
+      body: JSON.stringify(body),
+    });
+  } catch (err) {
+    onError(`Network error: ${err.message}`);
+    return;
+  }
+  if (!resp.ok) {
+    onError(await resp.text());
+    return;
+  }
+
+  const reader = resp.body.getReader();
+  const decoder = new TextDecoder();
+  let buffer = "";
+  let sawTerminal = false;
+  for (;;) {
+    const { value, done } = await reader.read();
+    if (done) break;
+    buffer += decoder.decode(value, { stream: true });
+    let idx;
+    while ((idx = buffer.indexOf("\n\n")) >= 0) {
+      const frame = buffer.slice(0, idx);
+      buffer = buffer.slice(idx + 2);
+      const line = frame.trim();
+      if (!line.startsWith("data: ")) continue;
+      const event = JSON.parse(line.slice(6));
+      if (event.type === "result") {
+        sawTerminal = true;
+        onResult(event.data);
+      } else if (event.type === "error") {
+        sawTerminal = true;
+        onError(event.message);
+      } else {
+        onProgress(event);
+      }
+    }
+  }
+  if (!sawTerminal) onError("Stream ended without a result.");
+}

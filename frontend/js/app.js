@@ -1,0 +1,127 @@
+// App shell: theme, SSE orchestration, progress panel, result rendering.
+
+import { getDefaultConfig, runSimulationStream } from "./api.js";
+import { ConfigEditor } from "./editor.js";
+import {
+  histogramCard, ruinCard, searchCurveCard, summaryCard, trajectoryCard,
+  withdrawalRateCard,
+} from "./views.js";
+
+// ---------------------------------------------------------------- theme
+const THEME_KEY = "mc-retirement-theme";
+
+function applyTheme(theme) {
+  document.documentElement.setAttribute("data-theme", theme);
+  localStorage.setItem(THEME_KEY, theme);
+}
+
+function initTheme() {
+  const saved = localStorage.getItem(THEME_KEY);
+  const prefersDark = window.matchMedia("(prefers-color-scheme: dark)").matches;
+  applyTheme(saved || (prefersDark ? "dark" : "light"));
+  document.getElementById("theme-toggle").onclick = () => {
+    const current = document.documentElement.getAttribute("data-theme");
+    applyTheme(current === "dark" ? "light" : "dark");
+    if (lastResult) renderResult(lastResult);  // re-pick CSS colors
+  };
+}
+
+// ------------------------------------------------------------- progress
+const progressPanel = document.getElementById("progress-panel");
+let iterations = [];
+let phase = null;
+let startedAt = null;
+let timer = null;
+
+function renderProgress() {
+  if (!phase) { progressPanel.classList.add("hidden"); return; }
+  progressPanel.classList.remove("hidden");
+  const elapsed = startedAt ? ((Date.now() - startedAt) / 1000).toFixed(1) : "0.0";
+  const last = iterations[iterations.length - 1];
+  const headline = phase === "search"
+    ? "Searching for the minimum working period…"
+    : "Running final simulations…";
+  let bar = "";
+  if (last) {
+    const frac = Math.min(100, (last.probability / (last.target || 100)) * 100);
+    bar = `
+      <div class="progress-bar-track">
+        <div class="progress-bar-fill" style="width:${frac}%"></div>
+      </div>
+      <div class="sub">latest probe: ${last.working_months} months →
+        ${last.probability.toFixed(2)}% (target ${last.target}%)</div>`;
+  }
+  const rows = iterations.slice(-12).reverse().map((it) => `
+    <tr><td>${it.iteration}</td><td>${it.working_months}</td>
+        <td>${it.working_years}</td><td>${it.probability.toFixed(2)}%</td></tr>`
+  ).join("");
+  progressPanel.innerHTML = `
+    <div class="card">
+      <div class="progress-head">
+        <h3>${headline}</h3><span class="sub">${elapsed}s elapsed</span>
+      </div>
+      ${bar}
+      ${iterations.length ? `
+        <div class="iter-scroll"><table class="iter-table">
+          <tr><th>#</th><th>months</th><th>years</th><th>probability</th></tr>
+          ${rows}
+        </table></div>` : ""}
+    </div>`;
+}
+
+// --------------------------------------------------------------- results
+const resultsDiv = document.getElementById("results");
+const emptyState = document.getElementById("empty-state");
+let lastResult = null;
+
+function renderResult(result) {
+  lastResult = result;
+  emptyState.classList.add("hidden");
+  resultsDiv.innerHTML = "";
+  resultsDiv.appendChild(summaryCard(result));
+  if (result.search_curve) resultsDiv.appendChild(searchCurveCard(result.search_curve));
+  if (result.trajectory) resultsDiv.appendChild(trajectoryCard(result));
+  if (result.withdrawal_rate) resultsDiv.appendChild(withdrawalRateCard(result.withdrawal_rate));
+  if (result.ruin_histogram) resultsDiv.appendChild(ruinCard(result.ruin_histogram));
+  if (result.histogram) resultsDiv.appendChild(histogramCard(result.histogram));
+}
+
+// ------------------------------------------------------------------ run
+const editor = new ConfigEditor(document.getElementById("config-editor"), {
+  onRun: async (config, override) => {
+    editor.setRunning(true);
+    editor.showError("");
+    iterations = [];
+    phase = override ? "final_sim" : "search";
+    startedAt = Date.now();
+    renderProgress();
+    timer = setInterval(renderProgress, 500);
+
+    await runSimulationStream(config, override, {
+      onProgress: (event) => {
+        if (event.type === "phase") phase = event.phase;
+        else if (event.type === "search_iter") iterations.push(event);
+        renderProgress();
+      },
+      onResult: (data) => {
+        renderResult(data);
+      },
+      onError: (message) => {
+        editor.showError(message);
+      },
+    });
+
+    clearInterval(timer);
+    phase = null;
+    renderProgress();
+    editor.setRunning(false);
+  },
+});
+
+initTheme();
+getDefaultConfig()
+  .then((config) => editor.setDefault(config))
+  .catch((err) => {
+    document.getElementById("config-editor").textContent =
+      `Could not load default config: ${err.message}`;
+  });

@@ -1,0 +1,322 @@
+// Config editor: dual form/JSON editing, collapsible sections, typed inputs
+// (percent fields edit as % but store fractions), income-stream management,
+// load/save/reset, and the run controls.
+
+const FIELDS = {
+  scenario: { label: "Scenario name", type: "text", section: "Scenario", wide: true },
+  initial_balance: { label: "Initial balance", type: "money", section: "Finances" },
+  monthly_contribution: { label: "Monthly contribution", type: "money", section: "Finances" },
+  contribution_growth_rate_annual: { label: "Contribution growth / yr", type: "percent", section: "Finances" },
+  monthly_expenses: { label: "Monthly expenses (today's $)", type: "money", section: "Finances" },
+  current_age: { label: "Current age", type: "number", section: "Finances" },
+  retirement_years: { label: "Retirement years", type: "int", section: "Finances" },
+  allocation_inv1_pct: { label: "Allocation to Inv1", type: "percent", section: "Portfolio & taxes" },
+  inv1_returns_mean: { label: "Inv1 return mean / yr", type: "percent", section: "Portfolio & taxes" },
+  inv1_returns_volatility: { label: "Inv1 volatility / yr", type: "percent", section: "Portfolio & taxes" },
+  inv1_use_realized_gains_tax_system: { label: "Inv1 realized-gains tax", type: "toggle", section: "Portfolio & taxes" },
+  inv1_realized_gains_tax_rate: { label: "Inv1 realized tax rate", type: "percent", section: "Portfolio & taxes" },
+  inv1_annual_tax_on_gains_rate: { label: "Inv1 annual gains tax", type: "percent", section: "Portfolio & taxes" },
+  inv2_premium_over_inflation_mean: { label: "Inv2 premium mean / yr", type: "percent", section: "Portfolio & taxes" },
+  inv2_premium_over_inflation_volatility: { label: "Inv2 premium volatility", type: "percent", section: "Portfolio & taxes" },
+  inv2_use_realized_gains_tax_system: { label: "Inv2 realized-gains tax", type: "toggle", section: "Portfolio & taxes" },
+  inv2_realized_gains_tax_rate: { label: "Inv2 realized tax rate", type: "percent", section: "Portfolio & taxes" },
+  inv2_annual_tax_on_gains_rate: { label: "Inv2 annual gains tax", type: "percent", section: "Portfolio & taxes" },
+  inflation_rate_mean: { label: "Inflation mean / yr", type: "percent", section: "Inflation" },
+  inflation_rate_volatility: { label: "Inflation volatility / yr", type: "percent", section: "Inflation" },
+  equity_inflation_correlation: { label: "Equity–inflation correlation", type: "number", section: "Inflation", step: 0.05 },
+  num_simulations_main: { label: "Final simulations", type: "int", section: "Simulation" },
+  num_simulations_search: { label: "Search simulations", type: "int", section: "Simulation" },
+  target_probability: { label: "Target success %", type: "number", section: "Simulation" },
+  starting_working_months_search: { label: "Search start (months)", type: "int", section: "Simulation" },
+  seed: { label: "Seed (blank = random)", type: "int-opt", section: "Simulation" },
+  num_processes: { label: "num_processes (compat)", type: "int-opt", section: "Simulation" },
+};
+
+const STREAM_FIELDS = {
+  name: { label: "Name", type: "text" },
+  monthly_amount_today: { label: "Monthly amount (today's $)", type: "money" },
+  start_at_age: { label: "Starts at age", type: "number" },
+  duration_years: { label: "Duration yrs (blank = forever)", type: "int-opt" },
+  inflation_indexed: { label: "Inflation indexed", type: "toggle" },
+  tax_rate: { label: "Tax rate", type: "percent" },
+};
+
+const SECTIONS = ["Scenario", "Finances", "Portfolio & taxes", "Inflation",
+  "Other income", "Simulation"];
+
+export class ConfigEditor {
+  constructor(root, { onRun }) {
+    this.root = root;
+    this.onRun = onRun;
+    this.config = null;
+    this.defaultConfig = null;
+    this.mode = "form";
+    this.running = false;
+  }
+
+  setDefault(config) {
+    this.defaultConfig = JSON.parse(JSON.stringify(config));
+    this.config = JSON.parse(JSON.stringify(config));
+    this.render();
+  }
+
+  setRunning(running) {
+    this.running = running;
+    const btn = this.root.querySelector("#run-btn");
+    if (btn) {
+      btn.disabled = running;
+      btn.textContent = running ? "Running…" : "Run simulation";
+    }
+  }
+
+  // ---- input factories -------------------------------------------------
+  _input(spec, value, onChange) {
+    if (spec.type === "toggle") {
+      const label = document.createElement("label");
+      label.className = "toggle";
+      const cb = document.createElement("input");
+      cb.type = "checkbox";
+      cb.checked = !!value;
+      cb.onchange = () => onChange(cb.checked);
+      label.appendChild(cb);
+      label.appendChild(document.createTextNode(spec.label));
+      return label;
+    }
+    const wrap = document.createElement("div");
+    wrap.className = "unit-wrap";
+    const input = document.createElement("input");
+    input.type = spec.type === "text" ? "text" : "number";
+    if (spec.type === "percent") {
+      input.step = "0.1";
+      input.value = value === null || value === undefined ? "" : (value * 100).toFixed(4).replace(/\.?0+$/, "");
+    } else if (spec.type === "int" || spec.type === "int-opt") {
+      input.step = "1";
+      input.value = value === null || value === undefined ? "" : value;
+    } else {
+      if (spec.step) input.step = spec.step;
+      input.value = value === null || value === undefined ? "" : value;
+    }
+    input.onchange = () => {
+      const raw = input.value.trim();
+      if (spec.type === "text") return onChange(raw);
+      if (raw === "") {
+        return onChange(spec.type === "int-opt" ? null : 0);
+      }
+      const num = Number(raw);
+      if (Number.isNaN(num)) return;
+      if (spec.type === "percent") return onChange(num / 100);
+      if (spec.type.startsWith("int")) return onChange(Math.round(num));
+      onChange(num);
+    };
+    wrap.appendChild(input);
+    if (spec.type === "percent" || spec.type === "money") {
+      const unit = document.createElement("span");
+      unit.className = "unit";
+      unit.textContent = spec.type === "percent" ? "%" : "$";
+      wrap.appendChild(unit);
+    }
+    return wrap;
+  }
+
+  _field(key, spec, value, onChange) {
+    const field = document.createElement("div");
+    field.className = "field" + (spec.wide ? " wide" : "");
+    if (spec.type !== "toggle") {
+      const label = document.createElement("label");
+      label.textContent = spec.label;
+      field.appendChild(label);
+    }
+    field.appendChild(this._input(spec, value, onChange));
+    return field;
+  }
+
+  // ---- sections --------------------------------------------------------
+  _streamsSection(body) {
+    const streams = this.config.other_income_streams || [];
+    streams.forEach((stream, idx) => {
+      const cardDiv = document.createElement("div");
+      cardDiv.className = "stream-card";
+      const head = document.createElement("div");
+      head.className = "head";
+      head.innerHTML = `<b>${stream.name || `Stream ${idx + 1}`}</b>`;
+      const rm = document.createElement("button");
+      rm.className = "btn small danger";
+      rm.textContent = "Remove";
+      rm.onclick = () => {
+        streams.splice(idx, 1);
+        this.render();
+      };
+      head.appendChild(rm);
+      cardDiv.appendChild(head);
+      for (const [key, spec] of Object.entries(STREAM_FIELDS)) {
+        cardDiv.appendChild(
+          this._field(key, spec, stream[key], (v) => { stream[key] = v; })
+        );
+      }
+      body.appendChild(cardDiv);
+    });
+    const add = document.createElement("button");
+    add.className = "btn small secondary";
+    add.textContent = "+ Add income stream";
+    add.style.gridColumn = "1 / -1";
+    add.onclick = () => {
+      (this.config.other_income_streams ||= []).push({
+        name: `Stream ${streams.length + 1}`,
+        monthly_amount_today: 1000,
+        start_at_age: 65,
+        duration_years: null,
+        inflation_indexed: true,
+        tax_rate: 0.0,
+      });
+      this.render();
+    };
+    body.appendChild(add);
+  }
+
+  // ---- render ----------------------------------------------------------
+  render() {
+    const root = this.root;
+    root.innerHTML = "";
+    if (!this.config) {
+      root.textContent = "Loading default configuration…";
+      return;
+    }
+
+    const tabs = document.createElement("div");
+    tabs.className = "mode-tabs";
+    for (const m of ["form", "json"]) {
+      const b = document.createElement("button");
+      b.textContent = m === "form" ? "Form" : "JSON";
+      if (m === this.mode) b.className = "active";
+      b.onclick = () => {
+        if (this.mode === "json" && m === "form" && !this._syncFromJson()) return;
+        this.mode = m;
+        this.render();
+      };
+      tabs.appendChild(b);
+    }
+    root.appendChild(tabs);
+
+    if (this.mode === "json") {
+      const ta = document.createElement("textarea");
+      ta.id = "json-editor";
+      ta.value = JSON.stringify(this.config, null, 2);
+      root.appendChild(ta);
+      this._jsonArea = ta;
+    } else {
+      for (const section of SECTIONS) {
+        const details = document.createElement("details");
+        details.className = "section";
+        details.open = ["Scenario", "Finances"].includes(section);
+        const summary = document.createElement("summary");
+        summary.textContent = section;
+        details.appendChild(summary);
+        const body = document.createElement("div");
+        body.className = "body";
+        if (section === "Other income") {
+          this._streamsSection(body);
+        } else {
+          for (const [key, spec] of Object.entries(FIELDS)) {
+            if (spec.section !== section) continue;
+            body.appendChild(
+              this._field(key, spec, this.config[key], (v) => { this.config[key] = v; })
+            );
+          }
+        }
+        details.appendChild(body);
+        root.appendChild(details);
+      }
+    }
+
+    const actions = document.createElement("div");
+    actions.className = "editor-actions";
+    const load = document.createElement("button");
+    load.className = "btn small secondary";
+    load.textContent = "Load JSON";
+    load.onclick = () => this._loadFile();
+    const save = document.createElement("button");
+    save.className = "btn small secondary";
+    save.textContent = "Save JSON";
+    save.onclick = () => this._saveFile();
+    const reset = document.createElement("button");
+    reset.className = "btn small secondary";
+    reset.textContent = "Reset";
+    reset.onclick = () => {
+      this.config = JSON.parse(JSON.stringify(this.defaultConfig));
+      this.render();
+    };
+    actions.append(load, save, reset);
+    root.appendChild(actions);
+
+    const runRow = document.createElement("div");
+    runRow.className = "run-row";
+    const override = document.createElement("div");
+    override.className = "field";
+    override.innerHTML = `<label>Working months override (skip search)</label>`;
+    const ovInput = document.createElement("input");
+    ovInput.type = "number";
+    ovInput.min = "0";
+    ovInput.step = "1";
+    ovInput.id = "override-input";
+    override.appendChild(ovInput);
+    const run = document.createElement("button");
+    run.className = "btn";
+    run.id = "run-btn";
+    run.textContent = this.running ? "Running…" : "Run simulation";
+    run.disabled = this.running;
+    run.onclick = () => {
+      if (this.mode === "json" && !this._syncFromJson()) return;
+      this.onRun(JSON.parse(JSON.stringify(this.config)), ovInput.value);
+    };
+    runRow.append(override, run);
+    root.appendChild(runRow);
+
+    this._errorBox = document.createElement("div");
+    this._errorBox.className = "error-box";
+    root.appendChild(this._errorBox);
+  }
+
+  showError(message) {
+    if (this._errorBox) this._errorBox.textContent = message || "";
+  }
+
+  _syncFromJson() {
+    try {
+      this.config = JSON.parse(this._jsonArea.value);
+      this.showError("");
+      return true;
+    } catch (err) {
+      this.showError(`Invalid JSON: ${err.message}`);
+      return false;
+    }
+  }
+
+  _saveFile() {
+    if (this.mode === "json" && !this._syncFromJson()) return;
+    const blob = new Blob([JSON.stringify(this.config, null, 2)],
+      { type: "application/json" });
+    const a = document.createElement("a");
+    a.href = URL.createObjectURL(blob);
+    a.download = `${(this.config.scenario || "scenario").replace(/\W+/g, "_")}.json`;
+    a.click();
+    URL.revokeObjectURL(a.href);
+  }
+
+  _loadFile() {
+    const input = document.createElement("input");
+    input.type = "file";
+    input.accept = "application/json";
+    input.onchange = async () => {
+      const file = input.files[0];
+      if (!file) return;
+      try {
+        this.config = JSON.parse(await file.text());
+        this.showError("");
+        this.render();
+      } catch (err) {
+        this.showError(`Could not load file: ${err.message}`);
+      }
+    };
+    input.click();
+  }
+}

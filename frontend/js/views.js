@@ -1,0 +1,269 @@
+// Result cards: summary, search curve, trajectory fan, withdrawal rate,
+// ruin histogram, final-balance histogram.
+
+import {
+  attachHover, cssVar, drawAxes, drawBand, drawBars, drawHLine, drawLine,
+  drawMarker, drawVLine, fmtMoney, linScale, makeChart, ticks,
+} from "./charts.js";
+
+function card(title, sub) {
+  const div = document.createElement("div");
+  div.className = "card";
+  const h = document.createElement("h3");
+  h.textContent = title;
+  div.appendChild(h);
+  if (sub) {
+    const s = document.createElement("div");
+    s.className = "sub";
+    s.textContent = sub;
+    div.appendChild(s);
+  }
+  return div;
+}
+
+function pct(v, digits = 1) {
+  return v === null || v === undefined ? "—" : `${v.toFixed(digits)}%`;
+}
+
+// ---------------------------------------------------------------- summary
+export function summaryCard(result) {
+  const s = result.summary;
+  const div = card("Summary", `Scenario: ${result.scenario}`);
+  const grid = document.createElement("div");
+  grid.className = "metrics";
+  const okClass = s.success_probability >= s.target_probability ? "good" : "bad";
+  const items = [
+    [
+      s.working_period_is_estimate ? "Estimated working period" : "Working period",
+      `${s.required_working_months} mo (${s.required_working_years} yrs)`,
+    ],
+    ["Retirement age", s.retirement_age !== null ? s.retirement_age.toFixed(1) : "—"],
+    ["Success probability", pct(s.success_probability, 2), okClass],
+    ["Target", pct(s.target_probability, 1)],
+    ["First-year withdrawal rate", s.swr !== null ? pct(s.swr, 2) : "—"],
+    ["Median balance at retirement", fmtMoney(s.median_start_balance)],
+    ["Median final (successful)", fmtMoney(s.median_final_balance_successful)],
+  ];
+  for (const [k, v, cls] of items) {
+    const m = document.createElement("div");
+    m.className = "metric";
+    m.innerHTML = `<div class="k">${k}</div><div class="v ${cls || ""}">${v}</div>`;
+    grid.appendChild(m);
+  }
+  div.appendChild(grid);
+
+  const details = document.createElement("details");
+  const sum = document.createElement("summary");
+  sum.textContent = "Final balance percentiles";
+  sum.style.cursor = "pointer";
+  sum.style.marginTop = "10px";
+  details.appendChild(sum);
+  const table = document.createElement("table");
+  table.className = "pct-table";
+  const keys = Object.keys(s.final_balance_percentiles);
+  table.innerHTML =
+    `<tr>${keys.map((k) => `<th>${k.toUpperCase()}</th>`).join("")}</tr>` +
+    `<tr>${keys.map((k) => `<td>${fmtMoney(s.final_balance_percentiles[k])}</td>`).join("")}</tr>`;
+  details.appendChild(table);
+  div.appendChild(details);
+  return div;
+}
+
+// ----------------------------------------------------------- search curve
+export function searchCurveCard(sc) {
+  const div = card("Success probability vs working months",
+    `search probes: ${sc.points.length}`);
+  const holder = document.createElement("div");
+  div.appendChild(holder);
+  const plot = makeChart(holder, { height: 260 });
+  const xs = sc.points.map((p) => p.working_months);
+  const ys = sc.points.map((p) => p.probability);
+  const x = linScale([Math.min(...xs), Math.max(...xs) || 1], [0, plot.innerW]);
+  const y = linScale([0, 100], [plot.innerH, 0]);
+  drawAxes(plot, x, y, { yFmt: (v) => `${v}%`, xFmt: (v) => `${Math.round(v)}m` });
+  drawHLine(plot, sc.target_probability, y, {
+    stroke: cssVar("--warn"), label: `target ${sc.target_probability}%`,
+  });
+  drawVLine(plot, sc.selected_working_months, x, {
+    stroke: cssVar("--good"), label: `${sc.selected_working_months} mo`,
+  });
+  drawLine(plot, xs, ys, x, y, {});
+  attachHover(plot, xs, x, (i) => [
+    `<b>${xs[i]} months</b> (${(xs[i] / 12).toFixed(1)} yrs)`,
+    `probability ${ys[i].toFixed(2)}%`,
+  ]);
+  return div;
+}
+
+// ------------------------------------------------------------- trajectory
+export function trajectoryCard(result) {
+  const hasReal = !!result.trajectory_real;
+  const div = card("Portfolio trajectory",
+    "Percentile fan over all paths; grey lines are individual sample paths");
+  let mode = "nominal";
+  const toggles = document.createElement("div");
+  toggles.className = "toggle-row";
+  const chartHolder = document.createElement("div");
+  const legend = document.createElement("div");
+  legend.className = "chart-legend";
+
+  const render = () => {
+    const data = mode === "real" ? result.trajectory_real : result.trajectory;
+    if (!data) return;
+    const plot = makeChart(chartHolder, { height: 340 });
+    const xs = data.years;
+    const p = data.percentiles;
+    const allVals = [
+      ...(p.p95 || []), ...(p.p5 || []), ...(p.p50 || []),
+      ...data.sample_paths.flat(),
+    ].filter((v) => v !== null && !Number.isNaN(v));
+    const ymax = Math.max(...allVals, 1);
+    const x = linScale([0, xs[xs.length - 1] || 1], [0, plot.innerW]);
+    const y = linScale([0, ymax * 1.05], [plot.innerH, 0]);
+    drawAxes(plot, x, y, { yFmt: fmtMoney, xFmt: (v) => `${Math.round(v)}y` });
+    if (p.p5 && p.p95) drawBand(plot, xs, p.p5, p.p95, x, y, { fill: cssVar("--band-outer") });
+    if (p.p25 && p.p75) drawBand(plot, xs, p.p25, p.p75, x, y, { fill: cssVar("--band-inner") });
+    for (const sample of data.sample_paths) {
+      drawLine(plot, xs, sample, x, y, { stroke: cssVar("--sample"), width: 0.8 });
+    }
+    if (p.p50) drawLine(plot, xs, p.p50, x, y, { width: 2.2 });
+    (result.reference_lines || []).forEach((ref, i) => {
+      drawMarker(plot, ref.year, x, i + 1, {});
+    });
+    attachHover(plot, xs, x, (i) => {
+      const rows = [`<b>year ${xs[i].toFixed(2)}</b>`];
+      for (const key of ["p95", "p75", "p50", "p25", "p5"]) {
+        if (p[key]) rows.push(`${key.toUpperCase()}: ${fmtMoney(p[key][i])}`);
+      }
+      return rows;
+    });
+    legend.innerHTML =
+      `<span><span class="key" style="background:${cssVar("--band-outer")}"></span>P5–P95</span>` +
+      `<span><span class="key" style="background:${cssVar("--band-inner")}"></span>P25–P75</span>` +
+      `<span><span class="key" style="background:${cssVar("--accent")}"></span>Median</span>` +
+      (result.reference_lines || [])
+        .map((ref, i) => `<span class="ref-chip"><span class="n">${i + 1}</span>${ref.name} (${ref.year.toFixed(1)}y)</span>`)
+        .join("");
+  };
+
+  if (hasReal) {
+    for (const m of ["nominal", "real"]) {
+      const b = document.createElement("button");
+      b.textContent = m === "nominal" ? "Nominal $" : "Real (today's $)";
+      if (m === mode) b.className = "active";
+      b.onclick = () => {
+        mode = m;
+        toggles.querySelectorAll("button").forEach((x) => x.classList.remove("active"));
+        b.classList.add("active");
+        render();
+      };
+      toggles.appendChild(b);
+    }
+    div.appendChild(toggles);
+  }
+  div.appendChild(chartHolder);
+  div.appendChild(legend);
+  render();
+  return div;
+}
+
+// -------------------------------------------------------- withdrawal rate
+export function withdrawalRateCard(wr) {
+  const div = card("Real withdrawal rate by retirement year",
+    `inflation-adjusted withdrawals as % of the retirement-date balance · ${wr.total_paths} paths`);
+  const holder = document.createElement("div");
+  div.appendChild(holder);
+  const rows = wr.years
+    .map((yr, i) => ({ yr, i }))
+    .filter(({ i }) => wr.percentiles.p50 && wr.percentiles.p50[i] !== null);
+  if (!rows.length) {
+    holder.textContent = "No full retirement years observed.";
+    return div;
+  }
+  const xs = rows.map((r) => r.yr);
+  const take = (key) => rows.map((r) => wr.percentiles[key]?.[r.i] ?? null);
+  const p5 = take("p5"), p25 = take("p25"), p50 = take("p50"),
+    p75 = take("p75"), p95 = take("p95");
+  const plot = makeChart(holder, { height: 260 });
+  const vals = [...p5, ...p95, ...p50, 4.5].filter((v) => v !== null);
+  const x = linScale([xs[0], xs[xs.length - 1] || 1], [0, plot.innerW]);
+  const y = linScale([0, Math.max(...vals) * 1.1], [plot.innerH, 0]);
+  drawAxes(plot, x, y, { yFmt: (v) => `${v.toFixed(1)}%`, xFmt: (v) => `${Math.round(v)}y` });
+  drawBand(plot, xs, p5, p95, x, y, { fill: cssVar("--band-outer") });
+  drawBand(plot, xs, p25, p75, x, y, { fill: cssVar("--band-inner") });
+  drawLine(plot, xs, p50, x, y, { width: 2 });
+  drawHLine(plot, 4.0, y, { label: "4% rule" });
+  attachHover(plot, xs, x, (i) => [
+    `<b>year ${xs[i].toFixed(1)}</b>`,
+    `P95 ${p95[i]?.toFixed(2)}% · P50 ${p50[i]?.toFixed(2)}% · P5 ${p5[i]?.toFixed(2)}%`,
+    `${wr.observation_counts[rows[i].i] ?? "?"} full-year paths`,
+  ]);
+  return div;
+}
+
+// ----------------------------------------------------------- ruin histogram
+export function ruinCard(rh, retirementYears) {
+  const div = card("Years to ruin (failed paths)",
+    `${rh.failure_count} of ${rh.total_paths} paths failed`);
+  const holder = document.createElement("div");
+  div.appendChild(holder);
+  if (!rh.failure_count) {
+    holder.innerHTML = `<div style="color:var(--good)">No failures 🎉</div>`;
+    return div;
+  }
+  const maxYear = Math.ceil(Math.max(...rh.years_to_ruin, 1));
+  const bins = [];
+  for (let b = 0; b < maxYear; b++) bins.push({ x0: b, x1: b + 1, count: 0 });
+  for (const v of rh.years_to_ruin) {
+    const i = Math.min(bins.length - 1, Math.floor(v));
+    bins[i].count += 1;
+  }
+  while (bins.length && bins[bins.length - 1].count === 0) bins.pop();
+  const plot = makeChart(holder, { height: 220 });
+  const x = linScale([0, bins.length], [0, plot.innerW]);
+  const y = linScale([0, Math.max(...bins.map((b) => b.count)) * 1.1], [plot.innerH, 0]);
+  drawAxes(plot, x, y, { xFmt: (v) => `${Math.round(v)}y`, yFmt: (v) => v.toFixed(0) });
+  drawBars(plot, bins, x, y, { fill: cssVar("--bad") });
+  attachHover(plot, bins.map((b) => (b.x0 + b.x1) / 2), x, (i) => [
+    `<b>year ${bins[i].x0}–${bins[i].x1}</b>`, `${bins[i].count} paths`,
+  ]);
+  return div;
+}
+
+// ------------------------------------------------- final balance histogram
+export function histogramCard(h) {
+  const successFinals = h.final_balances.filter((_, i) => h.success_flags[i]);
+  const rate = h.success_flags.length
+    ? (successFinals.length / h.success_flags.length) * 100 : 0;
+  const div = card("Final balance distribution",
+    `successful paths only (${rate.toFixed(1)}%), including $0 income-funded outcomes`);
+  const holder = document.createElement("div");
+  div.appendChild(holder);
+  if (!successFinals.length) {
+    holder.textContent = "No successful outcomes.";
+    return div;
+  }
+  const lo = Math.min(...successFinals), hi = Math.max(...successFinals);
+  const nbins = 60;
+  const width = (hi - lo) / nbins || 1;
+  const bins = Array.from({ length: nbins }, (_, i) => ({
+    x0: lo + i * width, x1: lo + (i + 1) * width, count: 0,
+  }));
+  for (const v of successFinals) {
+    const i = Math.min(nbins - 1, Math.floor((v - lo) / width));
+    bins[i].count += 1;
+  }
+  const plot = makeChart(holder, { height: 260 });
+  const x = linScale([lo, hi === lo ? lo + 1 : hi], [0, plot.innerW]);
+  const y = linScale([0, Math.max(...bins.map((b) => b.count)) * 1.08], [plot.innerH, 0]);
+  drawAxes(plot, x, y, { xFmt: fmtMoney, yFmt: (v) => v.toFixed(0) });
+  drawBars(plot, bins, x, y, {});
+  const sorted = [...successFinals].sort((a, b) => a - b);
+  const median = sorted[Math.floor(sorted.length / 2)];
+  drawVLine(plot, median, x, { stroke: cssVar("--warn"), label: `median ${fmtMoney(median)}` });
+  attachHover(plot, bins.map((b) => (b.x0 + b.x1) / 2), x, (i) => [
+    `<b>${fmtMoney(bins[i].x0)} – ${fmtMoney(bins[i].x1)}</b>`,
+    `${bins[i].count} paths`,
+  ]);
+  return div;
+}

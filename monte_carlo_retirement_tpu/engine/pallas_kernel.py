@@ -1,0 +1,456 @@
+"""Pallas TPU fast path: the full path lifetime in one on-chip kernel.
+
+Why this exists: the XLA-scan kernel streams its ~10-vector carry through HBM
+on every one of 600 scan steps (~100 GB of traffic for 1M paths), which caps
+it around 400 ms/run. This kernel keeps ALL per-path state resident in VMEM
+for the whole lifetime — the only HBM traffic is the final per-path outputs —
+and generates shocks with the core-local PRNG (`pltpu.prng_random_bits`), so
+the month loop is pure VPU compute.
+
+Layout: paths are tiled into blocks of (BLOCK_ROWS, 128); the grid iterates
+blocks; each grid step runs the complete month loop for its block with a
+`fori_loop` whose *dynamic* bound is working_months + 12*retirement_years
+(no padded months, no scan-length buckets — and therefore no recompiles
+across working-month candidates or horizons).
+
+RNG: the per-core PRNG is seeded per (stream_seed, block), and each month
+draws four uniform words per path -> two Box-Muller pairs -> three standard
+normals (equity, inflation-independent, premium). Draws therefore depend
+only on (stream, block, month, lane), which gives common random numbers
+across working-month candidates structurally, like the XLA path. The bit
+streams differ from the XLA threefry path, so cross-backend parity is
+statistical (Monte Carlo), not bitwise; the month *logic* is bit-identical
+and covered by an injected-shocks parity test against the scan kernel.
+
+Probe mode only for now: outputs are per-path success and final balance —
+exactly what the working-months search and the headline benchmark consume.
+Full-statistics runs use the XLA scan path (sub-second at dashboard sizes).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import MONTHS_PER_YEAR, SMALL_EPSILON
+from ..models.retirement import SimParams
+from ..ops.tax import (
+    apply_annual_gain_taxes,
+    fail_rtol,
+    net_liquidation_value,
+    rebalance,
+    withdraw_net_target,
+)
+
+EPS = SMALL_EPSILON
+
+BLOCK_ROWS = 256  # paths per block = BLOCK_ROWS * 128 = 32768
+BLOCK_PATHS = BLOCK_ROWS * 128
+
+# fparams vector layout (float32, SMEM)
+(
+    F_MU1_M, F_S1_M, F_MUI_M, F_SI_M, F_MUP_M, F_SP_M,
+    F_RHO, F_RHO_C,
+    F_ALLOC1, F_INIT_BAL, F_CONTRIB0, F_LOG1P_GROWTH, F_EXPENSES,
+    F_USE_REAL1, F_R_REAL1, F_R_ANN1,
+    F_USE_REAL2, F_R_REAL2, F_R_ANN2,
+    NUM_FPARAMS,
+) = range(20)
+
+# iparams vector layout (int32, SMEM)
+I_W, I_T_END, I_SEED, NUM_IPARAMS = range(4)
+
+_TWO_PI = 2.0 * math.pi
+_INV_2_24 = 1.0 / float(1 << 24)
+
+
+def _uniform(shape):
+    """Uniform in (0, 1), never exactly 0 (safe for log)."""
+    bits = pltpu.prng_random_bits(shape)
+    # Logical shift on the int32 view keeps the top 24 bits as a nonnegative
+    # int32 (Mosaic has no uint32->f32 cast).
+    reduced = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.int32), jnp.int32(8)
+    )
+    return (reduced.astype(jnp.float32) + 0.5) * _INV_2_24
+
+
+def _three_normals(shape):
+    """Three standard normals per lane from two Box-Muller pairs."""
+    u1 = _uniform(shape)
+    u2 = _uniform(shape)
+    u3 = _uniform(shape)
+    u4 = _uniform(shape)
+    r1 = jnp.sqrt(-2.0 * jnp.log(u1))
+    t1 = _TWO_PI * u2
+    r2 = jnp.sqrt(-2.0 * jnp.log(u3))
+    t2 = _TWO_PI * u4
+    return r1 * jnp.cos(t1), r1 * jnp.sin(t1), r2 * jnp.cos(t2)
+
+
+def _make_kernel(n_streams: int, retirement_years: int, with_shocks: bool):
+    """Build the block kernel for a static (n_streams, R, debug-shock) combo."""
+    R = retirement_years
+    shape = (BLOCK_ROWS, 128)
+    frtol = fail_rtol(jnp.float32)
+
+    def kernel(iparams, fparams, *rest):
+        if n_streams:
+            s_amount, s_from_t0, s_duration, s_indexed, s_tax = rest[:5]
+            rest = rest[5:]
+        if with_shocks:
+            shocks_ref = rest[0]
+            rest = rest[1:]
+        out_success, out_final = rest
+
+        w = iparams[I_W]
+        t_end = iparams[I_T_END]
+        f = lambda i: fparams[i]
+        w_f = w.astype(jnp.float32)
+
+        if not with_shocks:
+            # Per-(stream, block) seed: golden-ratio mix keeps block streams
+            # decorrelated; int32 overflow wraps (two's complement), which is
+            # exactly what we want for mixing.
+            pltpu.prng_seed(
+                iparams[I_SEED] ^ (pl.program_id(0) * jnp.int32(-1640531527))
+            )
+
+        alloc1 = f(F_ALLOC1)
+        use_real1 = f(F_USE_REAL1) > 0.5
+        use_real2 = f(F_USE_REAL2) > 0.5
+
+        def monthly_rebalance(b1, c1, b2, c2):
+            return rebalance(
+                b1, c1, b2, c2, alloc1,
+                use_real1, f(F_R_REAL1), use_real2, f(F_R_REAL2),
+            )
+
+        def annual_tax(b1, c1, b2, c2, g1a, g2a):
+            return apply_annual_gain_taxes(
+                b1, c1, b2, c2, g1a, g2a,
+                alloc1,
+                use_real1, f(F_R_REAL1), f(F_R_ANN1),
+                use_real2, f(F_R_REAL2), f(F_R_ANN2),
+            )
+
+        if n_streams:
+            stream_start = [
+                jnp.maximum(
+                    0.0, jnp.ceil(jnp.maximum(0.0, s_from_t0[s] - w_f) - EPS)
+                )
+                for s in range(n_streams)
+            ]
+
+        # A zero vector with a materialized (non-replicated) layout: loop
+        # carries seeded from replicated constants would force the body's
+        # computed vectors into an invalid relayout under Mosaic.
+        zero_v = (
+            jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        ).astype(jnp.float32) * 0.0
+        b1_0 = zero_v + f(F_INIT_BAL) * alloc1
+        b2_0 = zero_v + f(F_INIT_BAL) - b1_0
+        init = (
+            b1_0, b1_0, b2_0, b2_0,                      # b1, c1, b2, c2
+            zero_v + 1.0,                                # infl
+            zero_v,                                      # g1acc
+            zero_v,                                      # g2acc
+            zero_v + 1.0,                                # alive (0/1 flag)
+            zero_v,                                      # preret_failed (0/1)
+            tuple(zero_v - 1.0 for _ in range(n_streams)),
+        )
+
+        def draw(m):
+            if with_shocks:
+                z_eq = shocks_ref[m - 1, 0]
+                z_ind = shocks_ref[m - 1, 1]
+                z_prem = shocks_ref[m - 1, 2]
+            else:
+                z_eq, z_ind, z_prem = _three_normals(shape)
+            z_inf = f(F_RHO) * z_eq + f(F_RHO_C) * z_ind
+            g1 = jnp.exp(f(F_MU1_M) + f(F_S1_M) * z_eq)
+            gi = jnp.exp(f(F_MUI_M) + f(F_SI_M) * z_inf)
+            gp = jnp.exp(f(F_MUP_M) + f(F_SP_M) * z_prem)
+            return g1, gi, gi * gp
+
+        def accum_month(m, st):
+            b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f, fixed = st
+            g1, gi, g2 = draw(m)
+            g1a = g1a + b1 * (g1 - 1.0)
+            g2a = g2a + b2 * (g2 - 1.0)
+            b1 = b1 * g1
+            b2 = b2 * g2
+            infl = infl * gi
+
+            years = ((m - 1) // MONTHS_PER_YEAR).astype(jnp.float32)
+            contrib = f(F_CONTRIB0) * jnp.exp(f(F_LOG1P_GROWTH) * years)
+            ca1 = contrib * alloc1
+            ca2 = contrib - ca1
+            b1, c1 = b1 + ca1, c1 + ca1
+            b2, c2 = b2 + ca2, c2 + ca2
+
+            b1, c1, b2, c2 = monthly_rebalance(b1, c1, b2, c2)
+
+            def on_boundary(args):
+                b1, c1, b2, c2, g1a, g2a, preret_f = args
+                tb1, tc1, tb2, tc2, tfail = annual_tax(b1, c1, b2, c2, g1a, g2a)
+                # Zeros derived from live vectors keep branch layouts equal
+                # (replicated constants trip Mosaic's cond relayout).
+                return (
+                    tb1, tc1, tb2, tc2,
+                    g1a * 0.0, g2a * 0.0,
+                    jnp.where(tfail, 1.0, preret_f),
+                )
+
+            b1, c1, b2, c2, g1a, g2a, preret_f = lax.cond(
+                m % MONTHS_PER_YEAR == 0,
+                on_boundary,
+                lambda a: a,
+                (b1, c1, b2, c2, g1a, g2a, preret_f),
+            )
+            # Pre-retirement tax ruin takes effect on the retirement date.
+            alive_f = jnp.where((m == w) & (preret_f > 0.5), 0.0, alive_f)
+            return (b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f, fixed)
+
+        def ret_month(m, st):
+            b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f, fixed = st
+            alive = alive_f > 0.5
+            k = m - w
+            ret_idx_f = (k - 1).astype(jnp.float32)
+
+            price0 = infl
+            expenses = f(F_EXPENSES) * price0
+            net_income = jnp.zeros(shape, jnp.float32)
+            new_fixed = []
+            for s in range(n_streams):
+                active = (ret_idx_f >= stream_start[s]) & (
+                    ret_idx_f < stream_start[s] + s_duration[s]
+                )
+                fixed_s = jnp.where(
+                    active & (ret_idx_f == stream_start[s]) & (fixed[s] < 0),
+                    s_amount[s] * price0,
+                    fixed[s],
+                )
+                nominal = jnp.where(
+                    s_indexed[s] > 0.5, s_amount[s] * price0, fixed_s
+                )
+                net_income = net_income + jnp.where(
+                    active, nominal * (1.0 - s_tax[s]), 0.0
+                )
+                new_fixed.append(fixed_s)
+            need = jnp.maximum(0.0, expenses - net_income)
+
+            total0 = b1 + b2
+            dies_a = alive & (total0 <= EPS) & (need > EPS)
+
+            g1, gi, g2 = draw(m)
+            gmask = alive & ~dies_a
+            g1a = g1a + jnp.where(gmask, b1 * (g1 - 1.0), 0.0)
+            g2a = g2a + jnp.where(gmask, b2 * (g2 - 1.0), 0.0)
+            b1 = jnp.where(gmask, b1 * g1, b1)
+            b2 = jnp.where(gmask, b2 * g2, b2)
+            infl = jnp.where(gmask, infl * gi, infl)
+
+            total1 = b1 + b2
+            dies_b = gmask & (total1 <= EPS) & (need > EPS)
+            b1 = jnp.where(dies_b, jnp.maximum(0.0, b1), b1)
+            b2 = jnp.where(dies_b, jnp.maximum(0.0, b2), b2)
+
+            wmask = gmask & ~dies_b
+            nc1 = net_liquidation_value(b1, c1, use_real1, f(F_R_REAL1))
+            nc2 = net_liquidation_value(b2, c2, use_real2, f(F_R_REAL2))
+            tnc = nc1 + nc2
+            target = jnp.maximum(0.0, jnp.minimum(need, tnc))
+            ftol = EPS + frtol * (need + total1)
+            fail_cap = wmask & (need > EPS) & (target < need - ftol)
+            prop1 = jnp.where(
+                tnc > EPS, nc1 / jnp.where(tnc > EPS, tnc, 1.0), alloc1
+            )
+
+            wb1, wc1, _gw1, nw1 = withdraw_net_target(
+                b1, c1, target * prop1, use_real1, f(F_R_REAL1)
+            )
+            wb2, wc2, _gw2, nw2 = withdraw_net_target(
+                b2, c2, target * (1.0 - prop1), use_real2, f(F_R_REAL2)
+            )
+            b1 = jnp.where(wmask, wb1, b1)
+            c1 = jnp.where(wmask, wc1, c1)
+            b2 = jnp.where(wmask, wb2, b2)
+            c2 = jnp.where(wmask, wc2, c2)
+            fail_net = wmask & (need > EPS) & (nw1 + nw2 < need - ftol)
+
+            rb1, rc1, rb2, rc2 = monthly_rebalance(b1, c1, b2, c2)
+            b1 = jnp.where(wmask, rb1, b1)
+            c1 = jnp.where(wmask, rc1, c1)
+            b2 = jnp.where(wmask, rb2, b2)
+            c2 = jnp.where(wmask, rc2, c2)
+
+            # Annual tax at absolute boundaries / terminal settle share one
+            # subgraph (mutually exclusive scalar triggers).
+            tmask_ok = wmask & ~fail_cap & ~fail_net
+            is_boundary = (m % MONTHS_PER_YEAR) == 0
+            is_settle = (m == t_end) & ((w % MONTHS_PER_YEAR) != 0)
+            dies_pre = dies_a | dies_b | fail_cap | fail_net
+
+            def apply_tax(args):
+                b1, c1, b2, c2, g1a, g2a = args
+                tb1, tc1, tb2, tc2, tfail = annual_tax(b1, c1, b2, c2, g1a, g2a)
+                # Pure boolean algebra (no bool-vector select; Mosaic-safe):
+                mask = (is_boundary & tmask_ok) | (
+                    ~is_boundary & alive & ~dies_pre
+                )
+                return (
+                    jnp.where(mask, tb1, b1),
+                    jnp.where(mask, tc1, c1),
+                    jnp.where(mask, tb2, b2),
+                    jnp.where(mask, tc2, c2),
+                    jnp.where(mask & is_boundary, 0.0, g1a),
+                    jnp.where(mask & is_boundary, 0.0, g2a),
+                    # Cond outputs must not be i1 vectors (Mosaic): 0/1 f32.
+                    jnp.where(mask & tfail, 1.0, g1a * 0.0),
+                )
+
+            b1, c1, b2, c2, g1a, g2a, tfail_f = lax.cond(
+                is_boundary | is_settle,
+                apply_tax,
+                lambda a: a + (a[4] * 0.0,),
+                (b1, c1, b2, c2, g1a, g2a),
+            )
+            dies = dies_pre | (tfail_f > 0.5)
+            alive_f = jnp.where(dies, 0.0, alive_f)
+            return (b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f,
+                    tuple(new_fixed))
+
+        def month(m, st):
+            return lax.cond(
+                m <= w,
+                lambda s: accum_month(m, s),
+                lambda s: ret_month(m, s),
+                st,
+            )
+
+        final = lax.fori_loop(1, t_end + 1, month, init)
+        b1, c1, b2, c2 = final[0], final[1], final[2], final[3]
+        out_success[:] = final[7]  # alive flag, already 0/1 float32
+        out_final[:] = jnp.maximum(0.0, b1 + b2)
+
+    return kernel
+
+
+def _pack_params(params: SimParams, seed: int, working_months, retirement_years):
+    sq = math.sqrt(MONTHS_PER_YEAR)
+    f32 = jnp.float32
+    fp = jnp.stack(
+        [
+            params.mu1.astype(f32) / MONTHS_PER_YEAR,
+            params.sigma1.astype(f32) / sq,
+            params.mu_inf.astype(f32) / MONTHS_PER_YEAR,
+            params.sigma_inf.astype(f32) / sq,
+            params.mu_prem.astype(f32) / MONTHS_PER_YEAR,
+            params.sigma_prem.astype(f32) / sq,
+            params.rho.astype(f32),
+            jnp.sqrt(jnp.maximum(0.0, 1.0 - params.rho.astype(f32) ** 2)),
+            params.alloc1.astype(f32),
+            params.initial_balance.astype(f32),
+            params.monthly_contribution.astype(f32),
+            jnp.log1p(params.contribution_growth.astype(f32)),
+            params.monthly_expenses.astype(f32),
+            params.use_real1.astype(f32),
+            params.real_tax1.astype(f32),
+            params.ann_tax1.astype(f32),
+            params.use_real2.astype(f32),
+            params.real_tax2.astype(f32),
+            params.ann_tax2.astype(f32),
+        ]
+    )
+    w = jnp.asarray(working_months, jnp.int32)
+    ip = jnp.stack(
+        [
+            w,
+            w + jnp.int32(MONTHS_PER_YEAR * retirement_years),
+            jnp.asarray(seed, jnp.int32),
+        ]
+    )
+    return ip, fp
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_paths", "retirement_years", "n_streams", "with_shocks",
+                     "interpret"),
+)
+def pallas_simulate(
+    params: SimParams,
+    working_months,
+    seed,
+    *,
+    n_paths: int,
+    retirement_years: int,
+    n_streams: int,
+    shocks: Optional[jnp.ndarray] = None,
+    with_shocks: bool = False,
+    interpret: bool = False,
+):
+    """Probe-mode simulation on the Pallas TPU kernel.
+
+    Returns (success_f32, final_balance) of shape (n_padded,); the caller
+    slices [:n_paths]. ``shocks`` (debug/parity only): (T, 3, BLOCK_ROWS, 128)
+    pre-drawn independent normals for a single block.
+    """
+    assert n_streams == params.n_streams
+    n_blocks = max(1, -(-n_paths // BLOCK_PATHS))
+    ip, fp = _pack_params(params, seed, working_months, retirement_years)
+
+    kernel = _make_kernel(n_streams, retirement_years, with_shocks)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # iparams
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # fparams
+    ]
+    inputs = [ip, fp]
+    if n_streams:
+        f32 = jnp.float32
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+        inputs += [
+            params.stream_amount.astype(f32),
+            params.stream_months_from_t0.astype(f32),
+            jnp.minimum(
+                params.stream_duration_months.astype(f32), jnp.float32(3.0e7)
+            ),
+            params.stream_indexed.astype(f32),
+            params.stream_tax.astype(f32),
+        ]
+    if with_shocks:
+        assert n_blocks == 1, "injected shocks support a single block only"
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        inputs.append(shocks.astype(jnp.float32))
+
+    out_shape = [
+        jax.ShapeDtypeStruct((n_blocks * BLOCK_ROWS, 128), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks * BLOCK_ROWS, 128), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((BLOCK_ROWS, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    success, final = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    return success.reshape(-1), final.reshape(-1)

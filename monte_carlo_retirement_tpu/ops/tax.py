@@ -127,23 +127,27 @@ def rebalance(
     sell1 = drift1 > 0
 
     alloc2 = 1.0 - alloc1
-    # Gather the selling side s and the buying side b.
+    # Gather the selling side s and the buying side b. The realized-tax flag
+    # is applied as a 0/1 multiplier (not a boolean select) so the whole
+    # routine stays i1-vector-free — Mosaic/TPU cannot lower vector bool
+    # selects, and multiplying by exactly 0.0/1.0 is bit-identical.
     bal_s = jnp.where(sell1, bal1, bal2)
     basis_s = jnp.where(sell1, basis1, basis2)
-    rate_s = jnp.where(sell1, rate1, rate2)
-    use_s = jnp.where(sell1, use_real1, use_real2)
+    flag1 = jnp.asarray(use_real1, bal1.dtype)
+    flag2 = jnp.asarray(use_real2, bal1.dtype)
+    taxed_rate_s = jnp.where(sell1, rate1 * flag1, rate2 * flag2)
     alloc_s = jnp.where(sell1, alloc1, alloc2)
     drift_s = jnp.where(sell1, drift1, bal2 - total * alloc2)
 
     gain_frac = jnp.maximum(0.0, bal_s - basis_s) / _safe(bal_s)
-    tax_per_dollar = jnp.where(use_s, gain_frac * rate_s, 0.0)
+    tax_per_dollar = gain_frac * taxed_rate_s
     denom = jnp.maximum(EPS, 1.0 - alloc_s * tax_per_dollar)
     gross_sale = jnp.minimum(bal_s, drift_s / denom)
 
     frac_sold = gross_sale / _safe(bal_s)
     basis_removed = jnp.minimum(basis_s, basis_s * frac_sold)
     taxable_gain = jnp.maximum(0.0, gross_sale - basis_removed)
-    tax_paid = jnp.where(use_s, taxable_gain * rate_s, 0.0)
+    tax_paid = taxable_gain * taxed_rate_s
     net_purchase = gross_sale - tax_paid
 
     new_s_bal = jnp.maximum(0.0, bal_s - gross_sale)
