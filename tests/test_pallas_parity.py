@@ -1,0 +1,131 @@
+"""Pallas kernel logic parity vs the XLA scan kernel (interpret mode, CPU).
+
+The Pallas TPU kernel shares the tax/portfolio ops with the scan kernel but
+re-implements the month-loop control flow for VMEM residency. Injecting the
+exact same shock draws into both must reproduce identical path outcomes
+(success flags) and near-identical balances (float32 reassociation only).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monte_carlo_retirement_tpu.engine.kernel import simulate_paths
+from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+    BLOCK_PATHS,
+    BLOCK_ROWS,
+    pallas_simulate,
+)
+from monte_carlo_retirement_tpu.models.retirement import SimParams
+from monte_carlo_retirement_tpu.ops.shocks import stream_keys
+from tests.conftest import make_config
+
+
+def _drawn_shocks(key, months, n_paths):
+    z = jnp.stack(
+        [
+            jax.random.normal(
+                jax.random.fold_in(key, m), (n_paths, 3), dtype=jnp.float32
+            )
+            for m in range(1, months + 1)
+        ]
+    )
+    return jnp.transpose(z, (0, 2, 1)).reshape(months, 3, BLOCK_ROWS, 128)
+
+
+@pytest.mark.parametrize(
+    "working_months,overrides",
+    [
+        # Survivable two-stream scenario with realized-gains taxes.
+        (
+            235,
+            dict(
+                initial_balance=240_000.0,
+                monthly_contribution=5_000.0,
+                contribution_growth_rate_annual=0.04,
+                monthly_expenses=10_000.0,
+                inv1_returns_mean=0.12,
+                inv1_returns_volatility=0.02,
+                inv1_use_realized_gains_tax_system=True,
+                inv1_realized_gains_tax_rate=0.10,
+                inv2_premium_over_inflation_mean=0.05,
+                inv2_premium_over_inflation_volatility=0.02,
+                inv2_use_realized_gains_tax_system=True,
+                inv2_realized_gains_tax_rate=0.10,
+                inflation_rate_mean=0.062,
+                inflation_rate_volatility=0.0235,
+                other_income_streams=[
+                    {
+                        "name": "Pension",
+                        "monthly_amount_today": 4000.0,
+                        "start_at_age": 65.0,
+                        "duration_years": None,
+                        "inflation_indexed": True,
+                        "tax_rate": 0.275,
+                    },
+                    {
+                        "name": "Annuity",
+                        "monthly_amount_today": 500.0,
+                        "start_at_age": 60.0,
+                        "duration_years": 10,
+                        "inflation_indexed": False,
+                        "tax_rate": 0.2,
+                    },
+                ],
+            ),
+        ),
+        # Mixed outcome: annual mark-to-market taxes, partial working year.
+        (
+            13,
+            dict(
+                initial_balance=150_000.0,
+                monthly_contribution=1_000.0,
+                monthly_expenses=1_200.0,
+                inv1_annual_tax_on_gains_rate=0.25,
+                inv1_use_realized_gains_tax_system=False,
+                inv2_use_realized_gains_tax_system=False,
+                inv2_annual_tax_on_gains_rate=0.10,
+            ),
+        ),
+    ],
+)
+def test_pallas_matches_scan_with_injected_shocks(working_months, overrides):
+    cfg = make_config(retirement_years=5, seed=2026, **overrides)
+    params = SimParams.from_config(cfg, dtype=jnp.float32)
+    _, key = stream_keys(2026)
+    R = 5
+    T = working_months + 12 * R
+
+    shocks = _drawn_shocks(key, T, BLOCK_PATHS)
+    succ_p, final_p = pallas_simulate(
+        params,
+        working_months,
+        0,
+        n_paths=BLOCK_PATHS,
+        retirement_years=R,
+        n_streams=params.n_streams,
+        shocks=shocks,
+        with_shocks=True,
+        interpret=True,
+    )
+    outs = simulate_paths(
+        params,
+        jnp.int32(working_months),
+        key,
+        n_paths=BLOCK_PATHS,
+        t_scan=T,
+        retirement_years=R,
+        traj_len=0,
+        dtype=jnp.float32,
+    )
+
+    succ_s = np.asarray(outs.success)
+    succ_p = np.asarray(succ_p) > 0.5
+    mismatch = float((succ_p != succ_s).mean())
+    assert mismatch < 3e-3, f"success mismatch {mismatch*100:.3f}%"
+
+    final_s = np.asarray(outs.final_balance)
+    final_p = np.asarray(final_p)
+    rel = np.abs(final_p - final_s) / np.maximum(np.abs(final_s), 1.0)
+    assert float(rel.max()) < 5e-3, f"final-balance rel err {rel.max():.2e}"
