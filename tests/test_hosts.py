@@ -1,0 +1,126 @@
+"""Host-layer surface tests: CLI flow, plotting output, failure semantics."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from monte_carlo_retirement_tpu.config import Config, load_config_from_json
+from monte_carlo_retirement_tpu.engine.simulator import RetirementMonteCarloSimulator
+from monte_carlo_retirement_tpu.hosts.plotting import (
+    plot_portfolio_trajectories,
+    plot_simulation_results,
+)
+from tests.conftest import base_config_dict, make_config
+
+
+def test_bundled_configs_load_and_validate():
+    for name in ("config.json", "jorge.json"):
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)), name)
+        cfg = Config(**load_config_from_json(path))
+        assert cfg.retirement_years > 0
+        assert 0.0 <= cfg.allocation_inv1_pct <= 1.0
+
+
+def test_plots_render_to_png(tmp_path):
+    cfg = make_config(num_simulations_main=16, retirement_years=3, seed=4)
+    sim = RetirementMonteCarloSimulator(cfg)
+    sim.use_final_seeds()
+    summary, traj, samples, _, _, _, _ = sim.run_monte_carlo_simulations(13, 16)
+
+    hist = tmp_path / "hist.png"
+    plot_simulation_results(
+        summary,
+        cfg,
+        {
+            "required_working_months": 13,
+            "final_success_probability": 90.0,
+            "median_start_retirement_balance": 1.0,
+            "median_final_balance": 1.0,
+            "SWR": 4.0,
+        },
+        str(hist),
+    )
+    assert hist.exists() and hist.stat().st_size > 10_000
+
+    traj_png = tmp_path / "traj.png"
+    plot_portfolio_trajectories(traj, samples, 13, cfg, str(traj_png))
+    assert traj_png.exists() and traj_png.stat().st_size > 10_000
+
+
+def test_plot_skips_on_missing_data(tmp_path):
+    cfg = make_config()
+    out = tmp_path / "missing.png"
+    plot_portfolio_trajectories(None, None, 12, cfg, str(out))
+    assert not out.exists()
+
+
+def test_cli_runs_end_to_end(tmp_path, monkeypatch, capsys):
+    """Full CLI flow on a small scenario: search, final run, two PNGs."""
+    import sys
+
+    from monte_carlo_retirement_tpu.hosts import cli
+
+    cfg_path = tmp_path / "scenario.json"
+    cfg_path.write_text(json.dumps(base_config_dict(
+        scenario="cli test",
+        initial_balance=50_000.0,
+        monthly_contribution=4_000.0,
+        monthly_expenses=3_000.0,
+        retirement_years=5,
+        num_simulations_search=16,
+        num_simulations_main=32,
+        target_probability=80.0,
+        seed=3,
+    )))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["cli", str(cfg_path)])
+    cli.main()
+    pngs = list(tmp_path.glob("ret_proj_cli_test_*.png"))
+    assert len(pngs) == 2
+    logs = list(tmp_path.glob("ret_proj_log_*.log"))
+    assert len(logs) == 1
+    assert "Final Simulation Results" in logs[0].read_text()
+
+
+def test_cli_aborts_cleanly_when_target_unreachable(tmp_path, monkeypatch):
+    import sys
+
+    from monte_carlo_retirement_tpu.hosts import cli
+
+    cfg_path = tmp_path / "impossible.json"
+    cfg_path.write_text(json.dumps(base_config_dict(
+        scenario="impossible",
+        initial_balance=0.0,
+        monthly_contribution=0.0,
+        monthly_expenses=50_000.0,
+        retirement_years=5,
+        num_simulations_search=8,
+        num_simulations_main=8,
+        target_probability=99.0,
+        seed=3,
+    )))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(sys, "argv", ["cli", str(cfg_path)])
+    cli.main()  # must not raise; logs the abort
+    assert not list(tmp_path.glob("*.png"))
+
+
+def test_search_curve_failure_is_http_400_semantics():
+    """The facade raises the same -1 sentinel the hosts map to HTTP 400."""
+    cfg = make_config(
+        initial_balance=0.0,
+        monthly_contribution=0.0,
+        monthly_expenses=50_000.0,
+        retirement_years=5,
+        num_simulations_search=8,
+        target_probability=99.0,
+        seed=3,
+    )
+    sim = RetirementMonteCarloSimulator(cfg)
+    months, prob, curve = sim.find_minimum_working_months(verbose=False)
+    assert months == -1
+    assert prob < 99.0
+    assert len(curve) > 0
