@@ -68,12 +68,12 @@ BLOCK_PATHS = BLOCK_ROWS * 128
 # iparams vector layout (int32, SMEM)
 I_W, I_T_END, I_SEED, NUM_IPARAMS = range(4)
 
-_TWO_PI = 2.0 * math.pi
 _INV_2_24 = 1.0 / float(1 << 24)
+_SQRT2 = math.sqrt(2.0)
 
 
 def _uniform(shape):
-    """Uniform in (0, 1), never exactly 0 (safe for log)."""
+    """Uniform in (0, 1), never exactly 0 or 1 (safe for erfinv/log)."""
     bits = pltpu.prng_random_bits(shape)
     # Logical shift on the int32 view keeps the top 24 bits as a nonnegative
     # int32 (Mosaic has no uint32->f32 cast).
@@ -83,17 +83,19 @@ def _uniform(shape):
     return (reduced.astype(jnp.float32) + 0.5) * _INV_2_24
 
 
+def _normal(shape):
+    """One standard normal per lane via the inverse-CDF transform.
+
+    z = sqrt(2) * erfinv(2u - 1): branch-free, trig-free, and exactly the
+    construction jax.random.normal uses — Box-Muller's sin/cos lower poorly
+    on the TPU vector unit, erf_inv is a short polynomial.
+    """
+    u = _uniform(shape)
+    return _SQRT2 * jax.lax.erf_inv(2.0 * u - 1.0)
+
+
 def _three_normals(shape):
-    """Three standard normals per lane from two Box-Muller pairs."""
-    u1 = _uniform(shape)
-    u2 = _uniform(shape)
-    u3 = _uniform(shape)
-    u4 = _uniform(shape)
-    r1 = jnp.sqrt(-2.0 * jnp.log(u1))
-    t1 = _TWO_PI * u2
-    r2 = jnp.sqrt(-2.0 * jnp.log(u3))
-    t2 = _TWO_PI * u4
-    return r1 * jnp.cos(t1), r1 * jnp.sin(t1), r2 * jnp.cos(t2)
+    return _normal(shape), _normal(shape), _normal(shape)
 
 
 def _make_kernel(n_streams: int, retirement_years: int, with_shocks: bool):

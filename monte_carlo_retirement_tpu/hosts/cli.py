@@ -5,11 +5,20 @@ Same flow and outputs as the reference's main entry point
 config.json), estimates required working months, runs the final batch on the
 independent seed stream, logs headline results and percentiles, and writes
 `ret_proj_<scenario>_<timestamp>_{HIST,TRAJ}.png`.
+
+Extra flags beyond the reference:
+  --json-out PATH   persist the full plot-ready result payload (the same JSON
+                    the HTTP API returns) — the framework's resume/record
+                    artifact; together with the config + seed it makes any
+                    run exactly reproducible.
+  --override N      skip the search and use N working months directly.
 """
 
 from __future__ import annotations
 
+import argparse
 import datetime as _dt
+import json
 import logging
 import sys
 
@@ -29,13 +38,27 @@ from .plotting import plot_portfolio_trajectories, plot_simulation_results
 log = logging.getLogger("mcrt.cli")
 
 
+def _parse_args(argv) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(
+        prog="mcrt", description="TPU retirement Monte Carlo CLI"
+    )
+    parser.add_argument("config", nargs="?", default="config.json",
+                        help="scenario JSON path (default: config.json)")
+    parser.add_argument("--json-out", default=None,
+                        help="write the full result payload JSON here")
+    parser.add_argument("--override", type=int, default=None,
+                        help="working months; skips the search phase")
+    return parser.parse_args(argv)
+
+
 def main() -> None:
+    args = _parse_args(sys.argv[1:])
     timestamp = _dt.datetime.now().strftime("%Y%m%d_%H%M%S")
     log_filename = f"ret_proj_log_{timestamp}.log"
     configure_logging(logfile=log_filename)
     log.info("Logging initialized. Log file: %s", log_filename)
 
-    config_path = sys.argv[1] if len(sys.argv) > 1 else "config.json"
+    config_path = args.config
     if len(sys.argv) <= 1:
         log.info("No config file specified via argument. Defaulting to '%s'",
                  config_path)
@@ -56,23 +79,32 @@ def main() -> None:
     log_input_parameters(config)
     simulator = RetirementMonteCarloSimulator(config)
 
-    log.info("--- Estimating Required Working Months for '%s' ---", config.Nickname)
-    required, achieved, _curve = simulator.find_minimum_working_months(verbose=True)
-    if required == -1:
-        log.error(
-            "Target probability of %.2f%% could not be met for '%s'. "
-            "Highest probability achieved: %.2f%%. Skipping final simulation.",
-            config.target_probability,
-            config.Nickname,
+    search_curve = []
+    if args.override is not None:
+        required = args.override
+        log.info("Using working-months override: %d (search skipped)", required)
+    else:
+        log.info(
+            "--- Estimating Required Working Months for '%s' ---", config.Nickname
+        )
+        required, achieved, search_curve = simulator.find_minimum_working_months(
+            verbose=True
+        )
+        if required == -1:
+            log.error(
+                "Target probability of %.2f%% could not be met for '%s'. "
+                "Highest probability achieved: %.2f%%. Skipping final simulation.",
+                config.target_probability,
+                config.Nickname,
+                achieved,
+            )
+            return
+        log.info(
+            "--- Search Complete. Required: %d m (%.1f yrs) with prob %.2f%%. ---",
+            required,
+            required / MONTHS_PER_YEAR,
             achieved,
         )
-        return
-    log.info(
-        "--- Search Complete. Required: %d m (%.1f yrs) with prob %.2f%%. ---",
-        required,
-        required / MONTHS_PER_YEAR,
-        achieved,
-    )
 
     log.info(
         "--- Running Final Detailed Simulation (%d sims, %d working months) ---",
@@ -126,6 +158,16 @@ def main() -> None:
         )
     else:
         log.warning("Trajectory data missing; skipping trajectory plot.")
+
+    if args.json_out:
+        from .payload import build_result
+
+        payload = build_result(config, simulator, required,
+                               search_curve=search_curve)
+        with open(args.json_out, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=2, allow_nan=False)
+        log.info("Result payload written to %s", args.json_out)
+
     log.info("--- Main execution finished for '%s'. Log: %s ---",
              config.Nickname, log_filename)
 

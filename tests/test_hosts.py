@@ -124,3 +124,29 @@ def test_search_curve_failure_is_http_400_semantics():
     assert months == -1
     assert prob < 99.0
     assert len(curve) > 0
+
+
+def test_cli_json_out_and_override(tmp_path, monkeypatch):
+    import sys
+
+    from monte_carlo_retirement_tpu.hosts import cli
+    from monte_carlo_retirement_tpu.hosts.schemas import SimulationResponse
+
+    cfg_path = tmp_path / "scenario.json"
+    cfg_path.write_text(json.dumps(base_config_dict(
+        scenario="json out",
+        retirement_years=3,
+        num_simulations_main=16,
+        monthly_expenses=500.0,
+        seed=6,
+    )))
+    out_path = tmp_path / "result.json"
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["cli", str(cfg_path), "--override", "13", "--json-out", str(out_path)],
+    )
+    cli.main()
+    payload = json.loads(out_path.read_text())
+    parsed = SimulationResponse.model_validate(payload)
+    assert parsed.summary.required_working_months == 13
