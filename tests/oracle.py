@@ -1,0 +1,282 @@
+"""An independent, deliberately-simple NumPy oracle of the model semantics.
+
+Used only by the fuzz/differential tests: it re-derives the monthly lifecycle
+from the model definition (README 'Design notes' + SURVEY §2 contracts) in
+plain sequential Python, structured around a mutable PathState — nothing is
+shared with the compiled kernels except the shock values, so agreement
+between the two is meaningful evidence of correctness.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from math import ceil, exp, isnan, log, nan, sqrt
+from typing import List, Optional
+
+import numpy as np
+
+from monte_carlo_retirement_tpu.config import Config
+from monte_carlo_retirement_tpu.models.retirement import arithmetic_to_log_params
+
+EPS = 1e-6
+MPY = 12
+
+
+@dataclass
+class AssetTax:
+    use_realized: bool
+    realized_rate: float
+    annual_rate: float
+
+
+@dataclass
+class Asset:
+    balance: float
+    basis: float
+    tax: AssetTax
+    gain_acc: float = 0.0
+
+    def net_liquidation(self) -> float:
+        if self.balance <= EPS:
+            return 0.0
+        gain = max(0.0, self.balance - self.basis)
+        due = gain * self.tax.realized_rate if self.tax.use_realized else 0.0
+        return max(0.0, self.balance - due)
+
+    def sell_for_net(self, net_target: float):
+        """Returns (gross, net) and mutates balance/basis."""
+        if self.balance <= EPS or net_target <= 0:
+            self.balance = max(0.0, self.balance)
+            self.basis = max(0.0, self.basis)
+            return 0.0, 0.0
+        gain_frac = max(0.0, self.balance - self.basis) / self.balance
+        eff = gain_frac * self.tax.realized_rate if self.tax.use_realized else 0.0
+        gross = min(net_target / max(EPS, 1.0 - eff), self.balance)
+        frac = min(1.0, gross / self.balance)
+        removed = min(self.basis, self.basis * frac)
+        taxable = max(0.0, gross - removed)
+        paid = taxable * self.tax.realized_rate if self.tax.use_realized else 0.0
+        net = max(0.0, gross - paid)
+        self.balance = max(0.0, self.balance - gross)
+        self.basis = max(0.0, self.basis - removed)
+        if self.balance <= EPS:
+            self.balance = self.basis = 0.0
+        return gross, net
+
+
+@dataclass
+class PathState:
+    a1: Asset
+    a2: Asset
+    price: float = 1.0
+    alive: bool = True
+    preret_failed: bool = False
+    years_to_ruin: float = nan
+
+
+def _rebalance(state: PathState, alloc1: float) -> None:
+    a1, a2 = state.a1, state.a2
+    total = a1.balance + a2.balance
+    if total <= EPS:
+        return
+    drift1 = a1.balance - total * alloc1
+    if abs(drift1) <= EPS:
+        return
+    if drift1 > 0:
+        seller, buyer, alloc_s, drift = a1, a2, alloc1, drift1
+    else:
+        seller, buyer = a2, a1
+        alloc_s = 1.0 - alloc1
+        drift = a2.balance - total * alloc_s
+    gain_frac = max(0.0, seller.balance - seller.basis) / seller.balance
+    per_dollar = gain_frac * seller.tax.realized_rate if seller.tax.use_realized else 0.0
+    gross = min(seller.balance, drift / max(EPS, 1.0 - alloc_s * per_dollar))
+    frac = gross / seller.balance
+    removed = min(seller.basis, seller.basis * frac)
+    paid = (
+        max(0.0, gross - removed) * seller.tax.realized_rate
+        if seller.tax.use_realized else 0.0
+    )
+    seller.balance = max(0.0, seller.balance - gross)
+    seller.basis = max(0.0, seller.basis - removed)
+    buyer.balance += gross - paid
+    buyer.basis += gross - paid
+    for asset in (seller, buyer):
+        if asset.balance <= EPS:
+            asset.balance = asset.basis = 0.0
+
+
+def _annual_taxes(state: PathState, alloc1: float) -> bool:
+    """Settle one tax period. Returns True when the bill was unpayable."""
+    bills = [
+        0.0 if a.tax.use_realized else max(0.0, a.gain_acc) * a.tax.annual_rate
+        for a in (state.a1, state.a2)
+    ]
+    due = sum(bills)
+    caps = [a.net_liquidation() for a in (state.a1, state.a2)]
+    capacity = sum(caps)
+    payment = min(due, capacity)
+    failed = payment < due - EPS
+    if capacity > EPS and payment > 0:
+        delivered = 0.0
+        for asset, cap in zip((state.a1, state.a2), caps):
+            _, net = asset.sell_for_net(payment * cap / capacity)
+            delivered += net
+        if delivered < due - EPS:
+            failed = True
+    _rebalance(state, alloc1)
+    return failed
+
+
+def simulate_path_oracle(
+    config: Config, working_months: int, shocks: np.ndarray
+) -> dict:
+    """One lifetime; shocks is (T, 3) of raw independent standard normals."""
+    c = config
+    mu1, s1 = arithmetic_to_log_params(c.inv1_returns_mean, c.inv1_returns_volatility)
+    mui, si = arithmetic_to_log_params(c.inflation_rate_mean, c.inflation_rate_volatility)
+    mup, sp = arithmetic_to_log_params(
+        c.inv2_premium_over_inflation_mean, c.inv2_premium_over_inflation_volatility
+    )
+    rho = c.equity_inflation_correlation
+    rho_c = sqrt(max(0.0, 1.0 - rho * rho))
+    alloc1 = c.allocation_inv1_pct
+
+    st = PathState(
+        a1=Asset(
+            c.initial_balance * alloc1, c.initial_balance * alloc1,
+            AssetTax(c.inv1_use_realized_gains_tax_system,
+                     c.inv1_realized_gains_tax_rate,
+                     c.inv1_annual_tax_on_gains_rate),
+        ),
+        a2=Asset(
+            c.initial_balance * (1 - alloc1), c.initial_balance * (1 - alloc1),
+            AssetTax(c.inv2_use_realized_gains_tax_system,
+                     c.inv2_realized_gains_tax_rate,
+                     c.inv2_annual_tax_on_gains_rate),
+        ),
+    )
+
+    def grow(m_idx: int) -> None:
+        z_eq, z_ind, z_prem = shocks[m_idx]
+        z_inf = rho * z_eq + rho_c * z_ind
+        g1 = exp(mu1 / MPY + s1 / sqrt(MPY) * z_eq)
+        gi = exp(mui / MPY + si / sqrt(MPY) * z_inf)
+        g2 = gi * exp(mup / MPY + sp / sqrt(MPY) * z_prem)
+        st.a1.gain_acc += st.a1.balance * (g1 - 1.0)
+        st.a2.gain_acc += st.a2.balance * (g2 - 1.0)
+        st.a1.balance *= g1
+        st.a2.balance *= g2
+        st.price *= gi
+
+    # ---------------- accumulation --------------------------------------
+    for m in range(1, working_months + 1):
+        grow(m - 1)
+        contrib = c.monthly_contribution * (
+            (1.0 + c.contribution_growth_rate_annual) ** ((m - 1) // MPY)
+        )
+        for asset, share in ((st.a1, alloc1), (st.a2, 1 - alloc1)):
+            asset.balance += contrib * share
+            asset.basis += contrib * share
+        _rebalance(st, alloc1)
+        if m % MPY == 0:
+            if _annual_taxes(st, alloc1):
+                st.preret_failed = True
+            st.a1.gain_acc = st.a2.gain_acc = 0.0
+
+    start_balance = st.a1.balance + st.a2.balance
+    price_at_ret = st.price
+    if st.preret_failed:
+        st.alive = False
+        st.years_to_ruin = 0.0
+
+    # Stream payment windows (months relative to retirement start).
+    windows = []
+    for stream in c.other_income_streams:
+        offset = (stream.start_at_age - c.current_age) * MPY - working_months
+        start = max(0, ceil(offset - EPS))
+        end = (
+            float("inf") if stream.duration_years is None
+            else start + stream.duration_years * MPY
+        )
+        windows.append((stream, start, end, [None]))  # [None] = frozen nominal
+
+    first_year_gross = 0.0
+    first_year_real = 0.0
+
+    # ---------------- retirement ----------------------------------------
+    for ret_idx in range(c.retirement_years * MPY):
+        if not st.alive:
+            break
+        year = ret_idx // MPY
+        if ret_idx % MPY == 0:
+            year_gross = year_real = 0.0
+
+        price0 = st.price
+        income = 0.0
+        for stream, start, end, frozen in windows:
+            if not (start <= ret_idx < end):
+                continue
+            if stream.inflation_indexed:
+                nominal = stream.monthly_amount_today * price0
+            else:
+                if frozen[0] is None:
+                    frozen[0] = stream.monthly_amount_today * price0
+                nominal = frozen[0]
+            income += nominal * (1.0 - stream.tax_rate)
+        need = max(0.0, c.monthly_expenses * price0 - income)
+
+        def die():
+            st.alive = False
+            st.years_to_ruin = (ret_idx + 1) / MPY
+
+        if st.a1.balance + st.a2.balance <= EPS and need > EPS:
+            die()
+            break
+        grow(working_months + ret_idx)
+        if st.a1.balance + st.a2.balance <= EPS and need > EPS:
+            st.a1.balance = max(0.0, st.a1.balance)
+            st.a2.balance = max(0.0, st.a2.balance)
+            die()
+            break
+
+        caps = [st.a1.net_liquidation(), st.a2.net_liquidation()]
+        capacity = sum(caps)
+        target = max(0.0, min(need, capacity))
+        failed = need > EPS and target < need - EPS
+        share1 = caps[0] / capacity if capacity > EPS else alloc1
+        g1, n1 = st.a1.sell_for_net(target * share1)
+        g2, n2 = st.a2.sell_for_net(target * (1.0 - share1))
+        year_gross += g1 + g2
+        year_real += (g1 + g2) * price_at_ret / max(price0, EPS)
+        if need > EPS and n1 + n2 < need - EPS:
+            failed = True
+        _rebalance(st, alloc1)
+
+        absolute_month = working_months + ret_idx + 1
+        if not failed and absolute_month % MPY == 0:
+            if _annual_taxes(st, alloc1):
+                failed = True
+            st.a1.gain_acc = st.a2.gain_acc = 0.0
+        if year == 0:
+            first_year_gross, first_year_real = year_gross, year_real
+        if failed:
+            die()
+            break
+
+    # Trailing partial tax period for surviving paths.
+    total_months = working_months + c.retirement_years * MPY
+    if st.alive and total_months % MPY != 0:
+        if _annual_taxes(st, alloc1):
+            st.alive = False
+            st.years_to_ruin = float(c.retirement_years)
+
+    return {
+        "success": st.alive,
+        "final_balance": max(0.0, st.a1.balance + st.a2.balance),
+        "start_balance": start_balance,
+        "years_to_ruin": st.years_to_ruin,
+        "first_year_gross": first_year_gross,
+        "first_year_real_gross": first_year_real,
+        "inflation_at_retirement": price_at_ret,
+    }

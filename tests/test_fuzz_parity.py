@@ -1,0 +1,161 @@
+"""Randomized differential testing: compiled engine vs the NumPy oracle.
+
+Random scenarios (taxes, streams, correlations, partial years) are run
+through the scan kernel (float64) and through tests/oracle.py with the same
+shock draws; per-path outcomes must agree.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monte_carlo_retirement_tpu.engine.kernel import simulate_paths
+from monte_carlo_retirement_tpu.models.retirement import SimParams
+from monte_carlo_retirement_tpu.ops.shocks import stream_keys
+from tests.conftest import make_config
+from tests.oracle import simulate_path_oracle
+
+N_PATHS = 16
+
+
+def _random_config(rng: np.random.Generator):
+    n_streams = int(rng.integers(0, 3))
+    streams = []
+    for s in range(n_streams):
+        streams.append(
+            {
+                "name": f"s{s}",
+                "monthly_amount_today": float(rng.uniform(0, 3000)),
+                "start_at_age": float(rng.uniform(40, 70)),
+                "duration_years": (
+                    None if rng.random() < 0.5 else int(rng.integers(0, 15))
+                ),
+                "inflation_indexed": bool(rng.random() < 0.5),
+                "tax_rate": float(rng.uniform(0, 0.4)),
+            }
+        )
+    use_real1 = bool(rng.random() < 0.5)
+    use_real2 = bool(rng.random() < 0.5)
+    return make_config(
+        initial_balance=float(rng.uniform(0, 400_000)),
+        monthly_contribution=float(rng.uniform(0, 6000)),
+        contribution_growth_rate_annual=float(rng.uniform(0, 0.06)),
+        monthly_expenses=float(rng.uniform(500, 6000)),
+        current_age=float(rng.uniform(30, 55)),
+        retirement_years=int(rng.integers(1, 7)),
+        allocation_inv1_pct=float(rng.uniform(0, 1)),
+        inv1_returns_mean=float(rng.uniform(-0.05, 0.15)),
+        inv1_returns_volatility=float(rng.uniform(0, 0.25)),
+        inv1_annual_tax_on_gains_rate=float(rng.uniform(0, 0.4)),
+        inv1_realized_gains_tax_rate=float(rng.uniform(0, 0.3)),
+        inv1_use_realized_gains_tax_system=use_real1,
+        inv2_premium_over_inflation_mean=float(rng.uniform(-0.02, 0.08)),
+        inv2_premium_over_inflation_volatility=float(rng.uniform(0, 0.05)),
+        inv2_annual_tax_on_gains_rate=float(rng.uniform(0, 0.4)),
+        inv2_realized_gains_tax_rate=float(rng.uniform(0, 0.3)),
+        inv2_use_realized_gains_tax_system=use_real2,
+        inflation_rate_mean=float(rng.uniform(-0.01, 0.09)),
+        inflation_rate_volatility=float(rng.uniform(0, 0.04)),
+        equity_inflation_correlation=float(rng.uniform(-1, 1)),
+        other_income_streams=streams,
+        seed=int(rng.integers(0, 2**31)),
+    )
+
+
+@pytest.mark.parametrize("case", range(10))
+def test_engine_matches_oracle_on_random_scenarios(case):
+    rng = np.random.default_rng(1000 + case)
+    cfg = _random_config(rng)
+    working_months = int(rng.integers(0, 40))
+    R = cfg.retirement_years
+    T = working_months + 12 * R
+
+    params = SimParams.from_config(cfg, dtype=jnp.float64)
+    _, key = stream_keys(cfg.seed)
+    outs = simulate_paths(
+        params,
+        jnp.int32(working_months),
+        key,
+        n_paths=N_PATHS,
+        t_scan=T,
+        retirement_years=R,
+        traj_len=0,
+        dtype=jnp.float64,
+    )
+
+    # The exact same raw draws the kernel consumed, per path.
+    shocks = np.stack(
+        [
+            np.asarray(
+                jax.random.normal(
+                    jax.random.fold_in(key, m), (N_PATHS, 3), dtype=jnp.float64
+                )
+            )
+            for m in range(1, T + 1)
+        ]
+    )  # (T, N_PATHS, 3)
+
+    succ = np.asarray(outs.success)
+    final = np.asarray(outs.final_balance)
+    for p in range(N_PATHS):
+        expected = simulate_path_oracle(cfg, working_months, shocks[:, p, :])
+        assert bool(succ[p]) == expected["success"], (
+            f"case {case} path {p}: engine={bool(succ[p])} "
+            f"oracle={expected['success']} (W={working_months})"
+        )
+        assert final[p] == pytest.approx(
+            expected["final_balance"], rel=1e-8, abs=1e-6
+        ), f"case {case} path {p}"
+
+
+@pytest.mark.parametrize("case", range(4))
+def test_engine_full_outputs_match_oracle(case):
+    """Deeper check of the summary fields on a few scenarios."""
+    rng = np.random.default_rng(2000 + case)
+    cfg = _random_config(rng)
+    working_months = int(rng.integers(0, 30))
+    R = cfg.retirement_years
+    T = working_months + 12 * R
+
+    params = SimParams.from_config(cfg, dtype=jnp.float64)
+    _, key = stream_keys(cfg.seed)
+    outs = simulate_paths(
+        params,
+        jnp.int32(working_months),
+        key,
+        n_paths=N_PATHS,
+        t_scan=T,
+        retirement_years=R,
+        traj_len=1 + T // 12,
+        dtype=jnp.float64,
+    )
+    shocks = np.stack(
+        [
+            np.asarray(
+                jax.random.normal(
+                    jax.random.fold_in(key, m), (N_PATHS, 3), dtype=jnp.float64
+                )
+            )
+            for m in range(1, T + 1)
+        ]
+    )
+    for p in range(N_PATHS):
+        expected = simulate_path_oracle(cfg, working_months, shocks[:, p, :])
+        assert np.asarray(outs.start_balance)[p] == pytest.approx(
+            expected["start_balance"], rel=1e-9, abs=1e-6
+        )
+        assert np.asarray(outs.inflation_at_retirement)[p] == pytest.approx(
+            expected["inflation_at_retirement"], rel=1e-12
+        )
+        ytr_engine = float(np.asarray(outs.years_to_ruin)[p])
+        if np.isnan(ytr_engine):
+            assert np.isnan(expected["years_to_ruin"])
+        else:
+            assert ytr_engine == pytest.approx(expected["years_to_ruin"])
+        assert np.asarray(outs.first_year_gross)[p] == pytest.approx(
+            expected["first_year_gross"], rel=1e-8, abs=1e-6
+        )
+        assert np.asarray(outs.first_year_real_gross)[p] == pytest.approx(
+            expected["first_year_real_gross"], rel=1e-8, abs=1e-6
+        )
