@@ -98,8 +98,17 @@ def _three_normals(shape):
     return _normal(shape), _normal(shape), _normal(shape)
 
 
-def _make_kernel(n_streams: int, retirement_years: int, with_shocks: bool):
-    """Build the block kernel for a static (n_streams, R, debug-shock) combo."""
+def _make_kernel(
+    n_streams: int,
+    retirement_years: int,
+    with_shocks: bool,
+    t_scan: int = 0,
+):
+    """Build the block kernel for a static (n_streams, R, debug-shock) combo.
+
+    ``t_scan`` > 0 pins the month loop to a static trip count with a
+    per-month horizon guard; 0 uses the dynamic bound W + 12R.
+    """
     R = retirement_years
     shape = (BLOCK_ROWS, 128)
     frtol = fail_rtol(jnp.float32)
@@ -340,7 +349,14 @@ def _make_kernel(n_streams: int, retirement_years: int, with_shocks: bool):
                 st,
             )
 
-        final = lax.fori_loop(1, t_end + 1, month, init)
+        if t_scan:
+            def month_guarded(m, st):
+                return lax.cond(m <= t_end, lambda s: month(m, s),
+                                lambda s: s, st)
+
+            final = lax.fori_loop(1, t_scan + 1, month_guarded, init)
+        else:
+            final = lax.fori_loop(1, t_end + 1, month, init)
         b1, c1, b2, c2 = final[0], final[1], final[2], final[3]
         out_success[:] = final[7]  # alive flag, already 0/1 float32
         out_final[:] = jnp.maximum(0.0, b1 + b2)
@@ -388,7 +404,7 @@ def _pack_params(params: SimParams, seed: int, working_months, retirement_years)
 @partial(
     jax.jit,
     static_argnames=("n_paths", "retirement_years", "n_streams", "with_shocks",
-                     "interpret"),
+                     "interpret", "t_scan"),
 )
 def pallas_simulate(
     params: SimParams,
@@ -401,18 +417,20 @@ def pallas_simulate(
     shocks: Optional[jnp.ndarray] = None,
     with_shocks: bool = False,
     interpret: bool = False,
+    t_scan: int = 0,
 ):
     """Probe-mode simulation on the Pallas TPU kernel.
 
     Returns (success_f32, final_balance) of shape (n_padded,); the caller
     slices [:n_paths]. ``shocks`` (debug/parity only): (T, 3, BLOCK_ROWS, 128)
-    pre-drawn independent normals for a single block.
+    pre-drawn independent normals for a single block. ``t_scan`` > 0 selects
+    a static month-loop trip count (must be >= W + 12R).
     """
     assert n_streams == params.n_streams
     n_blocks = max(1, -(-n_paths // BLOCK_PATHS))
     ip, fp = _pack_params(params, seed, working_months, retirement_years)
 
-    kernel = _make_kernel(n_streams, retirement_years, with_shocks)
+    kernel = _make_kernel(n_streams, retirement_years, with_shocks, t_scan)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # iparams
