@@ -68,19 +68,26 @@ BLOCK_PATHS = BLOCK_ROWS * 128
 # iparams vector layout (int32, SMEM)
 I_W, I_T_END, I_SEED, NUM_IPARAMS = range(4)
 
-_INV_2_24 = 1.0 / float(1 << 24)
+_INV_2_23 = 1.0 / float(1 << 23)
 _SQRT2 = math.sqrt(2.0)
 
 
 def _uniform(shape):
-    """Uniform in (0, 1), never exactly 0 or 1 (safe for erfinv/log)."""
+    """Uniform in (0, 1), never exactly 0 or 1 (safe for erfinv/log).
+
+    Uses 23 random bits so that (r + 0.5) is exactly representable in
+    float32: with 24 bits, r + 0.5 rounds up to 2^24 for the top value and
+    the uniform hits exactly 1.0 — erf_inv(1) = inf, which poisoned ~1 in
+    2^24 draws with NaNs. Max |2u-1| is now 1 - 2^-23, i.e. normal tails
+    reach ~5.4 sigma.
+    """
     bits = pltpu.prng_random_bits(shape)
-    # Logical shift on the int32 view keeps the top 24 bits as a nonnegative
+    # Logical shift on the int32 view keeps the top 23 bits as a nonnegative
     # int32 (Mosaic has no uint32->f32 cast).
     reduced = jax.lax.shift_right_logical(
-        pltpu.bitcast(bits, jnp.int32), jnp.int32(8)
+        pltpu.bitcast(bits, jnp.int32), jnp.int32(9)
     )
-    return (reduced.astype(jnp.float32) + 0.5) * _INV_2_24
+    return (reduced.astype(jnp.float32) + 0.5) * _INV_2_23
 
 
 def _normal(shape):
