@@ -4,32 +4,32 @@
 
 const FIELDS = {
   scenario: { label: "Scenario name", type: "text", section: "Scenario", wide: true },
-  initial_balance: { label: "Initial balance", type: "money", section: "Finances" },
-  monthly_contribution: { label: "Monthly contribution", type: "money", section: "Finances" },
-  contribution_growth_rate_annual: { label: "Contribution growth / yr", type: "percent", section: "Finances" },
-  monthly_expenses: { label: "Monthly expenses (today's $)", type: "money", section: "Finances" },
-  current_age: { label: "Current age", type: "number", section: "Finances" },
-  retirement_years: { label: "Retirement years", type: "int", section: "Finances" },
-  allocation_inv1_pct: { label: "Allocation to Inv1", type: "percent", section: "Portfolio & taxes" },
-  inv1_returns_mean: { label: "Inv1 return mean / yr", type: "percent", section: "Portfolio & taxes" },
-  inv1_returns_volatility: { label: "Inv1 volatility / yr", type: "percent", section: "Portfolio & taxes" },
-  inv1_use_realized_gains_tax_system: { label: "Inv1 realized-gains tax", type: "toggle", section: "Portfolio & taxes" },
-  inv1_realized_gains_tax_rate: { label: "Inv1 realized tax rate", type: "percent", section: "Portfolio & taxes" },
-  inv1_annual_tax_on_gains_rate: { label: "Inv1 annual gains tax", type: "percent", section: "Portfolio & taxes" },
-  inv2_premium_over_inflation_mean: { label: "Inv2 premium mean / yr", type: "percent", section: "Portfolio & taxes" },
-  inv2_premium_over_inflation_volatility: { label: "Inv2 premium volatility", type: "percent", section: "Portfolio & taxes" },
-  inv2_use_realized_gains_tax_system: { label: "Inv2 realized-gains tax", type: "toggle", section: "Portfolio & taxes" },
-  inv2_realized_gains_tax_rate: { label: "Inv2 realized tax rate", type: "percent", section: "Portfolio & taxes" },
-  inv2_annual_tax_on_gains_rate: { label: "Inv2 annual gains tax", type: "percent", section: "Portfolio & taxes" },
-  inflation_rate_mean: { label: "Inflation mean / yr", type: "percent", section: "Inflation" },
-  inflation_rate_volatility: { label: "Inflation volatility / yr", type: "percent", section: "Inflation" },
-  equity_inflation_correlation: { label: "Equity–inflation correlation", type: "number", section: "Inflation", step: 0.05 },
-  num_simulations_main: { label: "Final simulations", type: "int", section: "Simulation" },
-  num_simulations_search: { label: "Search simulations", type: "int", section: "Simulation" },
-  target_probability: { label: "Target success %", type: "number", section: "Simulation" },
-  starting_working_months_search: { label: "Search start (months)", type: "int", section: "Simulation" },
-  seed: { label: "Seed (blank = random)", type: "int-opt", section: "Simulation" },
-  num_processes: { label: "num_processes (compat)", type: "int-opt", section: "Simulation" },
+  initial_balance: { tip: "Portfolio value today, split across both assets at the target allocation.", label: "Initial balance", type: "money", section: "Finances" },
+  monthly_contribution: { tip: "Invested every working month; grows annually by the growth rate.", label: "Monthly contribution", type: "money", section: "Finances" },
+  contribution_growth_rate_annual: { tip: "Raise applied to the contribution at the start of each working year.", label: "Contribution growth / yr", type: "percent", section: "Finances" },
+  monthly_expenses: { tip: "Retirement spending in today's dollars; indexed to the simulated price level.", label: "Monthly expenses (today's $)", type: "money", section: "Finances" },
+  current_age: { tip: "Age at T=0; retirement age = current age + working months / 12.", label: "Current age", type: "number", section: "Finances" },
+  retirement_years: { tip: "Length of the decumulation phase. Success requires funding every month of it.", label: "Retirement years", type: "int", section: "Finances" },
+  allocation_inv1_pct: { tip: "Target weight of asset 1; monthly tax-aware rebalancing restores it.", label: "Allocation to Inv1", type: "percent", section: "Portfolio & taxes" },
+  inv1_returns_mean: { tip: "Arithmetic annual mean; converted to lognormal so E[gross] = 1 + mean.", label: "Inv1 return mean / yr", type: "percent", section: "Portfolio & taxes" },
+  inv1_returns_volatility: { tip: "Annual volatility of asset 1 (typical equity ~15%).", label: "Inv1 volatility / yr", type: "percent", section: "Portfolio & taxes" },
+  inv1_use_realized_gains_tax_system: { tip: "On: tax on sales (realized gains). Off: annual mark-to-market tax.", label: "Inv1 realized-gains tax", type: "toggle", section: "Portfolio & taxes" },
+  inv1_realized_gains_tax_rate: { tip: "Tax on realized gains when selling asset 1.", label: "Inv1 realized tax rate", type: "percent", section: "Portfolio & taxes" },
+  inv1_annual_tax_on_gains_rate: { tip: "Annual tax on positive market P&L (when not using realized taxation).", label: "Inv1 annual gains tax", type: "percent", section: "Portfolio & taxes" },
+  inv2_premium_over_inflation_mean: { tip: "Asset 2 compounds inflation times this premium.", label: "Inv2 premium mean / yr", type: "percent", section: "Portfolio & taxes" },
+  inv2_premium_over_inflation_volatility: { tip: "Volatility of the premium component.", label: "Inv2 premium volatility", type: "percent", section: "Portfolio & taxes" },
+  inv2_use_realized_gains_tax_system: { tip: "On: tax on sales (realized gains). Off: annual mark-to-market tax.", label: "Inv2 realized-gains tax", type: "toggle", section: "Portfolio & taxes" },
+  inv2_realized_gains_tax_rate: { tip: "Tax on realized gains when selling asset 2.", label: "Inv2 realized tax rate", type: "percent", section: "Portfolio & taxes" },
+  inv2_annual_tax_on_gains_rate: { tip: "Annual tax on positive market P&L (when not using realized taxation).", label: "Inv2 annual gains tax", type: "percent", section: "Portfolio & taxes" },
+  inflation_rate_mean: { tip: "Mean annual inflation; drives expenses and indexed income.", label: "Inflation mean / yr", type: "percent", section: "Inflation" },
+  inflation_rate_volatility: { tip: "Annual inflation volatility.", label: "Inflation volatility / yr", type: "percent", section: "Inflation" },
+  equity_inflation_correlation: { tip: "Correlation between equity and inflation shocks (-1 to 1).", label: "Equity–inflation correlation", type: "number", section: "Inflation", step: 0.05 },
+  num_simulations_main: { tip: "Paths for the final run (1000+; 10000+ for production).", label: "Final simulations", type: "int", section: "Simulation" },
+  num_simulations_search: { tip: "Paths per probe during the working-months search.", label: "Search simulations", type: "int", section: "Simulation" },
+  target_probability: { tip: "Required success probability the search must reach.", label: "Target success %", type: "number", section: "Simulation" },
+  starting_working_months_search: { tip: "Lower bound for the search.", label: "Search start (months)", type: "int", section: "Simulation" },
+  seed: { tip: "Fixes all randomness for reproducible runs; blank draws a fresh seed.", label: "Seed (blank = random)", type: "int-opt", section: "Simulation" },
+  num_processes: { tip: "Accepted for config compatibility; the TPU engine shards over devices.", label: "num_processes (compat)", type: "int-opt", section: "Simulation" },
 };
 
 const STREAM_FIELDS = {
@@ -121,9 +121,10 @@ export class ConfigEditor {
   _field(key, spec, value, onChange) {
     const field = document.createElement("div");
     field.className = "field" + (spec.wide ? " wide" : "");
+    if (spec.tip) field.title = spec.tip;
     if (spec.type !== "toggle") {
       const label = document.createElement("label");
-      label.textContent = spec.label;
+      label.textContent = spec.label + (spec.tip ? " ⓘ" : "");
       field.appendChild(label);
     }
     field.appendChild(this._input(spec, value, onChange));
