@@ -131,7 +131,15 @@ def _annual_taxes(state: PathState, alloc1: float) -> bool:
 def simulate_path_oracle(
     config: Config, working_months: int, shocks: np.ndarray
 ) -> dict:
-    """One lifetime; shocks is (T, 3) of raw independent standard normals."""
+    """One lifetime; shocks is (T, 3) of raw independent standard normals.
+
+    Also produces the yearly series: nominal trajectory (initial value, each
+    completed working year post-tax, the retirement date for partial working
+    years, each retirement year end — the at-death balance for the failure
+    year — padded with zeros after failure), the matching price levels
+    (padded with the last level), and the per-retirement-year real
+    withdrawal rates (NaN for the failure year onward).
+    """
     c = config
     mu1, s1 = arithmetic_to_log_params(c.inv1_returns_mean, c.inv1_returns_volatility)
     mui, si = arithmetic_to_log_params(c.inflation_rate_mean, c.inflation_rate_volatility)
@@ -169,6 +177,10 @@ def simulate_path_oracle(
         st.a2.balance *= g2
         st.price *= gi
 
+    trajectory = [c.initial_balance]
+    price_levels = [1.0]
+    wr_rates: list = []
+
     # ---------------- accumulation --------------------------------------
     for m in range(1, working_months + 1):
         grow(m - 1)
@@ -183,9 +195,14 @@ def simulate_path_oracle(
             if _annual_taxes(st, alloc1):
                 st.preret_failed = True
             st.a1.gain_acc = st.a2.gain_acc = 0.0
+            trajectory.append(st.a1.balance + st.a2.balance)
+            price_levels.append(st.price)
 
     start_balance = st.a1.balance + st.a2.balance
     price_at_ret = st.price
+    if working_months % MPY != 0:
+        trajectory.append(start_balance)
+        price_levels.append(st.price)
     if st.preret_failed:
         st.alive = False
         st.years_to_ruin = 0.0
@@ -205,6 +222,17 @@ def simulate_path_oracle(
     first_year_real = 0.0
 
     # ---------------- retirement ----------------------------------------
+    def record_year(failed: bool) -> None:
+        trajectory.append(max(0.0, st.a1.balance + st.a2.balance))
+        price_levels.append(st.price)
+        wr_rates.append(
+            nan if failed else (
+                year_real / start_balance * 100.0
+                if start_balance > EPS else 0.0
+            )
+        )
+
+    year_gross = year_real = 0.0
     for ret_idx in range(c.retirement_years * MPY):
         if not st.alive:
             break
@@ -232,12 +260,14 @@ def simulate_path_oracle(
 
         if st.a1.balance + st.a2.balance <= EPS and need > EPS:
             die()
+            record_year(failed=True)
             break
         grow(working_months + ret_idx)
         if st.a1.balance + st.a2.balance <= EPS and need > EPS:
             st.a1.balance = max(0.0, st.a1.balance)
             st.a2.balance = max(0.0, st.a2.balance)
             die()
+            record_year(failed=True)
             break
 
         caps = [st.a1.net_liquidation(), st.a2.net_liquidation()]
@@ -262,7 +292,10 @@ def simulate_path_oracle(
             first_year_gross, first_year_real = year_gross, year_real
         if failed:
             die()
+            record_year(failed=True)
             break
+        if (ret_idx + 1) % MPY == 0:
+            record_year(failed=False)
 
     # Trailing partial tax period for surviving paths.
     total_months = working_months + c.retirement_years * MPY
@@ -270,6 +303,16 @@ def simulate_path_oracle(
         if _annual_taxes(st, alloc1):
             st.alive = False
             st.years_to_ruin = float(c.retirement_years)
+        if trajectory:
+            trajectory[-1] = st.a1.balance + st.a2.balance
+
+    # Pad: failed paths fill remaining years with zero; price carries last.
+    expected_len = 1 + (working_months + MPY - 1) // MPY + c.retirement_years
+    while len(trajectory) < expected_len:
+        trajectory.append(0.0)
+        price_levels.append(price_levels[-1] if price_levels else 1.0)
+    while len(wr_rates) < c.retirement_years:
+        wr_rates.append(nan)
 
     return {
         "success": st.alive,
@@ -279,4 +322,7 @@ def simulate_path_oracle(
         "first_year_gross": first_year_gross,
         "first_year_real_gross": first_year_real,
         "inflation_at_retirement": price_at_ret,
+        "trajectory": trajectory,
+        "price_levels": price_levels,
+        "withdrawal_rates": wr_rates,
     }

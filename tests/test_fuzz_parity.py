@@ -13,6 +13,7 @@ import pytest
 from monte_carlo_retirement_tpu.engine.kernel import simulate_paths
 from monte_carlo_retirement_tpu.models.retirement import SimParams
 from monte_carlo_retirement_tpu.ops.shocks import stream_keys
+from monte_carlo_retirement_tpu.timing import expected_trajectory_length
 from tests.conftest import make_config
 from tests.oracle import simulate_path_oracle
 
@@ -109,7 +110,7 @@ def test_engine_matches_oracle_on_random_scenarios(case):
         ), f"case {case} path {p}"
 
 
-@pytest.mark.parametrize("case", range(4))
+@pytest.mark.parametrize("case", range(8))
 def test_engine_full_outputs_match_oracle(case):
     """Deeper check of the summary fields on a few scenarios."""
     rng = np.random.default_rng(2000 + case)
@@ -120,6 +121,7 @@ def test_engine_full_outputs_match_oracle(case):
 
     params = SimParams.from_config(cfg, dtype=jnp.float64)
     _, key = stream_keys(cfg.seed)
+    L = expected_trajectory_length(working_months, R)
     outs = simulate_paths(
         params,
         jnp.int32(working_months),
@@ -127,7 +129,7 @@ def test_engine_full_outputs_match_oracle(case):
         n_paths=N_PATHS,
         t_scan=T,
         retirement_years=R,
-        traj_len=1 + T // 12,
+        traj_len=L,
         dtype=jnp.float64,
     )
     shocks = np.stack(
@@ -158,4 +160,32 @@ def test_engine_full_outputs_match_oracle(case):
         )
         assert np.asarray(outs.first_year_real_gross)[p] == pytest.approx(
             expected["first_year_real_gross"], rel=1e-8, abs=1e-6
+        )
+        # Yearly series: nominal trajectory, price levels, withdrawal rates.
+        traj = np.asarray(outs.trajectory)[p][:L]
+        np.testing.assert_allclose(
+            traj, np.asarray(expected["trajectory"]), rtol=1e-8, atol=1e-6,
+            err_msg=f"case {case} path {p} trajectory",
+        )
+        wr_engine = np.asarray(outs.withdrawal_rates)[p]
+        wr_oracle = np.asarray(expected["withdrawal_rates"])
+        np.testing.assert_array_equal(
+            np.isnan(wr_engine), np.isnan(wr_oracle),
+            err_msg=f"case {case} path {p} wr NaN pattern",
+        )
+        valid = ~np.isnan(wr_oracle)
+        np.testing.assert_allclose(
+            wr_engine[valid], wr_oracle[valid], rtol=1e-8, atol=1e-9,
+            err_msg=f"case {case} path {p} withdrawal rates",
+        )
+        # Price levels only matter where the trajectory is recorded; compare
+        # the real (deflated) series instead, which is what the API exports.
+        price = np.asarray(outs.price_levels)[p][:L]
+        real_engine = np.where(price > 1e-6, traj / np.maximum(price, 1e-6), 0.0)
+        price_o = np.asarray(expected["price_levels"])
+        traj_o = np.asarray(expected["trajectory"])
+        real_oracle = np.where(price_o > 1e-6, traj_o / np.maximum(price_o, 1e-6), 0.0)
+        np.testing.assert_allclose(
+            real_engine, real_oracle, rtol=1e-8, atol=1e-6,
+            err_msg=f"case {case} path {p} real trajectory",
         )
