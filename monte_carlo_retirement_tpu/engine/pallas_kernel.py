@@ -110,11 +110,18 @@ def _make_kernel(
     retirement_years: int,
     with_shocks: bool,
     t_scan: int = 0,
+    block_axis: int = 0,
+    cand_axis=None,
 ):
     """Build the block kernel for a static (n_streams, R, debug-shock) combo.
 
     ``t_scan`` > 0 pins the month loop to a static trip count with a
     per-month horizon guard; 0 uses the dynamic bound W + 12R.
+    ``block_axis`` names the grid axis that indexes path blocks; in
+    candidate-parallel probes the grid is (candidates, blocks) and iparams is
+    blocked per candidate, so each grid step gets its own working_months
+    while the PRNG seed depends only on the path block (common random
+    numbers across candidates by construction).
     """
     R = retirement_years
     shape = (BLOCK_ROWS, 128)
@@ -129,17 +136,19 @@ def _make_kernel(
             rest = rest[1:]
         out_success, out_final = rest
 
-        w = iparams[I_W]
-        t_end = iparams[I_T_END]
+        row = pl.program_id(cand_axis) if cand_axis is not None else 0
+        w = iparams[row, I_W]
+        t_end = iparams[row, I_T_END]
         f = lambda i: fparams[i]
         w_f = w.astype(jnp.float32)
 
         if not with_shocks:
-            # Per-(stream, block) seed: golden-ratio mix keeps block streams
-            # decorrelated; int32 overflow wraps (two's complement), which is
-            # exactly what we want for mixing.
+            # Per-(stream, path-block) seed: golden-ratio mix keeps block
+            # streams decorrelated; int32 overflow wraps, which is fine for
+            # mixing. Candidate grid axes do NOT enter the seed (CRN).
             pltpu.prng_seed(
-                iparams[I_SEED] ^ (pl.program_id(0) * jnp.int32(-1640531527))
+                iparams[row, I_SEED]
+                ^ (pl.program_id(block_axis) * jnp.int32(-1640531527))
             )
 
         alloc1 = f(F_ALLOC1)
@@ -365,8 +374,10 @@ def _make_kernel(
         else:
             final = lax.fori_loop(1, t_end + 1, month, init)
         b1, c1, b2, c2 = final[0], final[1], final[2], final[3]
-        out_success[:] = final[7]  # alive flag, already 0/1 float32
-        out_final[:] = jnp.maximum(0.0, b1 + b2)
+        # alive flag is already a 0/1 float32; reshape covers both the
+        # (rows, 128) single-candidate and (1, rows, 128) probe out blocks.
+        out_success[:] = final[7].reshape(out_success.shape)
+        out_final[:] = jnp.maximum(0.0, b1 + b2).reshape(out_final.shape)
 
     return kernel
 
@@ -397,14 +408,12 @@ def _pack_params(params: SimParams, seed: int, working_months, retirement_years)
             params.ann_tax2.astype(f32),
         ]
     )
-    w = jnp.asarray(working_months, jnp.int32)
+    w = jnp.asarray(working_months, jnp.int32).reshape(-1)  # (K,) candidates
+    seeds = jnp.broadcast_to(jnp.asarray(seed, jnp.int32), w.shape)
     ip = jnp.stack(
-        [
-            w,
-            w + jnp.int32(MONTHS_PER_YEAR * retirement_years),
-            jnp.asarray(seed, jnp.int32),
-        ]
-    )
+        [w, w + jnp.int32(MONTHS_PER_YEAR * retirement_years), seeds],
+        axis=1,
+    )  # (K, NUM_IPARAMS)
     return ip, fp
 
 
@@ -481,3 +490,81 @@ def pallas_simulate(
         interpret=interpret,
     )(*inputs)
     return success.reshape(-1), final.reshape(-1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_candidates", "n_paths", "retirement_years",
+                     "n_streams", "t_scan", "interpret"),
+)
+def pallas_probe(
+    params: SimParams,
+    months,
+    seed,
+    *,
+    n_candidates: int,
+    n_paths: int,
+    retirement_years: int,
+    n_streams: int,
+    t_scan: int,
+    interpret: bool = False,
+):
+    """Candidate-parallel probe: one dispatch for a whole candidate batch.
+
+    The grid is (candidates, path-blocks); iparams is blocked per candidate
+    so every grid step simulates its own working_months, while the PRNG seed
+    depends only on the path-block axis — all candidates therefore see
+    identical shock draws (common random numbers), exactly like the XLA
+    probe path. Returns per-candidate success probabilities in percent,
+    shape (n_candidates,).
+    """
+    assert n_streams == params.n_streams
+    n_blocks = max(1, -(-n_paths // BLOCK_PATHS))
+    ip, fp = _pack_params(params, seed, months, retirement_years)
+
+    kernel = _make_kernel(
+        n_streams, retirement_years, with_shocks=False, t_scan=t_scan,
+        block_axis=1, cand_axis=0,
+    )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # full (K, 3); row = pid(0)
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    inputs = [ip, fp]
+    if n_streams:
+        f32 = jnp.float32
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+        inputs += [
+            params.stream_amount.astype(f32),
+            params.stream_months_from_t0.astype(f32),
+            jnp.minimum(
+                params.stream_duration_months.astype(f32), jnp.float32(3.0e7)
+            ),
+            params.stream_indexed.astype(f32),
+            params.stream_tax.astype(f32),
+        ]
+    out_shape = [
+        jax.ShapeDtypeStruct(
+            (n_candidates, n_blocks * BLOCK_ROWS, 128), jnp.float32
+        ),
+        jax.ShapeDtypeStruct(
+            (n_candidates, n_blocks * BLOCK_ROWS, 128), jnp.float32
+        ),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, BLOCK_ROWS, 128), lambda c, b: (c, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK_ROWS, 128), lambda c, b: (c, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    success, _final = pl.pallas_call(
+        kernel,
+        grid=(n_candidates, n_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    flat = success.reshape(n_candidates, -1)[:, :n_paths]
+    return jnp.mean(flat, axis=1) * 100.0

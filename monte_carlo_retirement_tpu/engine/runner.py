@@ -139,39 +139,72 @@ class Engine:
     # ------------------------------------------------------------------
     # probe: batched success probabilities for the search
     # ------------------------------------------------------------------
+    def _resolve_probe_backend(self, backend: Optional[str]) -> str:
+        backend = backend or os.environ.get("MCRT_PROBE_BACKEND", "auto")
+        if backend == "auto":
+            on_accelerator = jax.default_backend() != "cpu"
+            f32 = jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
+            return "pallas" if (on_accelerator and f32 and self.mesh is None) else "scan"
+        return backend
+
+    def _stream_seed(self, stream: str) -> int:
+        """A stable 31-bit seed per (main_seed, stream) for the Pallas PRNG."""
+        idx = 0 if stream == "search" else 1
+        state = np.random.SeedSequence([self.main_seed, idx]).generate_state(1)
+        return int(state[0] % (2**31))
+
     def probe(
         self,
         months: Sequence[int],
         num_simulations: int,
         stream: str = "search",
         horizon_months: Optional[int] = None,
+        backend: Optional[str] = None,
     ) -> List[float]:
         """Success probability (percent) for each working-month candidate.
 
-        Candidates batch as a vmap axis with shared shocks (common random
-        numbers are structural — draws depend only on (stream, month, path)).
-        Batches are padded to PROBE_WIDTH and, when ``horizon_months`` pins
-        the scan length, every call in a search reuses ONE executable.
+        Candidates batch with shared shocks (common random numbers are
+        structural — draws depend only on (stream, month, path)). Two
+        backends: 'scan' (XLA vmap over candidates; exact x64 semantics) and
+        'pallas' (candidate x path-block kernel grid; compiles in seconds
+        rather than minutes and is the default on TPU at float32). Batches
+        are padded to PROBE_WIDTH so every call in a search reuses ONE
+        executable.
         """
         months = [int(m) for m in months]
         if not months:
             return []
         t_scan = self._t_scan(int(horizon_months or max(months)))
+        use_pallas = self._resolve_probe_backend(backend) == "pallas"
         key = self._key(stream)
         out: List[float] = []
         for i in range(0, len(months), PROBE_WIDTH):
             chunk = months[i : i + PROBE_WIDTH]
             padded = chunk + [chunk[-1]] * (PROBE_WIDTH - len(chunk))
-            probs = _probe_jit(
-                self.params,
-                jnp.asarray(padded, dtype=jnp.int32),
-                key,
-                n_paths=int(num_simulations),
-                t_scan=t_scan,
-                retirement_years=self.retirement_years,
-                dtype=self.dtype,
-                mesh=self.mesh,
-            )
+            if use_pallas:
+                from .pallas_kernel import pallas_probe
+
+                probs = pallas_probe(
+                    self.params,
+                    jnp.asarray(padded, dtype=jnp.int32),
+                    self._stream_seed(stream),
+                    n_candidates=PROBE_WIDTH,
+                    n_paths=int(num_simulations),
+                    retirement_years=self.retirement_years,
+                    n_streams=self.params.n_streams,
+                    t_scan=t_scan,
+                )
+            else:
+                probs = _probe_jit(
+                    self.params,
+                    jnp.asarray(padded, dtype=jnp.int32),
+                    key,
+                    n_paths=int(num_simulations),
+                    t_scan=t_scan,
+                    retirement_years=self.retirement_years,
+                    dtype=self.dtype,
+                    mesh=self.mesh,
+                )
             out.extend(float(v) for v in np.asarray(probs)[: len(chunk)])
         return out
 
