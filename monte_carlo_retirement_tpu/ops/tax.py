@@ -65,8 +65,10 @@ def withdraw_net_target(
     net_frac = jnp.maximum(EPS, 1.0 - eff_tax)
     gross = jnp.minimum(net_target / net_frac, bal)
 
-    frac_sold = jnp.minimum(1.0, gross / _safe(bal))
-    basis_removed = jnp.minimum(basis, basis * frac_sold)
+    # gross <= bal by construction, so the sold fraction needs no clamping
+    # and basis * frac_sold <= basis (basis >= 0 throughout).
+    frac_sold = gross / _safe(bal)
+    basis_removed = basis * frac_sold
     taxable_gain = jnp.maximum(0.0, gross - basis_removed)
     tax_paid = jnp.where(use_realized_tax, taxable_gain * tax_rate, 0.0)
     net_cash = jnp.maximum(0.0, gross - tax_paid)
