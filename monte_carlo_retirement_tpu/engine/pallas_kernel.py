@@ -112,6 +112,8 @@ def _make_kernel(
     t_scan: int = 0,
     block_axis: int = 0,
     cand_axis=None,
+    rows: int = BLOCK_ROWS,
+    traj_len: int = 0,
 ):
     """Build the block kernel for a static (n_streams, R, debug-shock) combo.
 
@@ -124,17 +126,22 @@ def _make_kernel(
     numbers across candidates by construction).
     """
     R = retirement_years
-    shape = (BLOCK_ROWS, 128)
+    shape = (rows, 128)
+    track = traj_len > 0
     frtol = fail_rtol(jnp.float32)
 
     def kernel(iparams, fparams, *rest):
+        rest = list(rest)
         if n_streams:
             s_amount, s_from_t0, s_duration, s_indexed, s_tax = rest[:5]
             rest = rest[5:]
         if with_shocks:
-            shocks_ref = rest[0]
-            rest = rest[1:]
-        out_success, out_final = rest
+            shocks_ref = rest.pop(0)
+        if track:
+            (out_success, out_final, out_start, out_ytr, out_fyg, out_fyr,
+             out_inflret, out_traj, out_price, out_wr) = rest
+        else:
+            out_success, out_final = rest
 
         row = pl.program_id(cand_axis) if cand_axis is not None else 0
         w = iparams[row, I_W]
@@ -186,6 +193,25 @@ def _make_kernel(
         ).astype(jnp.float32) * 0.0
         b1_0 = zero_v + f(F_INIT_BAL) * alloc1
         b2_0 = zero_v + f(F_INIT_BAL) - b1_0
+        if track:
+            # Series buffers live directly in the (VMEM) output refs —
+            # Mosaic has no dynamic_update_slice on loop-carried values,
+            # and in-ref stores avoid carrying the buffers entirely.
+            out_traj[:] = jnp.zeros((traj_len, rows, 128), jnp.float32)
+            out_traj[0] = zero_v + f(F_INIT_BAL)
+            out_price[:] = jnp.ones((traj_len, rows, 128), jnp.float32)
+            out_wr[:] = jnp.full((R, rows, 128), jnp.nan, jnp.float32)
+            tracked0 = (
+                zero_v + jnp.nan,                        # years_to_ruin
+                zero_v + f(F_INIT_BAL),                  # start_balance
+                zero_v + 1.0,                            # inflation at ret.
+                zero_v,                                  # yg (year gross)
+                zero_v,                                  # yr (year real gross)
+                zero_v,                                  # first-year gross
+                zero_v,                                  # first-year real
+            )
+        else:
+            tracked0 = ()
         init = (
             b1_0, b1_0, b2_0, b2_0,                      # b1, c1, b2, c2
             zero_v + 1.0,                                # infl
@@ -194,7 +220,11 @@ def _make_kernel(
             zero_v + 1.0,                                # alive (0/1 flag)
             zero_v,                                      # preret_failed (0/1)
             tuple(zero_v - 1.0 for _ in range(n_streams)),
-        )
+        ) + tracked0
+
+        full_wy = w // MONTHS_PER_YEAR
+        partial_wy = (w % MONTHS_PER_YEAR != 0).astype(jnp.int32)
+
 
         def draw(m):
             if with_shocks:
@@ -210,7 +240,8 @@ def _make_kernel(
             return g1, gi, gi * gp
 
         def accum_month(m, st):
-            b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f, fixed = st
+            b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f, fixed = st[:10]
+            tracked = st[10:]
             g1, gi, g2 = draw(m)
             g1a = g1a + b1 * (g1 - 1.0)
             g2a = g2a + b2 * (g2 - 1.0)
@@ -245,14 +276,46 @@ def _make_kernel(
                 (b1, c1, b2, c2, g1a, g2a, preret_f),
             )
             # Pre-retirement tax ruin takes effect on the retirement date.
-            alive_f = jnp.where((m == w) & (preret_f > 0.5), 0.0, alive_f)
-            return (b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f, fixed)
+            at_w = m == w
+            alive_f = jnp.where(at_w & (preret_f > 0.5), 0.0, alive_f)
+            if track:
+                ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r = tracked
+                start_bal = jnp.where(at_w, b1 + b2, start_bal)
+                infl_ret = jnp.where(at_w, infl, infl_ret)
+                ytr = jnp.where(at_w & (preret_f > 0.5), 0.0, ytr)
+                # Yearly sample at full working years and at a partial-year
+                # retirement date (scalar predicates; one slot per month).
+                rec = ((m % MONTHS_PER_YEAR) == 0) | (at_w & (partial_wy == 1))
+                slot = jnp.clip(
+                    jnp.where(at_w, full_wy + partial_wy,
+                              m // MONTHS_PER_YEAR),
+                    0, traj_len - 1,
+                ).astype(jnp.int32)
+                total_rec = b1 + b2
+                infl_rec = infl
+
+                @pl.when(rec)
+                def _():
+                    out_traj[pl.ds(slot, 1)] = total_rec[None]
+                    out_price[pl.ds(slot, 1)] = infl_rec[None]
+
+                tracked = (ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r)
+            return (b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f,
+                    fixed) + tracked
 
         def ret_month(m, st):
-            b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f, fixed = st
+            b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f, fixed = st[:10]
+            tracked = st[10:]
             alive = alive_f > 0.5
+            alive0_f = alive_f
             k = m - w
+            ret_idx = k - 1
             ret_idx_f = (k - 1).astype(jnp.float32)
+            if track:
+                ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r = tracked
+                new_year = (ret_idx % MONTHS_PER_YEAR) == 0
+                yg = jnp.where(new_year, 0.0, yg)
+                yr = jnp.where(new_year, 0.0, yr)
 
             price0 = infl
             expenses = f(F_EXPENSES) * price0
@@ -303,10 +366,10 @@ def _make_kernel(
                 tnc > EPS, nc1 / jnp.where(tnc > EPS, tnc, 1.0), alloc1
             )
 
-            wb1, wc1, _gw1, nw1 = withdraw_net_target(
+            wb1, wc1, gw1, nw1 = withdraw_net_target(
                 b1, c1, target * prop1, use_real1, f(F_R_REAL1)
             )
-            wb2, wc2, _gw2, nw2 = withdraw_net_target(
+            wb2, wc2, gw2, nw2 = withdraw_net_target(
                 b2, c2, target * (1.0 - prop1), use_real2, f(F_R_REAL2)
             )
             b1 = jnp.where(wmask, wb1, b1)
@@ -314,6 +377,10 @@ def _make_kernel(
             b2 = jnp.where(wmask, wb2, b2)
             c2 = jnp.where(wmask, wc2, c2)
             fail_net = wmask & (need > EPS) & (nw1 + nw2 < need - ftol)
+            if track:
+                gw = jnp.where(wmask, gw1 + gw2, 0.0)
+                yg = yg + gw
+                yr = yr + gw * infl_ret / jnp.maximum(price0, EPS)
 
             rb1, rc1, rb2, rc2 = monthly_rebalance(b1, c1, b2, c2)
             b1 = jnp.where(wmask, rb1, b1)
@@ -353,9 +420,73 @@ def _make_kernel(
                 (b1, c1, b2, c2, g1a, g2a),
             )
             dies = dies_pre | (tfail_f > 0.5)
+            settle_failed = is_settle & (tfail_f > 0.5)
+            dies_regular = dies & ~settle_failed
             alive_f = jnp.where(dies, 0.0, alive_f)
+            if track:
+                ytr = jnp.where(
+                    dies_regular,
+                    (ret_idx.astype(jnp.float32) + 1.0) / MONTHS_PER_YEAR,
+                    ytr,
+                )
+                ytr = jnp.where(settle_failed, jnp.float32(R), ytr)
+                year0 = (ret_idx // MONTHS_PER_YEAR) == 0
+                year_end = (k % MONTHS_PER_YEAR) == 0
+                cap_fy = (alive0_f > 0.5) & year0 & (dies_regular | year_end)
+                fy_g = jnp.where(cap_fy, yg, fy_g)
+                fy_r = jnp.where(cap_fy, yr, fy_r)
+
+                slot = jnp.clip(
+                    full_wy + partial_wy
+                    + (k + MONTHS_PER_YEAR - 1) // MONTHS_PER_YEAR,
+                    0, traj_len - 1,
+                ).astype(jnp.int32)
+                yslot = jnp.clip(
+                    k // MONTHS_PER_YEAR - 1, 0, R - 1
+                ).astype(jnp.int32)
+                total2 = b1 + b2
+                # Dead paths froze at death, so total2 is the at-death
+                # balance for deaths this year; older deaths pad zero.
+                death_k = jnp.round(ytr * MONTHS_PER_YEAR)
+                y_f = (k // MONTHS_PER_YEAR - 1).astype(jnp.float32)
+                died_this_year = (
+                    death_k > y_f * MONTHS_PER_YEAR + 0.5
+                ) & (death_k < k.astype(jnp.float32) + 0.5)
+                alive_now = alive_f > 0.5
+                wmask_rec = alive_now | died_this_year
+                value_rec = jnp.where(
+                    wmask_rec,
+                    jnp.where(alive_now, total2, jnp.maximum(0.0, total2)),
+                    0.0,  # non-recording dead paths keep their zero padding
+                )
+                infl_rec = infl
+                # WR recorded for paths that completed the whole year
+                # (includes a failed terminal settle, like the reference).
+                wr_mask = (alive0_f > 0.5) & ~dies_regular
+                wr_value = jnp.where(
+                    start_bal > EPS,
+                    yr / jnp.maximum(start_bal, EPS) * 100.0,
+                    0.0,
+                )
+
+                @pl.when((k % MONTHS_PER_YEAR) == 0)
+                def _():
+                    old_t = out_traj[pl.ds(slot, 1)][0]
+                    out_traj[pl.ds(slot, 1)] = jnp.where(
+                        wmask_rec, value_rec, old_t
+                    )[None]
+                    old_p = out_price[pl.ds(slot, 1)][0]
+                    out_price[pl.ds(slot, 1)] = jnp.where(
+                        wmask_rec, infl_rec, old_p
+                    )[None]
+                    old_w = out_wr[pl.ds(yslot, 1)][0]
+                    out_wr[pl.ds(yslot, 1)] = jnp.where(
+                        wr_mask, wr_value, old_w
+                    )[None]
+
+                tracked = (ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r)
             return (b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f,
-                    tuple(new_fixed))
+                    tuple(new_fixed)) + tracked
 
         def month(m, st):
             return lax.cond(
@@ -378,6 +509,13 @@ def _make_kernel(
         # (rows, 128) single-candidate and (1, rows, 128) probe out blocks.
         out_success[:] = final[7].reshape(out_success.shape)
         out_final[:] = jnp.maximum(0.0, b1 + b2).reshape(out_final.shape)
+        if track:
+            ytr, start_bal, infl_ret, _yg, _yr, fy_g, fy_r = final[10:]
+            out_ytr[:] = ytr.reshape(out_ytr.shape)
+            out_start[:] = start_bal.reshape(out_start.shape)
+            out_inflret[:] = infl_ret.reshape(out_inflret.shape)
+            out_fyg[:] = fy_g.reshape(out_fyg.shape)
+            out_fyr[:] = fy_r.reshape(out_fyr.shape)
 
     return kernel
 
@@ -568,3 +706,111 @@ def pallas_probe(
     )(*inputs)
     flat = success.reshape(n_candidates, -1)[:, :n_paths]
     return jnp.mean(flat, axis=1) * 100.0
+
+
+FULL_BLOCK_ROWS = 32  # smaller path blocks in full mode: the trajectory
+# buffers ((traj_len + R) x rows x 128 floats) must fit VMEM alongside state.
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_paths", "retirement_years", "n_streams", "traj_len",
+                     "t_scan", "with_shocks", "interpret"),
+)
+def pallas_simulate_full(
+    params: SimParams,
+    working_months,
+    seed,
+    *,
+    n_paths: int,
+    retirement_years: int,
+    n_streams: int,
+    traj_len: int,
+    t_scan: int,
+    shocks=None,
+    with_shocks: bool = False,
+    interpret: bool = False,
+):
+    """Full-statistics simulation on the Pallas kernel.
+
+    Returns a dict of per-path arrays: success/final/start/ytr/fy_g/fy_r/
+    infl_ret of shape (n_padded,), trajectory/price (n_padded, traj_len) and
+    wr (n_padded, R). Same semantics as the XLA scan kernel's tracked mode
+    (pinned by the injected-shocks parity suite); RNG matches the Pallas
+    probe path, so a search and its final run share CRN structure.
+    """
+    assert n_streams == params.n_streams
+    rows = FULL_BLOCK_ROWS
+    block_paths = rows * 128
+    n_blocks = max(1, -(-n_paths // block_paths))
+    ip, fp = _pack_params(params, seed, working_months, retirement_years)
+    R = retirement_years
+
+    kernel = _make_kernel(
+        n_streams, retirement_years, with_shocks=with_shocks, t_scan=t_scan,
+        rows=rows, traj_len=traj_len,
+    )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    inputs = [ip, fp]
+    if n_streams:
+        f32 = jnp.float32
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+        inputs += [
+            params.stream_amount.astype(f32),
+            params.stream_months_from_t0.astype(f32),
+            jnp.minimum(
+                params.stream_duration_months.astype(f32), jnp.float32(3.0e7)
+            ),
+            params.stream_indexed.astype(f32),
+            params.stream_tax.astype(f32),
+        ]
+    if with_shocks:
+        assert n_blocks == 1, "injected shocks support a single block only"
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        inputs.append(shocks.astype(jnp.float32))
+
+    n_pad = n_blocks * rows
+    vec = jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)
+    vec_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    series = lambda L: jax.ShapeDtypeStruct((L, n_pad, 128), jnp.float32)
+    series_spec = pl.BlockSpec(
+        (traj_len, rows, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    wr_spec = pl.BlockSpec(
+        (R, rows, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = [vec] * 7 + [series(traj_len), series(traj_len), series(R)]
+    out_specs = [vec_spec] * 7 + [series_spec, series_spec, wr_spec]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    (succ, final, start, ytr, fy_g, fy_r, infl_ret, traj, price, wr) = outs
+    flat = lambda x: x.reshape(-1)
+    # (L, rows, 128) -> (path, L) with path = row * 128 + lane, matching the
+    # flattening of the per-path vectors above.
+    per_path_series = lambda x: jnp.transpose(x, (1, 2, 0)).reshape(
+        n_pad * 128, -1
+    )
+    return {
+        "success": flat(succ),
+        "final_balance": flat(final),
+        "start_balance": flat(start),
+        "years_to_ruin": flat(ytr),
+        "first_year_gross": flat(fy_g),
+        "first_year_real_gross": flat(fy_r),
+        "inflation_at_retirement": flat(infl_ret),
+        "trajectory": per_path_series(traj),
+        "price_levels": per_path_series(price),
+        "withdrawal_rates": per_path_series(wr),
+    }

@@ -212,7 +212,11 @@ class Engine:
     # full run with all statistics
     # ------------------------------------------------------------------
     def run(
-        self, working_months: int, num_simulations: int, stream: str = "final"
+        self,
+        working_months: int,
+        num_simulations: int,
+        stream: str = "final",
+        backend: Optional[str] = None,
     ) -> RunResult:
         working_months = int(working_months)
         n = int(num_simulations)
@@ -223,18 +227,46 @@ class Engine:
             np.random.default_rng(self.main_seed).choice(n, size=k, replace=False),
             dtype=jnp.int32,
         )
-        outs, summary = _run_jit(
-            self.params,
-            jnp.asarray(working_months, dtype=jnp.int32),
-            self._key(stream),
-            sample_idx,
-            n_paths=n,
-            t_scan=t_scan,
-            retirement_years=self.retirement_years,
-            traj_len=traj_len,
-            dtype=self.dtype,
-            mesh=self.mesh,
-        )
+        if self._resolve_probe_backend(backend) == "pallas":
+            from .kernel import PathOutputs
+            from .pallas_kernel import pallas_simulate_full
+
+            full = pallas_simulate_full(
+                self.params,
+                working_months,
+                self._stream_seed(stream),
+                n_paths=n,
+                retirement_years=self.retirement_years,
+                n_streams=self.params.n_streams,
+                traj_len=traj_len,
+                t_scan=t_scan,
+            )
+            outs = PathOutputs(
+                success=full["success"][:n] > 0.5,
+                final_balance=full["final_balance"][:n],
+                start_balance=full["start_balance"][:n],
+                years_to_ruin=full["years_to_ruin"][:n],
+                first_year_gross=full["first_year_gross"][:n],
+                first_year_real_gross=full["first_year_real_gross"][:n],
+                inflation_at_retirement=full["inflation_at_retirement"][:n],
+                trajectory=full["trajectory"][:n],
+                price_levels=full["price_levels"][:n],
+                withdrawal_rates=full["withdrawal_rates"][:n],
+            )
+            summary = _summarize_jit(outs, sample_idx)
+        else:
+            outs, summary = _run_jit(
+                self.params,
+                jnp.asarray(working_months, dtype=jnp.int32),
+                self._key(stream),
+                sample_idx,
+                n_paths=n,
+                t_scan=t_scan,
+                retirement_years=self.retirement_years,
+                traj_len=traj_len,
+                dtype=self.dtype,
+                mesh=self.mesh,
+            )
         L = expected_trajectory_length(working_months, self.retirement_years)
         return RunResult(
             working_months=working_months,
@@ -347,3 +379,5 @@ _run_jit = jax.jit(
     static_argnames=("n_paths", "t_scan", "retirement_years", "traj_len", "dtype",
                      "mesh"),
 )
+
+_summarize_jit = jax.jit(summarize)

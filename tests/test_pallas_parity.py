@@ -129,3 +129,96 @@ def test_pallas_matches_scan_with_injected_shocks(working_months, overrides):
     final_p = np.asarray(final_p)
     rel = np.abs(final_p - final_s) / np.maximum(np.abs(final_s), 1.0)
     assert float(rel.max()) < 5e-3, f"final-balance rel err {rel.max():.2e}"
+
+
+@pytest.mark.parametrize("working_months", [0, 13, 24])
+def test_pallas_full_mode_matches_scan(working_months):
+    """Full-statistics Pallas mode reproduces every tracked output of the
+    scan kernel under injected shocks."""
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        FULL_BLOCK_ROWS,
+        pallas_simulate_full,
+    )
+    from monte_carlo_retirement_tpu.timing import expected_trajectory_length
+
+    cfg = make_config(
+        retirement_years=4,
+        seed=17,
+        initial_balance=120_000.0,
+        monthly_contribution=1_500.0,
+        monthly_expenses=2_200.0,
+        inv1_annual_tax_on_gains_rate=0.2,
+        inv1_use_realized_gains_tax_system=False,
+        inv2_use_realized_gains_tax_system=True,
+        inv2_realized_gains_tax_rate=0.15,
+        other_income_streams=[
+            {
+                "name": "P",
+                "monthly_amount_today": 900.0,
+                "start_at_age": 41.0,
+                "duration_years": 2,
+                "inflation_indexed": False,
+                "tax_rate": 0.1,
+            }
+        ],
+    )
+    params = SimParams.from_config(cfg, dtype=jnp.float32)
+    _, key = stream_keys(17)
+    R = 4
+    T = working_months + 12 * R
+    N = FULL_BLOCK_ROWS * 128
+    L = expected_trajectory_length(working_months, R)
+
+    z = jnp.stack(
+        [
+            jax.random.normal(
+                jax.random.fold_in(key, m), (N, 3), dtype=jnp.float32
+            )
+            for m in range(1, T + 1)
+        ]
+    )
+    shocks = jnp.transpose(z, (0, 2, 1)).reshape(T, 3, FULL_BLOCK_ROWS, 128)
+
+    full = pallas_simulate_full(
+        params, working_months, 0,
+        n_paths=N, retirement_years=R, n_streams=1, traj_len=L, t_scan=T,
+        shocks=shocks, with_shocks=True, interpret=True,
+    )
+    outs = simulate_paths(
+        params, jnp.int32(working_months), key,
+        n_paths=N, t_scan=T, retirement_years=R, traj_len=L,
+        dtype=jnp.float32,
+    )
+
+    assert (
+        (np.asarray(full["success"]) > 0.5) == np.asarray(outs.success)
+    ).mean() > 0.999
+    for name, scan_val in [
+        ("final_balance", outs.final_balance),
+        ("start_balance", outs.start_balance),
+        ("first_year_gross", outs.first_year_gross),
+        ("first_year_real_gross", outs.first_year_real_gross),
+        ("inflation_at_retirement", outs.inflation_at_retirement),
+    ]:
+        a = np.asarray(full[name])
+        b = np.asarray(scan_val)
+        rel = np.abs(a - b) / np.maximum(np.abs(b), 1.0)
+        assert float(np.quantile(rel, 0.999)) < 5e-3, f"{name}: {rel.max():.2e}"
+
+    ytr_p = np.asarray(full["years_to_ruin"])
+    ytr_s = np.asarray(outs.years_to_ruin)
+    same_nan = np.isnan(ytr_p) == np.isnan(ytr_s)
+    assert same_nan.mean() > 0.999
+    both = same_nan & ~np.isnan(ytr_s)
+    np.testing.assert_allclose(ytr_p[both], ytr_s[both], atol=1e-5)
+
+    traj_p = np.asarray(full["trajectory"])[:, :L]
+    traj_s = np.asarray(outs.trajectory)
+    rel = np.abs(traj_p - traj_s) / np.maximum(np.abs(traj_s), 1.0)
+    assert float(np.quantile(rel, 0.999)) < 5e-3
+
+    wr_p = np.asarray(full["withdrawal_rates"])
+    wr_s = np.asarray(outs.withdrawal_rates)
+    assert (np.isnan(wr_p) == np.isnan(wr_s)).mean() > 0.999
+    ok = ~np.isnan(wr_s) & ~np.isnan(wr_p)
+    np.testing.assert_allclose(wr_p[ok], wr_s[ok], rtol=5e-3, atol=1e-4)
