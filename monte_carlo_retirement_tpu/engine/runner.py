@@ -22,11 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..constants import MONTHS_PER_YEAR, NUM_SAMPLE_PATHS, SMALL_EPSILON
+from ..constants import MONTHS_PER_YEAR, NUM_SAMPLE_PATHS
 from ..logging_utils import generate_seed_from_timestamp
 from ..models.retirement import SimParams
 from ..ops.shocks import stream_keys
-from ..ops.stats import RunSummary, summarize
+from ..ops.stats import summarize
 from ..timing import expected_trajectory_length
 from .kernel import PathOutputs, simulate_paths
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 import logging
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
-import numpy as np
 import pandas as pd
 
 from ..config import Config

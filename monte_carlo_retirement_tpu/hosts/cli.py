@@ -23,7 +23,7 @@ import logging
 import sys
 
 from ..config import Config, ConfigurationError, load_config_from_json
-from ..constants import MONTHS_PER_YEAR, SMALL_EPSILON
+from ..constants import MONTHS_PER_YEAR
 from ..engine.simulator import (
     RetirementMonteCarloSimulator,
     median_first_year_withdrawal_rate,

@@ -10,8 +10,6 @@ from __future__ import annotations
 import math
 from typing import Dict, List, Optional
 
-import pandas as pd
-
 from ..config import Config
 from ..constants import MONTHS_PER_YEAR, SMALL_EPSILON
 from ..engine.simulator import median_first_year_withdrawal_rate
