@@ -113,6 +113,7 @@ def _make_kernel(
     cand_axis=None,
     rows: int = BLOCK_ROWS,
     traj_len: int = 0,
+    multi_params: bool = False,
 ):
     """Build the block kernel for a static (n_streams, R, debug-shock) combo.
 
@@ -145,7 +146,14 @@ def _make_kernel(
         row = pl.program_id(cand_axis) if cand_axis is not None else 0
         w = iparams[row, I_W]
         t_end = iparams[row, I_T_END]
-        f = lambda i: fparams[i]
+        if multi_params:
+            # Scenario grids: every float parameter (and stream table) is a
+            # per-candidate row, so one kernel dispatch sweeps a config grid.
+            f = lambda i: fparams[row, i]
+            stream_cell = lambda arr, s: arr[row, s]
+        else:
+            f = lambda i: fparams[i]
+            stream_cell = lambda arr, s: arr[s]
         w_f = w.astype(jnp.float32)
 
         if not with_shocks:
@@ -178,7 +186,10 @@ def _make_kernel(
         if n_streams:
             stream_start = [
                 jnp.maximum(
-                    0.0, jnp.ceil(jnp.maximum(0.0, s_from_t0[s] - w_f) - EPS)
+                    0.0,
+                    jnp.ceil(
+                        jnp.maximum(0.0, stream_cell(s_from_t0, s) - w_f) - EPS
+                    ),
                 )
                 for s in range(n_streams)
             ]
@@ -321,19 +332,20 @@ def _make_kernel(
             net_income = jnp.zeros(shape, jnp.float32)
             new_fixed = []
             for s in range(n_streams):
+                amount_s = stream_cell(s_amount, s)
                 active = (ret_idx_f >= stream_start[s]) & (
-                    ret_idx_f < stream_start[s] + s_duration[s]
+                    ret_idx_f < stream_start[s] + stream_cell(s_duration, s)
                 )
                 fixed_s = jnp.where(
                     active & (ret_idx_f == stream_start[s]) & (fixed[s] < 0),
-                    s_amount[s] * price0,
+                    amount_s * price0,
                     fixed[s],
                 )
                 nominal = jnp.where(
-                    s_indexed[s] > 0.5, s_amount[s] * price0, fixed_s
+                    stream_cell(s_indexed, s) > 0.5, amount_s * price0, fixed_s
                 )
                 net_income = net_income + jnp.where(
-                    active, nominal * (1.0 - s_tax[s]), 0.0
+                    active, nominal * (1.0 - stream_cell(s_tax, s)), 0.0
                 )
                 new_fixed.append(fixed_s)
             need = jnp.maximum(0.0, expenses - net_income)
@@ -813,3 +825,86 @@ def pallas_simulate_full(
         "price_levels": per_path_series(price),
         "withdrawal_rates": per_path_series(wr),
     }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_scenarios", "n_paths", "retirement_years",
+                     "n_streams", "t_scan", "interpret"),
+)
+def pallas_scenario_grid(
+    params_batch: SimParams,
+    months,
+    seed,
+    *,
+    n_scenarios: int,
+    n_paths: int,
+    retirement_years: int,
+    n_streams: int,
+    t_scan: int,
+    interpret: bool = False,
+):
+    """Scenario-grid probe: every (config, working_months) pair in one
+    dispatch on the Pallas kernel.
+
+    ``params_batch`` is a struct-of-arrays SimParams (leading scenario axis,
+    see engine.scenario_batch.stack_params); the kernel grid is
+    (scenarios, path-blocks) with per-row parameters and path-block-only PRNG
+    seeding, so the whole grid shares shock draws (CRN across scenarios).
+    Returns success probabilities in percent, shape (n_scenarios,).
+    """
+    # Batched SimParams carry streams as (K, S); n_streams is the last axis.
+    assert n_streams == int(params_batch.stream_amount.shape[-1])
+    n_blocks = max(1, -(-n_paths // BLOCK_PATHS))
+    ip, fp_rows = _pack_params(params_batch, seed, months, retirement_years)
+    # _pack_params stacks per-parameter vectors of shape (K,) -> fp (NF, K);
+    # the kernel wants rows per scenario: (K, NF).
+    fp = jnp.transpose(fp_rows)
+
+    kernel = _make_kernel(
+        n_streams, retirement_years, with_shocks=False, t_scan=t_scan,
+        block_axis=1, cand_axis=0, multi_params=True,
+    )
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # iparams (K, 3)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # fparams (K, NF)
+    ]
+    inputs = [ip, fp]
+    if n_streams:
+        f32 = jnp.float32
+        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+        inputs += [
+            params_batch.stream_amount.astype(f32),
+            params_batch.stream_months_from_t0.astype(f32),
+            jnp.minimum(
+                params_batch.stream_duration_months.astype(f32),
+                jnp.float32(3.0e7),
+            ),
+            params_batch.stream_indexed.astype(f32),
+            params_batch.stream_tax.astype(f32),
+        ]
+    out_shape = [
+        jax.ShapeDtypeStruct(
+            (n_scenarios, n_blocks * BLOCK_ROWS, 128), jnp.float32
+        ),
+        jax.ShapeDtypeStruct(
+            (n_scenarios, n_blocks * BLOCK_ROWS, 128), jnp.float32
+        ),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, BLOCK_ROWS, 128), lambda c, b: (c, b, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BLOCK_ROWS, 128), lambda c, b: (c, b, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    success, _final = pl.pallas_call(
+        kernel,
+        grid=(n_scenarios, n_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    flat = success.reshape(n_scenarios, -1)[:, :n_paths]
+    return jnp.mean(flat, axis=1) * 100.0
