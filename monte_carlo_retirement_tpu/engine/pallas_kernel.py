@@ -149,11 +149,31 @@ def _make_kernel(
         if multi_params:
             # Scenario grids: every float parameter (and stream table) is a
             # per-candidate row, so one kernel dispatch sweeps a config grid.
-            f = lambda i: fparams[row, i]
-            stream_cell = lambda arr, s: arr[row, s]
+            # Read the row ONCE here — per-use SMEM reads inside the month
+            # loop defeat loop-invariant hoisting and cost ~25x.
+            fvals = [fparams[row, i] for i in range(NUM_FPARAMS)]
+            f = lambda i: fvals[i]
+            _cells = {}
+
+            def stream_cell(arr, s):
+                key = (id(arr), s)
+                if key not in _cells:
+                    _cells[key] = arr[row, s]
+                return _cells[key]
         else:
-            f = lambda i: fparams[i]
-            stream_cell = lambda arr, s: arr[s]
+            # Hoist every SMEM parameter read out of the month loop (per-use
+            # reads measurably serialize against the loop).
+            fvals = [fparams[i] for i in range(NUM_FPARAMS)]
+            f = lambda i: fvals[i]
+            if n_streams:
+                _svals = {
+                    id(arr): [arr[s] for s in range(n_streams)]
+                    for arr in (s_amount, s_from_t0, s_duration, s_indexed,
+                                s_tax)
+                }
+                stream_cell = lambda arr, s: _svals[id(arr)][s]
+            else:
+                stream_cell = lambda arr, s: arr[s]
         w_f = w.astype(jnp.float32)
 
         if not with_shocks:
