@@ -117,3 +117,49 @@ def test_seed_reproducibility_and_stream_independence():
     np.testing.assert_allclose(a.final_balance, b.final_balance)
     c = Engine(cfg).run(12, 32, stream="search")
     assert not np.allclose(a.final_balance, c.final_balance)
+
+
+def test_device_summaries_match_numpy_reference():
+    """On-device percentile/summary reductions equal their NumPy/pandas
+    counterparts on the same per-path outputs."""
+    import pandas as pd
+
+    from monte_carlo_retirement_tpu.engine.kernel import simulate_paths
+    from monte_carlo_retirement_tpu.models.retirement import SimParams
+    from monte_carlo_retirement_tpu.ops.stats import summarize
+
+    cfg = make_config(retirement_years=6, seed=31, monthly_expenses=2_500.0)
+    params = SimParams.from_config(cfg, dtype=jnp.float64)
+    _, key = stream_keys(31)
+    outs = simulate_paths(
+        params, jnp.int32(18), key, n_paths=128, t_scan=90,
+        retirement_years=6, traj_len=9, dtype=jnp.float64,
+    )
+    sample_idx = jnp.arange(5, dtype=jnp.int32)
+    summary = summarize(outs, sample_idx)
+
+    final = np.asarray(outs.final_balance)
+    np.testing.assert_allclose(
+        np.asarray(summary.final_balance_percentiles),
+        np.percentile(final, [1, 5, 10, 25, 50, 75, 90, 95, 99]),
+        rtol=1e-12,
+    )
+    traj = np.asarray(outs.trajectory)
+    np.testing.assert_allclose(
+        np.asarray(summary.trajectory_percentiles),
+        np.percentile(traj, [5, 10, 25, 50, 75, 90, 95], axis=0),
+        rtol=1e-12,
+    )
+    wr = np.asarray(outs.withdrawal_rates)
+    wr_df = pd.DataFrame(wr.T)
+    expected = wr_df.quantile([0.05, 0.25, 0.5, 0.75, 0.95], axis=1).to_numpy()
+    got = np.asarray(summary.wr_percentiles)
+    mask = ~np.isnan(expected)
+    np.testing.assert_allclose(got[mask], expected[mask], rtol=1e-12)
+    np.testing.assert_array_equal(
+        np.asarray(summary.wr_observation_counts),
+        (~np.isnan(wr)).sum(axis=0),
+    )
+    assert float(summary.success_probability) == pytest.approx(
+        np.asarray(outs.success).mean() * 100.0
+    )
