@@ -189,3 +189,48 @@ def test_engine_full_outputs_match_oracle(case):
             real_engine, real_oracle, rtol=1e-8, atol=1e-6,
             err_msg=f"case {case} path {p} real trajectory",
         )
+
+
+@pytest.mark.parametrize(
+    "overrides,working_months",
+    [
+        (dict(allocation_inv1_pct=0.0), 7),     # single-asset (inv2 only)
+        (dict(allocation_inv1_pct=1.0), 25),    # single-asset (inv1 only)
+        (dict(initial_balance=0.0, monthly_contribution=0.0), 0),  # empty
+        (dict(equity_inflation_correlation=-1.0,
+              inflation_rate_mean=-0.005), 13), # deflation + perfect anticorr
+    ],
+)
+def test_engine_matches_oracle_on_edge_scenarios(overrides, working_months):
+    cfg = make_config(
+        retirement_years=3,
+        seed=4242,
+        monthly_expenses=1_800.0,
+        inv1_use_realized_gains_tax_system=True,
+        inv1_realized_gains_tax_rate=0.15,
+        inv2_annual_tax_on_gains_rate=0.2,
+        inv2_use_realized_gains_tax_system=False,
+        **overrides,
+    )
+    R = cfg.retirement_years
+    T = working_months + 12 * R
+    params = SimParams.from_config(cfg, dtype=jnp.float64)
+    _, key = stream_keys(cfg.seed)
+    outs = simulate_paths(
+        params, jnp.int32(working_months), key,
+        n_paths=N_PATHS, t_scan=T, retirement_years=R, traj_len=0,
+        dtype=jnp.float64,
+    )
+    shocks = np.stack(
+        [
+            np.asarray(jax.random.normal(
+                jax.random.fold_in(key, m), (N_PATHS, 3), dtype=jnp.float64))
+            for m in range(1, T + 1)
+        ]
+    )
+    for p in range(N_PATHS):
+        expected = simulate_path_oracle(cfg, working_months, shocks[:, p, :])
+        assert bool(np.asarray(outs.success)[p]) == expected["success"]
+        assert np.asarray(outs.final_balance)[p] == pytest.approx(
+            expected["final_balance"], rel=1e-8, abs=1e-6
+        )
