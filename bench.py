@@ -30,7 +30,6 @@ REPEATS = 5
 def main() -> None:
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from monte_carlo_retirement_tpu.config import Config, load_config_from_json
     from monte_carlo_retirement_tpu.engine.pallas_kernel import pallas_simulate
@@ -52,6 +51,7 @@ def main() -> None:
     params = SimParams.from_config(config, dtype=jnp.float32)
     t_scan = RETIREMENT_YEARS * 12  # W=0: exactly 600 months
 
+    @jax.jit
     def run(seed):
         succ, _final = pallas_simulate(
             params,
@@ -62,18 +62,17 @@ def main() -> None:
             n_streams=params.n_streams,
             t_scan=t_scan,
         )
-        return succ
+        # Reduce on device: fetching the 4 MB success vector through the
+        # host link would dominate the measurement.
+        return jnp.mean(succ[:N_PATHS]) * 100.0
 
     # Warmup (compile; served from the persistent cache when available).
-    succ = run(0)
-    rate = float(np.asarray(succ)[:N_PATHS].mean()) * 100.0
+    rate = float(run(0))
 
     times = []
     for rep in range(REPEATS):
         t0 = time.perf_counter()
-        succ = run(rep + 1)
-        # Fetch forces end-to-end completion (the reduction rides along).
-        float(np.asarray(succ)[:N_PATHS].mean())
+        rate_rep = float(run(rep + 1))  # scalar fetch = end-to-end completion
         times.append((time.perf_counter() - t0) * 1000.0)
     # Min-of-N: the tunnel to the chip adds multi-ms queue noise per call;
     # the minimum is the reproducible device latency.
