@@ -7,24 +7,27 @@ for the whole lifetime â€” the only HBM traffic is the final per-path outputs â€
 and generates shocks with the core-local PRNG (`pltpu.prng_random_bits`), so
 the month loop is pure VPU compute.
 
-Layout: paths are tiled into blocks of (BLOCK_ROWS, 128); the grid iterates
-blocks; each grid step runs the complete month loop for its block with a
-`fori_loop` whose *dynamic* bound is working_months + 12*retirement_years
-(no padded months, no scan-length buckets â€” and therefore no recompiles
-across working-month candidates or horizons).
+Layout: paths are tiled into blocks of (rows, 128); the grid iterates blocks
+(and, for candidate/scenario grids, a leading candidate axis whose rows
+select per-candidate parameters from SMEM); each grid step runs the complete
+month loop with a *static* trip count plus a scalar horizon guard (dynamic
+`fori_loop` bounds miscompile at larger grids on this toolchain).
+`working_months` stays a traced SMEM scalar, so candidates never recompile.
 
-RNG: the per-core PRNG is seeded per (stream_seed, block), and each month
-draws four uniform words per path -> two Box-Muller pairs -> three standard
-normals (equity, inflation-independent, premium). Draws therefore depend
-only on (stream, block, month, lane), which gives common random numbers
-across working-month candidates structurally, like the XLA path. The bit
-streams differ from the XLA threefry path, so cross-backend parity is
-statistical (Monte Carlo), not bitwise; the month *logic* is bit-identical
-and covered by an injected-shocks parity test against the scan kernel.
+RNG: the per-core PRNG is seeded per (stream_seed, path-block) â€” candidate
+axes never enter the seed â€” and each month draws three 23-bit uniforms ->
+inverse-CDF normals (equity, inflation-independent, premium). Draws depend
+only on (stream, block, month, lane): common random numbers across
+working-month candidates and scenario grids hold structurally, like the XLA
+path. The bit streams differ from XLA's threefry, so cross-backend parity is
+statistical (Monte Carlo); the month *logic* is bit-identical and pinned by
+injected-shocks parity tests against the scan kernel.
 
-Probe mode only for now: outputs are per-path success and final balance â€”
-exactly what the working-months search and the headline benchmark consume.
-Full-statistics runs use the XLA scan path (sub-second at dashboard sizes).
+Entry points: `pallas_simulate` (per-path success/final), `pallas_probe`
+(candidate-parallel success probabilities for the search),
+`pallas_simulate_full` (adds retirement snapshots and the yearly
+trajectory/price/withdrawal-rate series via in-ref stores), and
+`pallas_scenario_grid` (per-row parameter sweeps).
 """
 
 from __future__ import annotations
