@@ -254,6 +254,32 @@ async def index(_request: web.Request) -> web.Response:
     return web.FileResponse(index_path)
 
 
+def _warmup() -> None:
+    """Precompile the default scenario's executables in the background so the
+    first user request doesn't pay compilation (disable: MCRT_WARMUP=0)."""
+    try:
+        if not os.path.exists(DEFAULT_CONFIG_PATH):
+            return
+        config = Config(**json.load(open(DEFAULT_CONFIG_PATH, encoding="utf-8")))
+        simulator = RetirementMonteCarloSimulator(config)
+        simulator.engine.probe(
+            [config.starting_working_months_search],
+            config.num_simulations_search,
+            horizon_months=config.starting_working_months_search + 70 * 12,
+        )
+        simulator.engine.run(
+            config.starting_working_months_search, min(8, config.num_simulations_main)
+        )
+        log.info("Warmup complete: default-scenario executables compiled.")
+    except Exception:  # pragma: no cover - warmup is best-effort
+        log.exception("Warmup failed (serving continues)")
+
+
+async def _start_warmup(app: web.Application):
+    if os.environ.get("MCRT_WARMUP", "1") != "0":
+        asyncio.get_event_loop().run_in_executor(None, _warmup)
+
+
 def create_app() -> web.Application:
     app = web.Application(middlewares=[cors_middleware])
     app.router.add_get("/api/health", health)
@@ -264,6 +290,7 @@ def create_app() -> web.Application:
     if os.path.isdir(FRONTEND_DIR):
         app.router.add_get("/", index)
         app.router.add_static("/", FRONTEND_DIR)
+    app.on_startup.append(_start_warmup)
     return app
 
 

@@ -12,6 +12,7 @@ container's sitecustomize registers the TPU plugin before pytest starts.
 import os
 import sys
 
+os.environ["MCRT_WARMUP"] = "0"  # no background compiles during tests
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
