@@ -99,7 +99,16 @@ class SimParams(NamedTuple):
             config.inv2_premium_over_inflation_mean,
             config.inv2_premium_over_inflation_volatility,
         )
-        streams = config.other_income_streams
+        # Streams that can never pay (zero amount or zero duration) are
+        # pruned from the kernel parameters — they contribute exactly nothing
+        # to the income waterfall but would cost per-month work. Host-side
+        # consumers (reference lines, payloads) read the Config, which keeps
+        # every stream.
+        streams = [
+            s
+            for s in config.other_income_streams
+            if s.monthly_amount_today > 1e-6 and s.duration_years != 0
+        ]
         n = len(streams)
         amounts = np.array([s.monthly_amount_today for s in streams], dtype=np.float64)
         from_t0 = np.array(
