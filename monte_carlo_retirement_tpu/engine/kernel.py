@@ -48,8 +48,8 @@ from ..ops.shocks import monthly_gross_factors, monthly_shocks
 from ..ops.tax import (
     apply_annual_gain_taxes,
     fail_rtol,
-    net_liquidation_value,
     rebalance,
+    sale_tax_profile,
     withdraw_net_target,
 )
 
@@ -351,8 +351,8 @@ def simulate_paths(
 
         # --- capacity-limited withdrawal, split pro-rata by net capacity
         wmask = gmask & ~dies_b
-        nc1 = net_liquidation_value(b1, c1, p.use_real1, f(p.real_tax1))
-        nc2 = net_liquidation_value(b2, c2, p.use_real2, f(p.real_tax2))
+        eff1, nc1 = sale_tax_profile(b1, c1, p.use_real1, f(p.real_tax1))
+        eff2, nc2 = sale_tax_profile(b2, c2, p.use_real2, f(p.real_tax2))
         tnc = nc1 + nc2
         target = jnp.maximum(0.0, jnp.minimum(need, tnc))
         # Funding failures use a dtype-relative slack (ops.tax.fail_rtol);
@@ -364,10 +364,11 @@ def simulate_paths(
         )
 
         wb1, wc1, gw1, nw1 = withdraw_net_target(
-            b1, c1, target * prop1, p.use_real1, f(p.real_tax1)
+            b1, c1, target * prop1, p.use_real1, f(p.real_tax1), eff_tax=eff1
         )
         wb2, wc2, gw2, nw2 = withdraw_net_target(
-            b2, c2, target * (1.0 - prop1), p.use_real2, f(p.real_tax2)
+            b2, c2, target * (1.0 - prop1), p.use_real2, f(p.real_tax2),
+            eff_tax=eff2,
         )
         b1 = jnp.where(wmask, wb1, b1)
         c1 = jnp.where(wmask, wc1, c1)

@@ -47,8 +47,8 @@ from ..models.retirement import SimParams
 from ..ops.tax import (
     apply_annual_gain_taxes,
     fail_rtol,
-    net_liquidation_value,
     rebalance,
+    sale_tax_profile,
     withdraw_net_target,
 )
 
@@ -390,8 +390,8 @@ def _make_kernel(
             b2 = jnp.where(dies_b, jnp.maximum(0.0, b2), b2)
 
             wmask = gmask & ~dies_b
-            nc1 = net_liquidation_value(b1, c1, use_real1, f(F_R_REAL1))
-            nc2 = net_liquidation_value(b2, c2, use_real2, f(F_R_REAL2))
+            eff1, nc1 = sale_tax_profile(b1, c1, use_real1, f(F_R_REAL1))
+            eff2, nc2 = sale_tax_profile(b2, c2, use_real2, f(F_R_REAL2))
             tnc = nc1 + nc2
             target = jnp.maximum(0.0, jnp.minimum(need, tnc))
             ftol = EPS + frtol * (need + total1)
@@ -401,10 +401,11 @@ def _make_kernel(
             )
 
             wb1, wc1, gw1, nw1 = withdraw_net_target(
-                b1, c1, target * prop1, use_real1, f(F_R_REAL1)
+                b1, c1, target * prop1, use_real1, f(F_R_REAL1), eff_tax=eff1
             )
             wb2, wc2, gw2, nw2 = withdraw_net_target(
-                b2, c2, target * (1.0 - prop1), use_real2, f(F_R_REAL2)
+                b2, c2, target * (1.0 - prop1), use_real2, f(F_R_REAL2),
+                eff_tax=eff2,
             )
             b1 = jnp.where(wmask, wb1, b1)
             c1 = jnp.where(wmask, wc1, c1)

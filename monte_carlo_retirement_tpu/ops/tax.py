@@ -42,12 +42,29 @@ def _safe(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(x > EPS, x, jnp.ones_like(x))
 
 
+def sale_tax_profile(
+    bal: jnp.ndarray,
+    basis: jnp.ndarray,
+    use_realized_tax: jnp.ndarray,
+    tax_rate: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-asset quantities shared by capacity checks and withdrawals:
+    the effective tax per gross dollar sold and the full-liquidation net
+    capacity (identical to ``net_liquidation_value``)."""
+    gain = jnp.maximum(0.0, bal - basis)
+    eff_tax = jnp.where(use_realized_tax, (gain / _safe(bal)) * tax_rate, 0.0)
+    tax = jnp.where(use_realized_tax, gain * tax_rate, 0.0)
+    capacity = jnp.where(bal <= EPS, 0.0, jnp.maximum(0.0, bal - tax))
+    return eff_tax, capacity
+
+
 def withdraw_net_target(
     bal: jnp.ndarray,
     basis: jnp.ndarray,
     net_target: jnp.ndarray,
     use_realized_tax: jnp.ndarray,
     tax_rate: jnp.ndarray,
+    eff_tax=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Sell just enough of one asset to deliver ``net_target`` cash after
     realized-gains tax, under average-cost basis accounting.
@@ -55,13 +72,16 @@ def withdraw_net_target(
     Basis removed is proportional to the *fraction of shares sold* — after a
     loss it may legitimately exceed sale proceeds. The sale is capped at the
     full balance, so the net cash delivered can fall short of the target.
+    ``eff_tax`` (from ``sale_tax_profile``) may be passed to share the
+    gain-fraction computation with a preceding capacity check.
 
     Returns (new_balance, new_basis, gross_withdrawal, net_cash_delivered).
     """
     active = (bal > EPS) & (net_target > 0)
 
-    gain_frac = jnp.maximum(0.0, bal - basis) / _safe(bal)
-    eff_tax = jnp.where(use_realized_tax, gain_frac * tax_rate, 0.0)
+    if eff_tax is None:
+        gain_frac = jnp.maximum(0.0, bal - basis) / _safe(bal)
+        eff_tax = jnp.where(use_realized_tax, gain_frac * tax_rate, 0.0)
     net_frac = jnp.maximum(EPS, 1.0 - eff_tax)
     gross = jnp.minimum(net_target / net_frac, bal)
 
@@ -204,8 +224,8 @@ def apply_annual_gain_taxes(
     due2 = jnp.where(use_real2, 0.0, jnp.maximum(0.0, gain2) * rate_ann2)
     total_due = due1 + due2
 
-    cap1 = net_liquidation_value(bal1, basis1, use_real1, rate_real1)
-    cap2 = net_liquidation_value(bal2, basis2, use_real2, rate_real2)
+    eff1, cap1 = sale_tax_profile(bal1, basis1, use_real1, rate_real1)
+    eff2, cap2 = sale_tax_profile(bal2, basis2, use_real2, rate_real2)
     total_cap = cap1 + cap2
     payment = jnp.minimum(total_due, total_cap)
     tol = EPS + fail_rtol(bal1.dtype) * (total_due + total_cap)
@@ -216,10 +236,10 @@ def apply_annual_gain_taxes(
     share2 = 1.0 - share1
 
     nb1, nc1, _, net1 = withdraw_net_target(
-        bal1, basis1, payment * share1, use_real1, rate_real1
+        bal1, basis1, payment * share1, use_real1, rate_real1, eff_tax=eff1
     )
     nb2, nc2, _, net2 = withdraw_net_target(
-        bal2, basis2, payment * share2, use_real2, rate_real2
+        bal2, basis2, payment * share2, use_real2, rate_real2, eff_tax=eff2
     )
     bal1 = jnp.where(do_pay, nb1, bal1)
     basis1 = jnp.where(do_pay, nc1, basis1)
