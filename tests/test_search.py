@@ -173,3 +173,41 @@ def test_end_to_end_search_on_engine():
     assert tested[months] >= 85.0
     below = [p for m, p in tested.items() if m < months]
     assert all(p < 85.0 for p in below)
+
+
+def test_search_with_nonzero_starting_months():
+    """The ladder starts (and the cap anchors) at the configured start."""
+    probed = []
+
+    def probe(months):
+        probed.extend(months)
+        return [100.0 if m >= 30 else 10.0 for m in months]
+
+    months, prob, _ = find_minimum_working_months(
+        probe,
+        starting_working_months=24,
+        target_probability_pct=50.0,
+        sim_count=100,
+        verbose=False,
+    )
+    assert months == 30
+    assert min(probed) == 24
+    assert max(probed) <= 24 + 70 * 12
+
+
+def test_search_target_met_exactly_at_cap():
+    """A hit at the very last ladder point (start + 70y) is still found."""
+    cap = 15 + 70 * 12
+
+    def probe(months):
+        return [100.0 if m >= cap else 0.0 for m in months]
+
+    months, prob, _ = find_minimum_working_months(
+        probe,
+        starting_working_months=15,
+        target_probability_pct=90.0,
+        sim_count=10_000,  # tiny margin -> verification region stays small
+        verbose=False,
+    )
+    assert months == cap
+    assert prob == 100.0
