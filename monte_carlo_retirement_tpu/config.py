@@ -114,9 +114,11 @@ class Config(BaseModel):
     def _warn_high_inflation_vol(cls, v: float, info: ValidationInfo) -> float:
         if v > 0.05:
             log.warning(
-                "Inflation volatility (%.1f%%) is relatively high for scenario '%s'.",
-                v * 100,
+                "Scenario '%s' sets inflation volatility to %.1f%% — above the "
+                "5%% sanity threshold; double-check the input is a fraction, "
+                "not a percent.",
                 info.data.get("Nickname", "N/A"),
+                v * 100,
             )
         return v
 
@@ -125,11 +127,11 @@ class Config(BaseModel):
     def _warn_low_equity_vol(cls, v: float, info: ValidationInfo) -> float:
         if v < 0.05:
             log.warning(
-                "Equity (Inv1) volatility (%.1f%%) is unusually low for scenario "
-                "'%s'; typical equity vol is ~15%%. Sequence-of-returns risk will "
-                "be understated.",
-                v * 100,
+                "Scenario '%s' sets inv1 (equity) volatility to %.1f%% — below "
+                "the 5%% sanity threshold (broad equity indices run near 15%%); "
+                "ruin-risk estimates may look rosier than reality.",
                 info.data.get("Nickname", "N/A"),
+                v * 100,
             )
         return v
 

@@ -465,9 +465,14 @@ def simulate_paths(
                 )
                 write_mask = cc.alive | died_this_year
                 value = jnp.where(cc.alive, total2, jnp.maximum(0.0, total2))
+                # Price levels write unconditionally: a dead path's infl is
+                # frozen at death, so later slots carry the at-death price
+                # level forward — the reference's padding semantics
+                # (backend/simulation.py:902-937).
+                ones = jnp.ones((n_paths,), dtype=bool)
                 cc = cc._replace(
                     traj=write_col(cc.traj, slot, value, write_mask),
-                    price=write_col(cc.price, slot, cc.infl, write_mask),
+                    price=write_col(cc.price, slot, cc.infl, ones),
                 )
                 wr_mask = alive0 & ~dies_regular  # completed the whole year
                 wr_value = jnp.where(

@@ -510,10 +510,10 @@ def _make_kernel(
                     out_traj[pl.ds(slot, 1)] = jnp.where(
                         wmask_rec, value_rec, old_t
                     )[None]
-                    old_p = out_price[pl.ds(slot, 1)][0]
-                    out_price[pl.ds(slot, 1)] = jnp.where(
-                        wmask_rec, infl_rec, old_p
-                    )[None]
+                    # Unconditional: dead paths' infl froze at death, so this
+                    # carries the at-death price level into post-death slots
+                    # (reference padding, backend/simulation.py:902-937).
+                    out_price[pl.ds(slot, 1)] = infl_rec[None]
                     old_w = out_wr[pl.ds(yslot, 1)][0]
                     out_wr[pl.ds(yslot, 1)] = jnp.where(
                         wr_mask, wr_value, old_w
@@ -771,8 +771,14 @@ def pallas_simulate_full(
     Returns a dict of per-path arrays: success/final/start/ytr/fy_g/fy_r/
     infl_ret of shape (n_padded,), trajectory/price (n_padded, traj_len) and
     wr (n_padded, R). Same semantics as the XLA scan kernel's tracked mode
-    (pinned by the injected-shocks parity suite); RNG matches the Pallas
-    probe path, so a search and its final run share CRN structure.
+    (pinned by the injected-shocks parity suite).
+
+    RNG note: probe mode (BLOCK_ROWS) and full mode (FULL_BLOCK_ROWS) tile
+    paths differently, so the same path index sees different draws — the two
+    entry points use independent bit streams. CRN (same (stream, month) →
+    same shocks across candidate months) holds *within* each entry point,
+    which is where the search relies on it; search and final runs are on
+    independent seed streams by design anyway.
     """
     assert n_streams == params.n_streams
     rows = FULL_BLOCK_ROWS

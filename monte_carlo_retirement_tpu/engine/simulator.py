@@ -138,20 +138,7 @@ class RetirementMonteCarloSimulator:
         """One path as a reference-style dict. ``path_seed`` selects the path
         row within the active stream (shock rows are independent)."""
         del path_seed  # rows are interchangeable; kept for signature parity
-        res = self.engine.run(working_months, 1, stream=self._stream_name)
-        wr_row = res.wr_percentiles[2]  # median over one path == the path
-        return {
-            "Start Balance": float(res.start_balance[0]),
-            "Final Balance": float(max(0.0, res.final_balance[0])),
-            "Success": bool(res.success[0]),
-            "YearsToRuin": float(res.years_to_ruin[0]),
-            "First Year Gross Withdrawal": float(res.first_year_gross[0]),
-            "First Year Real Gross Withdrawal": float(res.first_year_real_gross[0]),
-            "Trajectory": [float(v) for v in res.sample_trajectories[0]],
-            "RealTrajectory": [float(v) for v in res.sample_real_trajectories[0]],
-            "WithdrawalRateTrajectory": [float(v) for v in wr_row],
-            "Inflation At Retirement": float(res.inflation_at_retirement[0]),
-        }
+        return self.engine.run_path(working_months, stream=self._stream_name)
 
     # -- metrics ---------------------------------------------------------
     def _success_probability(self, summary_df: pd.DataFrame) -> float:

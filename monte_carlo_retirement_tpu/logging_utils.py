@@ -1,8 +1,10 @@
-"""Logging + reporting helpers (stdlib logging; loguru-style format).
+"""Logging and run-report helpers (stdlib logging).
 
-Covers the reference's utils.py responsibilities: timestamp-derived seeds,
-exhaustive input-parameter logging and final-result reporting
-(reference: backend/utils.py:9-103).
+Plays the role of the reference's ``backend/utils.py`` (seed derivation,
+config echo, result report) but is structured differently: instead of
+keyword-sniffing field names at log time, each config field is registered
+with an explicit display format, and the report is grouped by theme with
+aligned columns. Unknown/extra fields still print via a generic fallback.
 """
 
 from __future__ import annotations
@@ -11,6 +13,7 @@ import datetime as _dt
 import hashlib
 import logging
 import sys
+from logging.handlers import RotatingFileHandler
 from typing import Optional
 
 import numpy as np
@@ -20,6 +23,7 @@ from .constants import MONTHS_PER_YEAR
 
 LOG_FORMAT = "%(asctime)s | %(levelname)-8s | %(name)s:%(funcName)s:%(lineno)d - %(message)s"
 DATE_FORMAT = "%Y-%m-%d %H:%M:%S"
+MAX_LOG_BYTES = 10 * 1024 * 1024  # rotate file sinks at 10 MB
 
 log = logging.getLogger("mcrt")
 
@@ -27,7 +31,8 @@ log = logging.getLogger("mcrt")
 def configure_logging(
     level: int = logging.INFO, logfile: Optional[str] = None
 ) -> None:
-    """Configure the root 'mcrt' logger with stderr + optional file sinks."""
+    """Configure the 'mcrt' logger with a stderr sink and an optional
+    size-rotated file sink (10 MB per file, 3 backups)."""
     logger = logging.getLogger("mcrt")
     logger.setLevel(level)
     logger.handlers.clear()
@@ -35,7 +40,9 @@ def configure_logging(
     stream.setFormatter(logging.Formatter(LOG_FORMAT, DATE_FORMAT))
     logger.addHandler(stream)
     if logfile:
-        fileh = logging.FileHandler(logfile)
+        fileh = RotatingFileHandler(
+            logfile, maxBytes=MAX_LOG_BYTES, backupCount=3
+        )
         fileh.setFormatter(logging.Formatter(LOG_FORMAT, DATE_FORMAT))
         logger.addHandler(fileh)
 
@@ -46,63 +53,99 @@ def generate_seed_from_timestamp() -> int:
     return int.from_bytes(hashlib.sha256(ts.encode()).digest()[:8], "big") % (2**32 - 1)
 
 
-_MONEY_KEYWORDS = ("balance", "contribution", "expenses", "amount")
-_PCT_KEYWORDS = ("rate", "mean", "volatility", "pct")
-_PCT_EXCLUDED = {
-    "initial_balance",
-    "monthly_contribution",
-    "monthly_expenses",
-    "monthly_amount_today",
-}
+# ---------------------------------------------------------------------------
+# Config report: explicit per-field display registry, grouped by theme.
+# ---------------------------------------------------------------------------
+
+def _usd(v) -> str:
+    return f"${v:,.2f}"
+
+
+def _pct(v) -> str:
+    return f"{v * 100:.2f}%"
+
+
+def _raw(v) -> str:
+    return str(v)
+
+
+# (section, field, formatter). Fields absent from this registry fall back to
+# a generic str() line so schema additions never go unreported.
+_FIELD_DISPLAY = (
+    ("balances & cash flow", "initial_balance", _usd),
+    ("balances & cash flow", "monthly_contribution", _usd),
+    ("balances & cash flow", "contribution_growth_rate_annual", _pct),
+    ("balances & cash flow", "monthly_expenses", _usd),
+    ("timeline", "current_age", _raw),
+    ("timeline", "retirement_years", _raw),
+    ("portfolio & taxes", "allocation_inv1_pct", _pct),
+    ("portfolio & taxes", "inv1_returns_mean", _pct),
+    ("portfolio & taxes", "inv1_returns_volatility", _pct),
+    ("portfolio & taxes", "inv1_annual_tax_on_gains_rate", _pct),
+    ("portfolio & taxes", "inv1_realized_gains_tax_rate", _pct),
+    ("portfolio & taxes", "inv1_use_realized_gains_tax_system", _raw),
+    ("portfolio & taxes", "inv2_premium_over_inflation_mean", _pct),
+    ("portfolio & taxes", "inv2_premium_over_inflation_volatility", _pct),
+    ("portfolio & taxes", "inv2_annual_tax_on_gains_rate", _pct),
+    ("portfolio & taxes", "inv2_realized_gains_tax_rate", _pct),
+    ("portfolio & taxes", "inv2_use_realized_gains_tax_system", _raw),
+    ("inflation", "inflation_rate_mean", _pct),
+    ("inflation", "inflation_rate_volatility", _pct),
+    ("inflation", "equity_inflation_correlation", _raw),
+    ("simulation", "num_simulations_main", _raw),
+    ("simulation", "num_simulations_search", _raw),
+    ("simulation", "target_probability", lambda v: f"{v:.2f}%"),
+    ("simulation", "starting_working_months_search", _raw),
+    ("simulation", "seed", _raw),
+    ("simulation", "num_processes", _raw),
+)
+
+_REGISTERED = {f for _, f, _fmt in _FIELD_DISPLAY}
+_SKIP_GENERIC = {"Nickname", "other_income_streams"}
+
+
+def _describe_stream(s) -> str:
+    horizon = "open-ended" if s.duration_years is None else f"{s.duration_years}y"
+    cola = "CPI-linked" if s.inflation_indexed else "fixed nominal from start"
+    return (
+        f"{s.name}: ${s.monthly_amount_today:,.0f}/mo today-$, "
+        f"from age {s.start_at_age:g}, horizon {horizon}, {cola}, "
+        f"taxed {s.tax_rate * 100:.0f}%"
+    )
 
 
 def log_input_parameters(config: Config) -> None:
-    """Pretty-print every configuration field with %/$ formatting heuristics."""
-    log.info("--- Input Parameters For Scenario: %s ---", config.Nickname)
-    for key, value in config.model_dump(by_alias=False).items():
-        title = key.replace("_", " ").title()
-        if key == "Nickname":
+    """Echo the effective configuration, grouped by theme with aligned keys."""
+    log.info("=== scenario %r: effective configuration ===", config.Nickname)
+    dumped = config.model_dump(by_alias=False)
+    width = max(len(f) for _, f, _fmt in _FIELD_DISPLAY)
+    section = None
+    for sec, field, fmt in _FIELD_DISPLAY:
+        if field not in dumped:
             continue
-        if key == "other_income_streams":
-            log.info("%s:", title)
-            if not config.other_income_streams:
-                log.info("  - None")
-            for s in config.other_income_streams:
-                duration = (
-                    f", lasts {s.duration_years} yrs"
-                    if s.duration_years is not None
-                    else ", lasts indefinitely"
-                )
-                indexing = (
-                    " (Fully Inflation Adj.)"
-                    if s.inflation_indexed
-                    else " (Nominal Fixed at Stream Start)"
-                )
-                log.info(
-                    "  - %s: $%s/mo (T=0 real value), starts at age %g%s%s, Tax: %.0f%%",
-                    s.name,
-                    f"{s.monthly_amount_today:,.0f}",
-                    s.start_at_age,
-                    duration,
-                    indexing,
-                    s.tax_rate * 100,
-                )
-        elif key == "target_probability":
-            log.info("%s: %.2f%%", title, value)
-        elif (
-            isinstance(value, float)
-            and any(k in key for k in _PCT_KEYWORDS)
-            and key not in _PCT_EXCLUDED
-        ):
-            log.info("%s: %.2f%%", title, value * 100)
-        elif isinstance(value, (float, int)) and any(k in key for k in _MONEY_KEYWORDS):
-            log.info("%s: $%s", title, f"{value:,.2f}")
-        else:
-            log.info("%s: %s", title, value)
+        if sec != section:
+            section = sec
+            log.info("[%s]", sec)
+        log.info("  %-*s = %s", width, field, fmt(dumped[field]))
+    extras = [
+        k for k in dumped if k not in _REGISTERED and k not in _SKIP_GENERIC
+    ]
+    if extras:
+        log.info("[other]")
+        for k in extras:
+            log.info("  %-*s = %s", width, k, dumped[k])
+    log.info("[income streams]")
+    if not config.other_income_streams:
+        log.info("  (none)")
+    for s in config.other_income_streams:
+        log.info("  %s", _describe_stream(s))
     log.info(
-        "Allocation Inv2 Pct (Calculated): %.2f%%", config.allocation_inv2_pct * 100
+        "  %-*s = %s (derived: 1 - allocation_inv1_pct)",
+        width,
+        "allocation_inv2_pct",
+        _pct(config.allocation_inv2_pct),
     )
-    log.info("--- End of Input Parameters ---")
+    log.info("=== end configuration ===")
 
 
 def log_simulation_results(
@@ -114,31 +157,27 @@ def log_simulation_results(
     swr: float,
     final_balances: np.ndarray,
 ) -> None:
-    """Report the headline results plus the final-balance percentile ladder."""
-    log.info("--- Final Simulation Results for Scenario: '%s' ---", config.Nickname)
+    """Report headline metrics and the final-balance percentile ladder."""
+    log.info("=== Final Simulation Results: scenario %r ===", config.Nickname)
     log.info(
-        "Determined Required Working Months: %d (%.1f years)",
+        "working months required   : %d  (%.1f years)",
         required_w_months,
         required_w_months / MONTHS_PER_YEAR,
     )
     log.info(
-        "Probability of Not Running Out of Money (Final Sims): %.2f%% (Target: %.2f%%)",
+        "success probability       : %.2f%%  (target %.2f%%)",
         final_success_prob_pct,
         config.target_probability,
     )
+    log.info("median balance @ retire   : %s  (all paths)", _usd(median_start_ret_bal))
     log.info(
-        "Median Balance at Start of Retirement (All Sims): $%s",
-        f"{median_start_ret_bal:,.2f}",
+        "median final balance      : %s  (successful paths)",
+        _usd(median_final_bal_successful),
     )
-    log.info(
-        "Median Final Balance (Successful Sims Only): $%s",
-        f"{median_final_bal_successful:,.2f}",
+    log.info("first-year withdrawal rate: %.2f%%  (median real gross / start)", swr)
+    bal = np.asarray(final_balances, dtype=float)
+    ladder = ", ".join(
+        f"p{p}={max(0.0, float(np.percentile(bal, p))):,.0f}"
+        for p in (1, 5, 10, 25, 50, 75, 90, 95, 99)
     )
-    log.info(
-        "Est. First-year Real Withdrawal Rate (median, real gross / start bal): %.2f%%",
-        swr,
-    )
-    log.info("Final Balance Percentiles (All Sims, $):")
-    for p in (1, 5, 10, 25, 50, 75, 90, 95, 99):
-        value = float(np.percentile(np.asarray(final_balances, dtype=float), p))
-        log.info("  %dth: %s", p, f"{max(0.0, value):,.2f}")
+    log.info("final balance ladder ($)  : %s", ladder)

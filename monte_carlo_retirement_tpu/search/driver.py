@@ -132,12 +132,19 @@ def find_minimum_working_months(
         chunk = ladder[lo_i:hi_i]
         _evaluate(chunk)
         hits = [m for m in chunk if cache[m] >= target]
-        misses = [m for m in chunk if cache[m] < target]
-        if misses:
-            state["lo"] = max(state["lo"], max(misses))
         if hits:
             first_hit = min(hits)
             state["hi"] = first_hit
+        # Only misses strictly below the first hit may raise lo — a noisy
+        # miss above it would otherwise report lo > hi in progress events.
+        misses = [
+            m
+            for m in chunk
+            if cache[m] < target and (first_hit is None or m < first_hit)
+        ]
+        if misses:
+            state["lo"] = max(state["lo"], max(misses))
+        if hits:
             break
 
     if cache.get(start, -1.0) >= target:
