@@ -1,0 +1,277 @@
+"""Automated parity against the ACTUAL reference implementation.
+
+The reference engine (/root/reference/backend, pure Python/NumPy) is imported
+directly — with a stub for its `loguru` dependency — and run side-by-side
+with this framework on the shipped scenario files:
+
+  * exact trajectory-grid equality,
+  * exact single-path equality on zero-volatility scenarios (the full
+    semantic stack: taxes, rebalance, streams, ruin, partial years),
+  * success-probability agreement within Monte Carlo error on config.json
+    and jorge.json (the two engines use different RNGs — NumPy Philox vs
+    threefry — so stochastic parity is statistical, not bitwise),
+  * working-months search agreement on jorge.json.
+
+These replace the manual spot checks previously recorded in docs/PARITY.md.
+Reference entry points: backend/simulation.py:952-1128 (batch runner),
+:1138-1343 (search), :99-123 (trajectory grid), :476-950 (single path).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from monte_carlo_retirement_tpu.config import Config
+from monte_carlo_retirement_tpu.engine.runner import Engine
+from monte_carlo_retirement_tpu.engine.simulator import (
+    RetirementMonteCarloSimulator,
+)
+from monte_carlo_retirement_tpu.timing import trajectory_time_points
+from tests.conftest import DETERMINISTIC, make_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_BACKEND = "/root/reference/backend"
+SEED = 2026
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Import the reference engine with a silent loguru stand-in."""
+    if not os.path.isdir(REF_BACKEND):
+        pytest.skip("reference checkout not available")
+    if "loguru" not in sys.modules:
+        loguru = types.ModuleType("loguru")
+
+        class _Silent:
+            def __getattr__(self, name):
+                return lambda *a, **k: None
+
+        loguru.logger = _Silent()
+        sys.modules["loguru"] = loguru
+    if REF_BACKEND not in sys.path:
+        sys.path.append(REF_BACKEND)  # append: never shadow repo modules
+    import config as ref_config  # noqa: F401  (reference module)
+    import simulation as ref_simulation
+
+    return ref_simulation, ref_config
+
+
+def _scenario(name: str, **overrides) -> dict:
+    data = json.load(open(os.path.join(REPO, name)))
+    data["seed"] = SEED
+    data["num_processes"] = 1
+    data.update(overrides)
+    return data
+
+
+def _binomial_sigma_pct(p_pct: float, n: int) -> float:
+    p = min(max(p_pct / 100.0, 1e-6), 1 - 1e-6)
+    return math.sqrt(p * (1 - p) / n) * 100.0
+
+
+# ---------------------------------------------------------------------------
+# Exact parity
+# ---------------------------------------------------------------------------
+
+def test_trajectory_grid_equals_reference(ref):
+    ref_sim, _ = ref
+    for months, years in [(0, 10), (13, 50), (233, 50), (75, 40), (12, 1)]:
+        ours = trajectory_time_points(months, years)
+        theirs = ref_sim.trajectory_time_points(months, years)
+        assert len(ours) == len(theirs)
+        np.testing.assert_allclose(ours, theirs, rtol=0, atol=1e-12)
+
+
+_ZERO_VOL_CASES = {
+    # Realized-gains taxes + rebalance + an inflation-indexed pension that
+    # starts mid-retirement, with a partial working year (13 months).
+    "realized_tax_stream": dict(
+        working_months=13,
+        overrides=dict(
+            initial_balance=400_000.0,
+            monthly_contribution=3_000.0,
+            contribution_growth_rate_annual=0.03,
+            monthly_expenses=3_500.0,
+            current_age=55.0,
+            retirement_years=10,
+            allocation_inv1_pct=0.6,
+            inv1_returns_mean=0.07,
+            inv1_realized_gains_tax_rate=0.15,
+            inv1_use_realized_gains_tax_system=True,
+            inv2_premium_over_inflation_mean=0.01,
+            inv2_realized_gains_tax_rate=0.10,
+            inv2_use_realized_gains_tax_system=True,
+            inflation_rate_mean=0.03,
+            other_income_streams=[
+                dict(
+                    name="pension",
+                    monthly_amount_today=1_200.0,
+                    start_at_age=60.0,
+                    duration_years=None,
+                    inflation_indexed=True,
+                    tax_rate=0.2,
+                )
+            ],
+        ),
+    ),
+    # Annual mark-to-market taxes and a ruin mid-retirement (years-to-ruin
+    # semantics + trajectory padding).
+    "annual_tax_ruin": dict(
+        working_months=0,
+        overrides=dict(
+            initial_balance=120_000.0,
+            monthly_contribution=0.0,
+            monthly_expenses=2_500.0,
+            current_age=60.0,
+            retirement_years=8,
+            allocation_inv1_pct=0.5,
+            inv1_returns_mean=0.04,
+            inv1_annual_tax_on_gains_rate=0.25,
+            inv1_use_realized_gains_tax_system=False,
+            inv2_premium_over_inflation_mean=0.0,
+            inv2_annual_tax_on_gains_rate=0.25,
+            inv2_use_realized_gains_tax_system=False,
+            inflation_rate_mean=0.02,
+        ),
+    ),
+    # Nominal-locked stream + fractional start age (month-index rounding).
+    "nominal_stream_fractional": dict(
+        working_months=7,
+        overrides=dict(
+            initial_balance=250_000.0,
+            monthly_contribution=1_000.0,
+            monthly_expenses=2_000.0,
+            current_age=60.0,
+            retirement_years=6,
+            allocation_inv1_pct=0.7,
+            inv1_returns_mean=0.05,
+            inflation_rate_mean=0.04,
+            other_income_streams=[
+                dict(
+                    name="annuity",
+                    monthly_amount_today=800.0,
+                    start_at_age=61.2,
+                    duration_years=3,
+                    inflation_indexed=False,
+                    tax_rate=0.1,
+                )
+            ],
+        ),
+    ),
+}
+
+
+@pytest.mark.parametrize("case", sorted(_ZERO_VOL_CASES))
+def test_zero_vol_single_path_equals_reference(ref, case):
+    """With all volatilities zero the path is deterministic, so the two
+    engines must agree to float64 round-off on every reported field."""
+    ref_sim_mod, ref_cfg_mod = ref
+    spec = _ZERO_VOL_CASES[case]
+    overrides = dict(DETERMINISTIC)
+    overrides.update(spec["overrides"])
+    base = make_config(**overrides).model_dump(by_alias=True)
+    base["seed"] = SEED
+    base["num_processes"] = 1
+
+    theirs_sim = ref_sim_mod.RetirementMonteCarloSimulator(
+        ref_cfg_mod.Config(**base)
+    )
+    theirs_sim.use_final_seeds()
+    theirs = theirs_sim._run_single_simulation_path(
+        spec["working_months"], theirs_sim._path_seeds(1)[0]
+    )
+
+    ours = Engine(Config(**base)).run_path(spec["working_months"])
+
+    assert ours["Success"] == theirs["Success"]
+    np.testing.assert_allclose(
+        ours["Final Balance"], theirs["Final Balance"], rtol=1e-8, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        ours["YearsToRuin"], theirs["YearsToRuin"], rtol=0, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        ours["First Year Gross Withdrawal"],
+        theirs["First Year Gross Withdrawal"],
+        rtol=1e-8,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        ours["First Year Real Gross Withdrawal"],
+        theirs["First Year Real Gross Withdrawal"],
+        rtol=1e-8,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        ours["Trajectory"], theirs["Trajectory"], rtol=1e-8, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        ours["RealTrajectory"], theirs["RealTrajectory"], rtol=1e-8, atol=1e-6
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical parity (different RNGs — agreement within Monte Carlo error)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "scenario,months,ref_paths,our_paths",
+    [("config.json", 233, 1200, 10_000), ("jorge.json", 75, 1200, 10_000)],
+)
+def test_success_probability_parity(ref, scenario, months, ref_paths, our_paths):
+    ref_sim_mod, ref_cfg_mod = ref
+    data = _scenario(scenario)
+
+    theirs_sim = ref_sim_mod.RetirementMonteCarloSimulator(
+        ref_cfg_mod.Config(**data)
+    )
+    theirs_sim.use_final_seeds()
+    df, *_ = theirs_sim.run_monte_carlo_simulations(months, ref_paths)
+    p_ref = theirs_sim._success_probability(df)
+
+    res = Engine(Config(**data)).run(months, our_paths, stream="final")
+    p_ours = float(np.mean(np.asarray(res.success))) * 100.0
+
+    sigma = math.hypot(
+        _binomial_sigma_pct(p_ref, ref_paths),
+        _binomial_sigma_pct(p_ours, our_paths),
+    )
+    # 4-sigma two-engine bound (plus a small absolute floor for the p->1 edge
+    # where the binomial sigma underestimates).
+    tol = max(4.0 * sigma, 0.35)
+    assert abs(p_ref - p_ours) <= tol, (
+        f"{scenario}@{months}: reference {p_ref:.2f}% vs ours {p_ours:.2f}% "
+        f"(tol {tol:.2f}%)"
+    )
+
+
+def test_search_months_parity_jorge(ref):
+    """Both searches on jorge.json (100 paths/probe) must land in the same
+    statistical neighbourhood. The reference's own verification margin at
+    n=100 is 15 percentage points, so month answers can legitimately differ;
+    we bound the disagreement by two ladder steps."""
+    ref_sim_mod, ref_cfg_mod = ref
+    data = _scenario("jorge.json")
+
+    theirs_sim = ref_sim_mod.RetirementMonteCarloSimulator(
+        ref_cfg_mod.Config(**data)
+    )
+    m_ref, p_ref, _curve = theirs_sim.find_minimum_working_months(verbose=False)
+
+    sim = RetirementMonteCarloSimulator(Config(**data))
+    m_ours, p_ours, _curve2 = sim.find_minimum_working_months(verbose=False)
+
+    assert m_ref > 0 and m_ours > 0
+    assert abs(m_ref - m_ours) <= 24, (m_ref, p_ref, m_ours, p_ours)
+    # Both answers meet the target minus the reference's own 3-sigma margin.
+    target = data["target_probability"]
+    margin = min(100.0, 150.0 / math.sqrt(data["num_simulations_search"]))
+    assert p_ref >= target - margin
+    assert p_ours >= target - margin
