@@ -211,14 +211,20 @@ export function ruinCard(rh, retirementYears) {
     holder.innerHTML = `<div style="color:var(--good)">No failures 🎉</div>`;
     return div;
   }
-  const maxYear = Math.ceil(Math.max(...rh.years_to_ruin, 1));
-  const bins = [];
-  for (let b = 0; b < maxYear; b++) bins.push({ x0: b, x1: b + 1, count: 0 });
-  for (const v of rh.years_to_ruin) {
-    const i = Math.min(bins.length - 1, Math.floor(v));
-    bins[i].count += 1;
+  let bins;
+  if (rh.year_counts && rh.year_counts.length) {
+    // Server pre-binned (large runs serve bounded payloads).
+    bins = rh.year_counts.map((c, b) => ({ x0: b, x1: b + 1, count: c }));
+  } else {
+    const maxYear = Math.ceil(Math.max(...rh.years_to_ruin, 1));
+    bins = [];
+    for (let b = 0; b < maxYear; b++) bins.push({ x0: b, x1: b + 1, count: 0 });
+    for (const v of rh.years_to_ruin) {
+      const i = Math.min(bins.length - 1, Math.floor(v));
+      bins[i].count += 1;
+    }
+    while (bins.length && bins[bins.length - 1].count === 0) bins.pop();
   }
-  while (bins.length && bins[bins.length - 1].count === 0) bins.pop();
   const plot = makeChart(holder, { height: 220 });
   const x = linScale([0, bins.length], [0, plot.innerW]);
   const y = linScale([0, Math.max(...bins.map((b) => b.count)) * 1.1], [plot.innerH, 0]);
@@ -232,34 +238,47 @@ export function ruinCard(rh, retirementYears) {
 
 // ------------------------------------------------- final balance histogram
 export function histogramCard(h) {
-  const successFinals = h.final_balances.filter((_, i) => h.success_flags[i]);
-  const rate = h.success_flags.length
-    ? (successFinals.length / h.success_flags.length) * 100 : 0;
+  const preBinned = h.binned || null;
+  const successFinals = preBinned
+    ? null
+    : h.final_balances.filter((_, i) => h.success_flags[i]);
+  const successCount = preBinned ? preBinned.success_count : successFinals.length;
+  const totalPaths = preBinned ? preBinned.total_paths : h.success_flags.length;
+  const rate = totalPaths ? (successCount / totalPaths) * 100 : 0;
   const div = card("Final balance distribution",
     `successful paths only (${rate.toFixed(1)}%), including $0 income-funded outcomes`);
   const holder = document.createElement("div");
   div.appendChild(holder);
-  if (!successFinals.length) {
+  if (!successCount) {
     holder.textContent = "No successful outcomes.";
     return div;
   }
-  const lo = Math.min(...successFinals), hi = Math.max(...successFinals);
-  const nbins = 60;
-  const width = (hi - lo) / nbins || 1;
-  const bins = Array.from({ length: nbins }, (_, i) => ({
-    x0: lo + i * width, x1: lo + (i + 1) * width, count: 0,
-  }));
-  for (const v of successFinals) {
-    const i = Math.min(nbins - 1, Math.floor((v - lo) / width));
-    bins[i].count += 1;
+  let bins, lo, hi, median;
+  if (preBinned) {
+    // Server pre-binned (large runs serve bounded payloads).
+    const e = preBinned.bin_edges;
+    bins = preBinned.counts.map((c, i) => ({ x0: e[i], x1: e[i + 1], count: c }));
+    lo = e[0]; hi = e[e.length - 1];
+    median = preBinned.median;
+  } else {
+    lo = Math.min(...successFinals); hi = Math.max(...successFinals);
+    const nbins = 60;
+    const width = (hi - lo) / nbins || 1;
+    bins = Array.from({ length: nbins }, (_, i) => ({
+      x0: lo + i * width, x1: lo + (i + 1) * width, count: 0,
+    }));
+    for (const v of successFinals) {
+      const i = Math.min(nbins - 1, Math.floor((v - lo) / width));
+      bins[i].count += 1;
+    }
+    const sorted = [...successFinals].sort((a, b) => a - b);
+    median = sorted[Math.floor(sorted.length / 2)];
   }
   const plot = makeChart(holder, { height: 260 });
   const x = linScale([lo, hi === lo ? lo + 1 : hi], [0, plot.innerW]);
   const y = linScale([0, Math.max(...bins.map((b) => b.count)) * 1.08], [plot.innerH, 0]);
   drawAxes(plot, x, y, { xFmt: fmtMoney, yFmt: (v) => v.toFixed(0) });
   drawBars(plot, bins, x, y, {});
-  const sorted = [...successFinals].sort((a, b) => a - b);
-  const median = sorted[Math.floor(sorted.length / 2)];
   drawVLine(plot, median, x, { stroke: cssVar("--warn"), label: `median ${fmtMoney(median)}` });
   attachHover(plot, bins.map((b) => (b.x0 + b.x1) / 2), x, (i) => [
     `<b>${fmtMoney(bins[i].x0)} – ${fmtMoney(bins[i].x1)}</b>`,

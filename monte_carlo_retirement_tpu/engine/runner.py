@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from dataclasses import dataclass
 from typing import List, Optional, Sequence
 
@@ -39,6 +40,12 @@ SCAN_BUCKET_MONTHS = 60
 # Candidate batches are padded to this width so every probe call — ladder or
 # verification sweep — reuses a single compiled executable.
 PROBE_WIDTH = 16
+
+# Auto backend policy for full-statistics runs: at or below this many paths
+# (4 Pallas VMEM blocks) the Pallas kernel's seconds-long compile beats the
+# XLA scan's minutes-long cold compile; above it the warm XLA scan's
+# steady-state throughput wins (see Engine._resolve_run_backend).
+RUN_PALLAS_MAX_PATHS = 16_384
 
 
 def enable_persistent_compilation_cache() -> None:
@@ -139,12 +146,31 @@ class Engine:
     # ------------------------------------------------------------------
     # probe: batched success probabilities for the search
     # ------------------------------------------------------------------
+    def _pallas_eligible(self) -> bool:
+        return (
+            jax.default_backend() != "cpu"
+            and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
+            and self.mesh is None
+        )
+
     def _resolve_probe_backend(self, backend: Optional[str]) -> str:
         backend = backend or os.environ.get("MCRT_PROBE_BACKEND", "auto")
         if backend == "auto":
-            on_accelerator = jax.default_backend() != "cpu"
-            f32 = jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
-            return "pallas" if (on_accelerator and f32 and self.mesh is None) else "scan"
+            return "pallas" if self._pallas_eligible() else "scan"
+        return backend
+
+    def _resolve_run_backend(self, backend: Optional[str], n_paths: int) -> str:
+        """Backend for the full-statistics run. Selection is per-phase:
+        search probes favor Pallas (seconds to compile vs minutes for the
+        big XLA scan), but the stats run trades differently — Pallas full
+        mode streams 4k-path VMEM blocks (~2 s at 100k paths) while the warm
+        XLA scan serves 100k in ~100 ms from the persistent compile cache.
+        Auto picks Pallas only when the block count is small enough that
+        compile-time savings beat steady-state cost."""
+        backend = backend or os.environ.get("MCRT_RUN_BACKEND", "auto")
+        if backend == "auto":
+            small = n_paths <= RUN_PALLAS_MAX_PATHS
+            return "pallas" if (self._pallas_eligible() and small) else "scan"
         return backend
 
     def _stream_seed(self, stream: str) -> int:
@@ -177,6 +203,7 @@ class Engine:
         t_scan = self._t_scan(int(horizon_months or max(months)))
         use_pallas = self._resolve_probe_backend(backend) == "pallas"
         key = self._key(stream)
+        t_start = time.perf_counter()
         out: List[float] = []
         for i in range(0, len(months), PROBE_WIDTH):
             chunk = months[i : i + PROBE_WIDTH]
@@ -206,6 +233,14 @@ class Engine:
                     mesh=self.mesh,
                 )
             out.extend(float(v) for v in np.asarray(probs)[: len(chunk)])
+        log.debug(
+            "phase=probe backend=%s candidates=%d paths=%d t_scan=%d: %.3f s",
+            "pallas" if use_pallas else "scan",
+            len(months),
+            int(num_simulations),
+            t_scan,
+            time.perf_counter() - t_start,
+        )
         return out
 
     # ------------------------------------------------------------------
@@ -227,7 +262,9 @@ class Engine:
             np.random.default_rng(self.main_seed).choice(n, size=k, replace=False),
             dtype=jnp.int32,
         )
-        if self._resolve_probe_backend(backend) == "pallas":
+        run_backend = self._resolve_run_backend(backend, n)
+        t_start = time.perf_counter()
+        if run_backend == "pallas":
             from .kernel import PathOutputs
             from .pallas_kernel import pallas_simulate_full
 
@@ -267,6 +304,15 @@ class Engine:
                 dtype=self.dtype,
                 mesh=self.mesh,
             )
+        jax.block_until_ready(summary.success_probability)
+        log.info(
+            "phase=final_run backend=%s paths=%d months=%d t_scan=%d: %.3f s",
+            run_backend,
+            n,
+            working_months,
+            t_scan,
+            time.perf_counter() - t_start,
+        )
         L = expected_trajectory_length(working_months, self.retirement_years)
         return RunResult(
             working_months=working_months,

@@ -8,7 +8,10 @@ same NaN handling, same reference-line and cohort rules.
 from __future__ import annotations
 
 import math
+import os
 from typing import Dict, List, Optional
+
+import numpy as np
 
 from ..config import Config
 from ..constants import MONTHS_PER_YEAR, SMALL_EPSILON
@@ -18,6 +21,49 @@ from ..timing import (
     stream_payment_start_month_index,
     trajectory_time_points,
 )
+
+
+def max_raw_paths() -> int:
+    """Per-path arrays (histogram inputs, ruin list) are serialized raw up to
+    this many paths; beyond it the response carries pre-binned aggregates so
+    a 1M-path run serves a bounded payload (north-star scale)."""
+    return int(os.environ.get("MCRT_MAX_RAW_PATHS", "20000"))
+
+
+def bin_successful_finals(finals: np.ndarray, flags: np.ndarray) -> Optional[dict]:
+    """60-bin histogram over successful final balances — identical semantics
+    to the dashboard's client-side binning (equal-width from min to max,
+    degenerate width 1, last bin clamped, median = sorted[floor(n/2)])."""
+    wins = np.asarray(finals, dtype=float)[np.asarray(flags, dtype=bool)]
+    if wins.size == 0:
+        return None
+    lo, hi = float(wins.min()), float(wins.max())
+    nbins = 60
+    width = (hi - lo) / nbins or 1.0
+    idx = np.minimum(nbins - 1, ((wins - lo) / width).astype(int))
+    counts = np.bincount(idx, minlength=nbins)
+    median = float(np.sort(wins)[wins.size // 2])
+    return {
+        "bin_edges": [round(lo + i * width, 2) for i in range(nbins + 1)],
+        "counts": [int(c) for c in counts],
+        "median": round(median, 2),
+        "success_count": int(wins.size),
+        "total_paths": int(len(flags)),
+    }
+
+
+def bin_years_to_ruin(years: np.ndarray) -> List[int]:
+    """Integer-year bins with the dashboard's client-side rules: bins span
+    [0, ceil(max(years, 1))), last bin clamps, trailing zeros trimmed."""
+    vals = np.asarray(years, dtype=float)
+    if vals.size == 0:
+        return []
+    max_year = int(math.ceil(max(float(vals.max()), 1.0)))
+    idx = np.minimum(max_year - 1, vals.astype(int))
+    counts = [int(c) for c in np.bincount(idx, minlength=max_year)]
+    while counts and counts[-1] == 0:
+        counts.pop()
+    return counts
 
 
 def safe_float(value: float) -> Optional[float]:
@@ -144,13 +190,20 @@ def build_result(
             "selected_working_months": required_w_months,
         }
 
+    capped = len(summary_df) > max_raw_paths()
+
     ruin_histogram = None
     if "YearsToRuin" in summary_df.columns:
         failed = summary_df.loc[~success_mask, "YearsToRuin"].dropna()
         ruin_histogram = {
-            "years_to_ruin": [round(float(v), 1) for v in failed],
+            "years_to_ruin": (
+                [] if capped else [round(float(v), 1) for v in failed]
+            ),
             "failure_count": int(len(failed)),
             "total_paths": int(len(summary_df)),
+            "year_counts": (
+                bin_years_to_ruin(failed.to_numpy()) if capped else None
+            ),
         }
 
     return {
@@ -174,10 +227,26 @@ def build_result(
         "withdrawal_rate": withdrawal_rate,
         "search_curve": search_curve_data,
         "ruin_histogram": ruin_histogram,
-        "histogram": {
-            "final_balances": [round(float(v), 2) for v in summary_df["Final Balance"]],
-            "start_balances": [round(float(v), 2) for v in summary_df["Start Balance"]],
-            "success_flags": [bool(v) for v in summary_df["Success"]],
-        },
+        "histogram": (
+            {
+                "final_balances": [],
+                "start_balances": [],
+                "success_flags": [],
+                "binned": bin_successful_finals(
+                    summary_df["Final Balance"].to_numpy(),
+                    success_mask.to_numpy(),
+                ),
+            }
+            if capped
+            else {
+                "final_balances": [
+                    round(float(v), 2) for v in summary_df["Final Balance"]
+                ],
+                "start_balances": [
+                    round(float(v), 2) for v in summary_df["Start Balance"]
+                ],
+                "success_flags": [bool(v) for v in summary_df["Success"]],
+            }
+        ),
         "reference_lines": reference_lines,
     }

@@ -60,10 +60,28 @@ class SearchCurveData(BaseModel):
 
 
 class RuinHistogramData(BaseModel):
-    """Elapsed retirement years at the first unfunded month (failed paths)."""
+    """Elapsed retirement years at the first unfunded month (failed paths).
+
+    Above the raw-path payload cap the per-path list is replaced by
+    ``year_counts`` (integer-year bins, trailing zeros trimmed) so a
+    million-path run serves a bounded response.
+    """
 
     years_to_ruin: List[float]
     failure_count: int
+    total_paths: int
+    year_counts: Optional[List[int]] = None
+
+
+class HistogramBins(BaseModel):
+    """Server-side 60-bin histogram of successful final balances, computed
+    with the same semantics the dashboard uses client-side (equal-width bins
+    from min to max, last bin clamped, median = sorted[floor(n/2)])."""
+
+    bin_edges: List[float]
+    counts: List[int]
+    median: float
+    success_count: int
     total_paths: int
 
 
@@ -71,6 +89,7 @@ class HistogramData(BaseModel):
     final_balances: List[float]
     start_balances: List[float]
     success_flags: List[bool]
+    binned: Optional[HistogramBins] = None
 
 
 class ReferenceLineData(BaseModel):

@@ -218,3 +218,85 @@ def test_streaming_endpoint_runs_search_and_emits_progress():
         assert parsed.summary.working_period_is_estimate is True
 
     _run(scenario())
+
+
+def test_build_result_caps_raw_arrays_above_threshold(monkeypatch):
+    """Above MCRT_MAX_RAW_PATHS the payload must carry pre-binned aggregates
+    instead of per-path arrays, with identical binning semantics to the
+    dashboard's client-side histogram."""
+    import numpy as np
+
+    monkeypatch.setenv("MCRT_MAX_RAW_PATHS", "10")
+    n = 40
+    rng = np.random.default_rng(0)
+    finals = np.concatenate([rng.uniform(0, 100, n - 4), np.zeros(4)])
+    success = np.concatenate([np.ones(n - 4, bool), np.zeros(4, bool)])
+    ruin_years = [0.25, 0.25, 1.5, 3.0]
+    ytr = np.full(n, np.nan)
+    ytr[~success] = ruin_years
+    config = make_config(num_simulations_main=n, retirement_years=5)
+    summary = pd.DataFrame(
+        {
+            "Start Balance": np.full(n, 100.0),
+            "Final Balance": finals,
+            "Success": success,
+            "YearsToRuin": ytr,
+            "First Year Gross Withdrawal": np.full(n, 10.0),
+            "First Year Real Gross Withdrawal": np.full(n, 10.0),
+            "Inflation At Retirement": np.ones(n),
+        }
+    )
+
+    class FakeSimulator:
+        def run_monte_carlo_simulations(self, **_kwargs):
+            return summary, None, None, None, None, None, None
+
+    result = build_result(config, FakeSimulator(), required_w_months=0)
+    SimulationResponse.model_validate(result)
+
+    hist = result["histogram"]
+    assert hist["final_balances"] == [] and hist["success_flags"] == []
+    binned = hist["binned"]
+    assert binned["success_count"] == n - 4
+    assert binned["total_paths"] == n
+    assert sum(binned["counts"]) == n - 4
+    assert len(binned["bin_edges"]) == 61
+    wins = np.sort(finals[success])
+    assert binned["median"] == pytest.approx(wins[len(wins) // 2], abs=0.01)
+    assert binned["bin_edges"][0] == pytest.approx(wins.min(), abs=0.01)
+    assert binned["bin_edges"][-1] == pytest.approx(wins.max(), abs=0.01)
+
+    ruin = result["ruin_histogram"]
+    assert ruin["years_to_ruin"] == []
+    assert ruin["failure_count"] == 4
+    # Dashboard semantics: maxYear = ceil(max(3.0, 1)) = 3 bins; the 3.0
+    # value clamps into the last bin [2, 3) — year0: 2, year1: 1, year2: 1.
+    assert ruin["year_counts"] == [2, 1, 1]
+
+
+def test_build_result_below_cap_keeps_reference_shape(monkeypatch):
+    """Below the cap the wire format is byte-identical to the reference's."""
+    monkeypatch.setenv("MCRT_MAX_RAW_PATHS", "10")
+    config = make_config(num_simulations_main=3, retirement_years=1)
+    summary = pd.DataFrame(
+        {
+            "Start Balance": [100.0, 100.0, 100.0],
+            "Final Balance": [0.0, 50.0, 25.0],
+            "Success": [True, True, False],
+            "YearsToRuin": [float("nan"), float("nan"), 0.5],
+            "First Year Gross Withdrawal": [0.0, 10.0, 10.0],
+            "First Year Real Gross Withdrawal": [0.0, 10.0, 10.0],
+            "Inflation At Retirement": [1.0, 1.0, 1.0],
+        }
+    )
+
+    class FakeSimulator:
+        def run_monte_carlo_simulations(self, **_kwargs):
+            return summary, None, None, None, None, None, None
+
+    result = build_result(config, FakeSimulator(), required_w_months=0)
+    SimulationResponse.model_validate(result)
+    assert result["histogram"]["final_balances"] == [0.0, 50.0, 25.0]
+    assert "binned" not in result["histogram"]
+    assert result["ruin_histogram"]["years_to_ruin"] == [0.5]
+    assert result["ruin_histogram"]["year_counts"] is None
