@@ -44,6 +44,77 @@ const STREAM_FIELDS = {
 const SECTIONS = ["Scenario", "Finances", "Portfolio & taxes", "Inflation",
   "Other income", "Simulation"];
 
+// --- tip balloon -----------------------------------------------------------
+// One shared balloon, portaled to <body> so sidebar overflow never clips it.
+// Hovering an ⓘ icon shows it; clicking pins it (click anywhere dismisses).
+const tipBalloon = {
+  el: null,
+  pinnedBy: null,
+  _ensure() {
+    if (this.el) return this.el;
+    this.el = document.createElement("div");
+    this.el.className = "tip-balloon";
+    this.el.setAttribute("role", "tooltip");
+    document.body.appendChild(this.el);
+    document.addEventListener("click", (e) => {
+      if (this.pinnedBy && !this.el.contains(e.target) && e.target !== this.pinnedBy) {
+        this.pinnedBy = null;
+        this.hide();
+      }
+    });
+    window.addEventListener("scroll", () => this.hide(true), true);
+    return this.el;
+  },
+  show(anchor, text, pinned) {
+    const el = this._ensure();
+    el.textContent = text;
+    el.classList.toggle("pinned", !!pinned);
+    el.style.visibility = "hidden";
+    el.classList.add("visible");
+    // Position after layout: below the icon, clamped to the viewport,
+    // flipped above when there is no room underneath.
+    const a = anchor.getBoundingClientRect();
+    const b = el.getBoundingClientRect();
+    let left = Math.min(
+      Math.max(6, a.left + a.width / 2 - b.width / 2),
+      window.innerWidth - b.width - 6
+    );
+    let top = a.bottom + 6;
+    if (top + b.height > window.innerHeight - 6) top = a.top - b.height - 6;
+    el.style.left = `${Math.round(left + window.scrollX)}px`;
+    el.style.top = `${Math.round(top + window.scrollY)}px`;
+    el.style.visibility = "";
+  },
+  hide(force) {
+    if (this.pinnedBy && !force) return;
+    if (force) this.pinnedBy = null;
+    if (this.el) this.el.classList.remove("visible", "pinned");
+  },
+};
+
+function tipIcon(text) {
+  const icon = document.createElement("button");
+  icon.type = "button";
+  icon.className = "tip-icon";
+  icon.textContent = "?";
+  icon.setAttribute("aria-label", "Help");
+  icon.addEventListener("mouseenter", () => {
+    if (!tipBalloon.pinnedBy) tipBalloon.show(icon, text, false);
+  });
+  icon.addEventListener("mouseleave", () => tipBalloon.hide());
+  icon.addEventListener("click", (e) => {
+    e.stopPropagation();
+    if (tipBalloon.pinnedBy === icon) {
+      tipBalloon.pinnedBy = null;
+      tipBalloon.hide(true);
+    } else {
+      tipBalloon.pinnedBy = icon;
+      tipBalloon.show(icon, text, true);
+    }
+  });
+  return icon;
+}
+
 export class ConfigEditor {
   constructor(root, { onRun }) {
     this.root = root;
@@ -121,11 +192,13 @@ export class ConfigEditor {
   _field(key, spec, value, onChange) {
     const field = document.createElement("div");
     field.className = "field" + (spec.wide ? " wide" : "");
-    if (spec.tip) field.title = spec.tip;
     if (spec.type !== "toggle") {
       const label = document.createElement("label");
-      label.textContent = spec.label + (spec.tip ? " ⓘ" : "");
+      label.textContent = spec.label;
+      if (spec.tip) label.appendChild(tipIcon(spec.tip));
       field.appendChild(label);
+    } else if (spec.tip) {
+      field.title = spec.tip;
     }
     field.appendChild(this._input(spec, value, onChange));
     return field;

@@ -68,3 +68,106 @@ def test_frontend_dom_contract():
             assert f"{mod}.js" in sources, f"missing module {mod}.js"
     assert 'src="js/app.js"' in html
     assert 'href="styles.css"' in html
+
+
+def _frontend_sources():
+    js_dir = os.path.join(ROOT, "frontend", "js")
+    return {fn: open(os.path.join(js_dir, fn)).read() for fn in os.listdir(js_dir)}
+
+
+def test_frontend_css_class_contract():
+    """Every class the JS assigns (and index.html uses) must have a CSS rule,
+    every cssVar() the charts read must be defined in both themes, and every
+    import must name a real export. A rendered-browser check is impossible in
+    this image (no browser, no node, no JS engine — see docs/NOTES.md), so
+    the wiring is pinned statically."""
+    sources = _frontend_sources()
+    js = "\n".join(sources.values())
+    html = open(os.path.join(ROOT, "frontend", "index.html")).read()
+    css = open(os.path.join(ROOT, "frontend", "styles.css")).read()
+
+    used = set()
+    for m in re.finditer(r'className\s*=\s*"([^"${]+)"', js):
+        used.update(m.group(1).split())
+    for m in re.finditer(r'classList\.(?:add|toggle|remove)\(\s*"([\w-]+)"', js):
+        used.add(m.group(1))
+    for m in re.finditer(r'class="([^"${]+)"', html):
+        used.update(m.group(1).split())
+    defined = set(re.findall(r"\.([a-zA-Z][\w-]*)", css))
+    missing = sorted(c for c in used if c not in defined)
+    assert not missing, f"classes styled nowhere: {missing}"
+
+    vars_used = set(re.findall(r'cssVar\(\s*"--([\w-]+)"', js))
+    light = css.split("[data-theme")[0]
+    dark = css.split('[data-theme="dark"]', 1)[1].split("}", 200)[0:1][0] if '[data-theme="dark"]' in css else ""
+    for v in vars_used:
+        assert f"--{v}:" in light, f"--{v} missing from light theme"
+        assert f"--{v}:" in dark, f"--{v} missing from dark theme"
+
+    for fname, src in sources.items():
+        for m in re.finditer(r'import \{([^}]+)\} from "\./(\w+)\.js"', src):
+            target = sources[f"{m.group(2)}.js"]
+            exports = set(
+                re.findall(
+                    r"export (?:async )?(?:function|const|let|class) (\w+)", target
+                )
+            )
+            for name in (x.strip().split(" as ")[0] for x in m.group(1).split(",")):
+                if name:
+                    assert name in exports, f"{fname}: {name} not exported by {m.group(2)}.js"
+
+
+def test_frontend_field_access_matches_response_schema():
+    """Every first-level property each view card reads off its payload
+    argument must exist on the corresponding response schema — the static
+    analogue of rendering the cards against a live result."""
+    from monte_carlo_retirement_tpu.hosts import schemas
+
+    views = _frontend_sources()["views.js"]
+
+    card_schema = {
+        # summaryCard takes the whole response and aliases `.summary` locally;
+        # both levels are checked (the alias via the extra entry below).
+        "summaryCard": (r"function summaryCard\((\w+)", schemas.SimulationResponse),
+        "searchCurveCard": (r"function searchCurveCard\((\w+)", schemas.SearchCurveData),
+        "withdrawalRateCard": (
+            r"function withdrawalRateCard\((\w+)",
+            schemas.WithdrawalRateData,
+        ),
+        "ruinCard": (r"function ruinCard\((\w+)", schemas.RuinHistogramData),
+        "histogramCard": (r"function histogramCard\((\w+)", schemas.HistogramData),
+        # trajectoryCard also takes the whole response (nominal/real toggle).
+        "trajectoryCard": (
+            r"function trajectoryCard\((\w+)",
+            schemas.SimulationResponse,
+        ),
+    }
+    bodies = re.split(r"\nexport function ", views)
+    for card, (sig_re, model) in card_schema.items():
+        body = next((b for b in bodies if b.startswith(card)), None)
+        assert body is not None, f"{card} missing from views.js"
+        m = re.search(sig_re, "function " + body)
+        assert m, f"cannot parse {card} signature"
+        param = m.group(1)
+        fields = set(model.model_fields)
+        accesses = set(re.findall(rf"\b{param}\.(\w+)", body))
+        unknown = sorted(a for a in accesses if a not in fields)
+        assert not unknown, f"{card} reads fields not in {model.__name__}: {unknown}"
+
+    # The summary alias inside summaryCard reads SimulationSummary fields.
+    body = next(b for b in bodies if b.startswith("summaryCard"))
+    alias = re.search(r"const (\w+) = \w+\.summary;", body)
+    assert alias, "summaryCard no longer aliases .summary — update this test"
+    s_fields = set(schemas.SimulationSummary.model_fields)
+    s_accesses = set(re.findall(rf"\b{alias.group(1)}\.(\w+)", body))
+    unknown = sorted(a for a in s_accesses if a not in s_fields)
+    assert not unknown, f"summaryCard reads unknown summary fields: {unknown}"
+
+
+def test_frontend_binned_histogram_consumed():
+    """The bounded-payload forms added for million-path runs must actually be
+    consumed by the dashboard."""
+    views = _frontend_sources()["views.js"]
+    assert ".binned" in views or "binned" in views
+    assert "year_counts" in views
+    assert "bin_edges" in views
