@@ -2,26 +2,53 @@
 
 Why this exists: the XLA-scan kernel streams its ~10-vector carry through HBM
 on every one of 600 scan steps (~100 GB of traffic for 1M paths), which caps
-it around 400 ms/run. This kernel keeps ALL per-path state resident in VMEM
+it around 400 ms/run. This kernel keeps ALL per-path state resident on chip
 for the whole lifetime — the only HBM traffic is the final per-path outputs —
 and generates shocks with the core-local PRNG (`pltpu.prng_random_bits`), so
 the month loop is pure VPU compute.
 
-Layout: paths are tiled into blocks of (rows, 128); the grid iterates blocks
-(and, for candidate/scenario grids, a leading candidate axis whose rows
-select per-candidate parameters from SMEM); each grid step runs the complete
-month loop with a *static* trip count plus a scalar horizon guard (dynamic
-`fori_loop` bounds miscompile at larger grids on this toolchain).
-`working_months` stays a traced SMEM scalar, so candidates never recompile.
+Round-2 architecture (measured on v5e, 1M x 600 months):
+
+  * paths tile into blocks of (32, 128) = 4096 — the register-pressure sweet
+    spot (256-row blocks spilled the carry and ran 1.35x slower);
+  * the accumulation and retirement phases are SEPARATE dynamic-bound
+    `fori_loop`s with a straight-line retirement snapshot between them — no
+    per-month `m <= w` dispatch and no horizon-guard cond (those two scalar
+    branches cost ~54 ms/run at round-1 block sizes), and no horizon
+    bucketing: executables no longer depend on the scan length at all;
+  * structural config facts (which tax system each asset uses, whether any
+    annual mark-to-market bill can exist, which streams are CPI-indexed /
+    duration-capped) are compile-time `Statics` — editing *rates/amounts*
+    never recompiles, flipping a tax *system* recompiles in seconds;
+  * the tax algebra exploits the average-cost-basis invariant (gain fraction
+    is unchanged by proportional sales), so one per-asset sale profile
+    serves the capacity check, the withdrawal AND the rebalance, and
+    realized tax is exactly `gross * eff` — no taxable-gain max() chains;
+  * divisions lower to `pl.reciprocal(approx) + one Newton step` (~1.5e-5
+    relative, inside the engine's f32 `fail_rtol` tolerance budget);
+  * normals use a degree-9 single-branch polynomial quantile (coefficients
+    fitted against scipy erfinv over the full 23-bit uniform grid: max rel
+    err 1.4e-4, variance 0.9999994, kurtosis 3.000002, tail probabilities
+    match enumeration truth to 1e-6 — see scripts/perf_ablation.py).
+
+Layout: the grid iterates path blocks (and, for candidate/scenario grids, a
+leading candidate axis whose rows select per-candidate parameters from
+SMEM). `working_months` stays a traced SMEM scalar, so candidates never
+recompile.
 
 RNG: the per-core PRNG is seeded per (stream_seed, path-block) — candidate
-axes never enter the seed — and each month draws three 23-bit uniforms ->
-inverse-CDF normals (equity, inflation-independent, premium). Draws depend
-only on (stream, block, month, lane): common random numbers across
-working-month candidates and scenario grids hold structurally, like the XLA
-path. The bit streams differ from XLA's threefry, so cross-backend parity is
-statistical (Monte Carlo); the month *logic* is bit-identical and pinned by
-injected-shocks parity tests against the scan kernel.
+axes never enter the seed — and each month draws three normals in a fixed
+order (equity, inflation-independent, premium). Draws depend only on
+(stream, block, month, lane): common random numbers across working-month
+candidates and scenario grids hold structurally, like the XLA path. The bit
+streams differ from XLA's threefry, so cross-backend parity is statistical
+(Monte Carlo); the month *logic* matches the scan kernel and is pinned by
+injected-shocks parity tests.
+
+Probe mode and full mode share the (32, 128) tiling, but search and final
+runs use independent stream seeds by design, so CRN is relied on only
+*within* an entry point (across candidate months), never across entry
+points.
 
 Entry points: `pallas_simulate` (per-path success/final), `pallas_probe`
 (candidate-parallel success probabilities for the search),
@@ -34,7 +61,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -44,18 +71,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import MONTHS_PER_YEAR, SMALL_EPSILON
 from ..models.retirement import SimParams
-from ..ops.tax import (
-    apply_annual_gain_taxes,
-    fail_rtol,
-    rebalance,
-    sale_tax_profile,
-    withdraw_net_target,
-)
 
 EPS = SMALL_EPSILON
+FAIL_RTOL = 2e-5  # ops.tax.fail_rtol(float32); keep in sync
 
-BLOCK_ROWS = 256  # paths per block = BLOCK_ROWS * 128 = 32768
+BLOCK_ROWS = 32  # paths per block = 32 * 128 = 4096 (register-resident carry)
 BLOCK_PATHS = BLOCK_ROWS * 128
+FULL_BLOCK_ROWS = 32  # full mode: series buffers also fit VMEM at 32 rows
 
 # fparams vector layout (float32, SMEM)
 (
@@ -70,68 +92,125 @@ BLOCK_PATHS = BLOCK_ROWS * 128
 # iparams vector layout (int32, SMEM)
 I_W, I_T_END, I_SEED, NUM_IPARAMS = range(4)
 
-_INV_2_23 = 1.0 / float(1 << 23)
-_SQRT2 = math.sqrt(2.0)
+_INV_2_22 = 1.0 / float(1 << 22)
+_X_OFFSET = 1.0 / float(1 << 23) - 1.0
+
+# z = sqrt(2)*erfinv(x) = x * P(s), s = sqrt(-log1p(-x^2)); single minimax
+# branch over the whole reachable range (23-bit uniforms => |x| <= 1-2^-23,
+# s <= 3.905). Descending Horner order; sqrt(2) folded into the fit.
+# Accuracy over the full input grid: max rel 1.43e-4; moments/tails in the
+# module docstring. Fitted in scripts/perf_ablation.py against scipy.
+_ZPOLY = (
+    0.0001782477551054519, -0.0028148533007281555,
+    0.016944312865490738, -0.04569300513968381,
+    0.04307398034973402, 0.014180894039555763,
+    -0.028215645346410155, 0.3470778790734455,
+    -0.003963483920460122, 1.2534926535177795,
+)
 
 
-def _uniform(shape):
-    """Uniform in (0, 1), never exactly 0 or 1 (safe for erfinv/log).
+class Statics(NamedTuple):
+    """Compile-time structure of a scenario: which tax *systems* are active
+    and the shape of the income-stream table. Rates/amounts/ages stay traced
+    (editing them reuses the executable); flipping any of these flags builds
+    a new kernel (seconds)."""
 
-    Uses 23 random bits so that (r + 0.5) is exactly representable in
-    float32: with 24 bits, r + 0.5 rounds up to 2^24 for the top value and
-    the uniform hits exactly 1.0 — erf_inv(1) = inf, which poisoned ~1 in
-    2^24 draws with NaNs. Max |2u-1| is now 1 - 2^-23, i.e. normal tails
-    reach ~5.4 sigma.
-    """
-    bits = pltpu.prng_random_bits(shape)
-    # Logical shift on the int32 view keeps the top 23 bits as a nonnegative
-    # int32 (Mosaic has no uint32->f32 cast).
-    reduced = jax.lax.shift_right_logical(
-        pltpu.bitcast(bits, jnp.int32), jnp.int32(9)
+    use_real1: bool
+    use_real2: bool
+    # An annual mark-to-market bill can exist (not realized-system AND a
+    # nonzero annual rate). When neither asset can ever owe one, the whole
+    # boundary/settle subgraph and both gain accumulators vanish: a second
+    # rebalance right after the monthly one is an exact no-op.
+    bill1: bool
+    bill2: bool
+    stream_indexed: Tuple[bool, ...]
+    stream_capped: Tuple[bool, ...]
+
+
+def statics_from_config(config) -> Statics:
+    """Derive kernel Statics from a validated Config (post stream pruning —
+    must mirror SimParams.from_config's pruning rule)."""
+    streams = [
+        s
+        for s in config.other_income_streams
+        if s.monthly_amount_today > 1e-6 and s.duration_years != 0
+    ]
+    use1 = bool(config.inv1_use_realized_gains_tax_system)
+    use2 = bool(config.inv2_use_realized_gains_tax_system)
+    return Statics(
+        use_real1=use1,
+        use_real2=use2,
+        bill1=(not use1) and config.inv1_annual_tax_on_gains_rate > 0.0,
+        bill2=(not use2) and config.inv2_annual_tax_on_gains_rate > 0.0,
+        stream_indexed=tuple(bool(s.inflation_indexed) for s in streams),
+        stream_capped=tuple(s.duration_years is not None for s in streams),
     )
-    return (reduced.astype(jnp.float32) + 0.5) * _INV_2_23
+
+
+def _rdiv(a, b):
+    """a / b via approximate reciprocal + one Newton step (~1.5e-5 relative,
+    inside the f32 fail_rtol budget; pinned by the f32-vs-f64 parity test)."""
+    r = pl.reciprocal(b, approx=True)
+    return a * (r * (2.0 - b * r))
 
 
 def _normal(shape):
-    """One standard normal per lane via the inverse-CDF transform.
+    """One standard-normal-times-sqrt(2)-quantile per lane.
 
-    z = sqrt(2) * erfinv(2u - 1): branch-free, trig-free, and exactly the
-    construction jax.random.normal uses — Box-Muller's sin/cos lower poorly
-    on the TPU vector unit, erf_inv is a short polynomial.
+    23 random bits -> x uniform on [-1+2^-23, 1-2^-23] (never +-1, so the
+    quantile stays finite; tails reach ~5.4 sigma) -> z = x * P(s) with the
+    single-branch polynomial above. Returns sqrt(2)*erfinv(x), i.e. a
+    standard normal.
     """
-    u = _uniform(shape)
-    return _SQRT2 * jax.lax.erf_inv(2.0 * u - 1.0)
-
-
-def _three_normals(shape):
-    return _normal(shape), _normal(shape), _normal(shape)
+    bits = pltpu.prng_random_bits(shape)
+    r = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.int32), jnp.int32(9)
+    ).astype(jnp.float32)
+    x = r * _INV_2_22 + _X_OFFSET
+    s = jnp.sqrt(-jnp.log1p(-(x * x)))
+    acc = jnp.full(shape, _ZPOLY[0], jnp.float32)
+    for c in _ZPOLY[1:]:
+        acc = acc * s + c
+    return acc * x
 
 
 def _make_kernel(
     n_streams: int,
     retirement_years: int,
     with_shocks: bool,
-    t_scan: int = 0,
+    statics: Statics,
     block_axis: int = 0,
     cand_axis=None,
     rows: int = BLOCK_ROWS,
     traj_len: int = 0,
     multi_params: bool = False,
 ):
-    """Build the block kernel for a static (n_streams, R, debug-shock) combo.
+    """Build the block kernel for one (streams, R, statics) combination.
 
-    ``t_scan`` > 0 pins the month loop to a static trip count with a
-    per-month horizon guard; 0 uses the dynamic bound W + 12R.
-    ``block_axis`` names the grid axis that indexes path blocks; in
-    candidate-parallel probes the grid is (candidates, blocks) and iparams is
-    blocked per candidate, so each grid step gets its own working_months
-    while the PRNG seed depends only on the path block (common random
-    numbers across candidates by construction).
+    The month loop is two dynamic-bound fori_loops (accumulation, then
+    retirement) around a straight-line retirement snapshot; per-candidate
+    `working_months` lives in SMEM so candidates share one executable.
     """
     R = retirement_years
     shape = (rows, 128)
     track = traj_len > 0
-    frtol = fail_rtol(jnp.float32)
+    st_ = statics
+    any_bills = st_.bill1 or st_.bill2
+    # fixed-nominal slots exist only for non-CPI-indexed streams
+    fixed_slot = {}
+    for s in range(n_streams):
+        if not st_.stream_indexed[s]:
+            fixed_slot[s] = len(fixed_slot)
+    n_fixed = len(fixed_slot)
+
+    # carry layout ---------------------------------------------------------
+    # 0..5: b1, c1, b2, c2, infl, alive_f
+    # [g1a, g2a, preret_f] when any_bills
+    # n_fixed fixed-nominal slots
+    # [ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r] when track
+    i_bills = 6
+    i_fixed = i_bills + (3 if any_bills else 0)
+    i_track = i_fixed + n_fixed
 
     def kernel(iparams, fparams, *rest):
         rest = list(rest)
@@ -151,9 +230,8 @@ def _make_kernel(
         t_end = iparams[row, I_T_END]
         if multi_params:
             # Scenario grids: every float parameter (and stream table) is a
-            # per-candidate row, so one kernel dispatch sweeps a config grid.
-            # Read the row ONCE here — per-use SMEM reads inside the month
-            # loop defeat loop-invariant hoisting and cost ~25x.
+            # per-candidate row. Read the row ONCE here — per-use SMEM reads
+            # inside the month loop defeat loop-invariant hoisting (~25x).
             fvals = [fparams[row, i] for i in range(NUM_FPARAMS)]
             f = lambda i: fvals[i]
             _cells = {}
@@ -164,8 +242,6 @@ def _make_kernel(
                     _cells[key] = arr[row, s]
                 return _cells[key]
         else:
-            # Hoist every SMEM parameter read out of the month loop (per-use
-            # reads measurably serialize against the loop).
             fvals = [fparams[i] for i in range(NUM_FPARAMS)]
             f = lambda i: fvals[i]
             if n_streams:
@@ -189,22 +265,9 @@ def _make_kernel(
             )
 
         alloc1 = f(F_ALLOC1)
-        use_real1 = f(F_USE_REAL1) > 0.5
-        use_real2 = f(F_USE_REAL2) > 0.5
-
-        def monthly_rebalance(b1, c1, b2, c2):
-            return rebalance(
-                b1, c1, b2, c2, alloc1,
-                use_real1, f(F_R_REAL1), use_real2, f(F_R_REAL2),
-            )
-
-        def annual_tax(b1, c1, b2, c2, g1a, g2a):
-            return apply_annual_gain_taxes(
-                b1, c1, b2, c2, g1a, g2a,
-                alloc1,
-                use_real1, f(F_R_REAL1), f(F_R_ANN1),
-                use_real2, f(F_R_REAL2), f(F_R_ANN2),
-            )
+        alloc2 = 1.0 - alloc1
+        r1 = f(F_R_REAL1)
+        r2 = f(F_R_REAL2)
 
         if n_streams:
             stream_start = [
@@ -217,6 +280,110 @@ def _make_kernel(
                 for s in range(n_streams)
             ]
 
+        # ------------------------------------------------------------------
+        # shared per-asset sale profiles: eff (tax per gross dollar), nf
+        # (net per gross dollar) and nc (full-liquidation net capacity).
+        # Gain fraction is invariant under proportional-basis sales, so one
+        # profile per month serves capacity check, withdrawal and rebalance.
+        # ------------------------------------------------------------------
+        def profile(b, c, use, rate):
+            if not use:
+                one = jnp.ones(shape, jnp.float32)
+                return jnp.zeros(shape, jnp.float32), one, jnp.where(
+                    b > EPS, b, 0.0
+                )
+            safe = jnp.where(b > EPS, b, 1.0)
+            gf = _rdiv(jnp.maximum(0.0, b - c), safe)
+            eff = gf * rate
+            nf = 1.0 - eff
+            nc = jnp.where(b > EPS, b * nf, 0.0)
+            return eff, nf, nc
+
+        def rebalance_lite(b1, c1, b2, c2, eff1, eff2, extra_noop=None):
+            """Tax-aware exact-post-tax rebalance. drift2 == -drift1, so the
+            seller's drift is |drift1|; realized tax is gross*eff exactly."""
+            total = b1 + b2
+            drift1 = b1 - total * alloc1
+            adrift = jnp.abs(drift1)
+            sell1 = drift1 > 0
+            noop = (total <= EPS) | (adrift <= EPS)
+            if extra_noop is not None:
+                noop = noop | extra_noop
+            bal_s = jnp.where(sell1, b1, b2)
+            basis_s = jnp.where(sell1, c1, c2)
+            eff_s = jnp.where(sell1, eff1, eff2)
+            alloc_s = jnp.where(sell1, alloc1, alloc2)
+            denom = jnp.maximum(EPS, 1.0 - alloc_s * eff_s)
+            gross_s = jnp.minimum(bal_s, _rdiv(adrift, denom))
+            frac_s = _rdiv(gross_s, jnp.where(bal_s > EPS, bal_s, 1.0))
+            net_p = gross_s * (1.0 - eff_s)
+            new_sb = bal_s - gross_s
+            new_sc = basis_s - basis_s * frac_s
+            bal_b = jnp.where(sell1, b2, b1) + net_p
+            basis_b = jnp.where(sell1, c2, c1) + net_p
+            ob1 = jnp.where(sell1, new_sb, bal_b)
+            oc1 = jnp.where(sell1, new_sc, basis_b)
+            ob2 = jnp.where(sell1, bal_b, new_sb)
+            oc2 = jnp.where(sell1, basis_b, new_sc)
+            z1 = ob1 <= EPS
+            z2 = ob2 <= EPS
+            ob1 = jnp.where(z1, 0.0, ob1)
+            oc1 = jnp.where(z1, 0.0, oc1)
+            ob2 = jnp.where(z2, 0.0, ob2)
+            oc2 = jnp.where(z2, 0.0, oc2)
+            return (
+                jnp.where(noop, b1, ob1),
+                jnp.where(noop, c1, oc1),
+                jnp.where(noop, b2, ob2),
+                jnp.where(noop, c2, oc2),
+            )
+
+        def monthly_rebalance(b1, c1, b2, c2, extra_noop=None):
+            eff1, _, _ = profile(b1, c1, st_.use_real1, r1)
+            eff2, _, _ = profile(b2, c2, st_.use_real2, r2)
+            return rebalance_lite(b1, c1, b2, c2, eff1, eff2, extra_noop)
+
+        def annual_tax(b1, c1, b2, c2, g1a, g2a):
+            """Mark-to-market settlement for one completed tax period; only
+            built when a bill can exist (any_bills). Bill paid pro-rata by
+            net capacity; ends with an exact-post-tax rebalance."""
+            due1 = (
+                jnp.maximum(0.0, g1a) * f(F_R_ANN1)
+                if st_.bill1 else jnp.zeros(shape, jnp.float32)
+            )
+            due2 = (
+                jnp.maximum(0.0, g2a) * f(F_R_ANN2)
+                if st_.bill2 else jnp.zeros(shape, jnp.float32)
+            )
+            total_due = due1 + due2
+            eff1, nf1, nc1 = profile(b1, c1, st_.use_real1, r1)
+            eff2, nf2, nc2 = profile(b2, c2, st_.use_real2, r2)
+            tnc = nc1 + nc2
+            payment = jnp.minimum(total_due, tnc)
+            tol = EPS + FAIL_RTOL * (total_due + tnc)
+            do_pay = (tnc > EPS) & (payment > 0)
+            pay_f = jnp.where(do_pay, 1.0, 0.0)
+            t1 = payment * _rdiv(nc1, jnp.maximum(tnc, EPS)) * pay_f
+            t2 = payment * pay_f - t1
+            g1 = jnp.minimum(_rdiv(t1, jnp.maximum(nf1, EPS)), b1)
+            g2 = jnp.minimum(_rdiv(t2, jnp.maximum(nf2, EPS)), b2)
+            nw = g1 * nf1 + g2 * nf2
+            c1 = c1 - c1 * _rdiv(g1, jnp.where(b1 > EPS, b1, 1.0))
+            c2 = c2 - c2 * _rdiv(g2, jnp.where(b2 > EPS, b2, 1.0))
+            b1 = b1 - g1
+            b2 = b2 - g2
+            e1 = b1 <= EPS
+            e2 = b2 <= EPS
+            b1 = jnp.where(e1, 0.0, b1)
+            c1 = jnp.where(e1, 0.0, c1)
+            b2 = jnp.where(e2, 0.0, b2)
+            c2 = jnp.where(e2, 0.0, c2)
+            tfail = (payment < total_due - tol) | (
+                do_pay & (nw < total_due - tol)
+            )
+            b1, c1, b2, c2 = monthly_rebalance(b1, c1, b2, c2)
+            return b1, c1, b2, c2, tfail
+
         # A zero vector with a materialized (non-replicated) layout: loop
         # carries seeded from replicated constants would force the body's
         # computed vectors into an invalid relayout under Mosaic.
@@ -227,37 +394,29 @@ def _make_kernel(
         b1_0 = zero_v + f(F_INIT_BAL) * alloc1
         b2_0 = zero_v + f(F_INIT_BAL) - b1_0
         if track:
-            # Series buffers live directly in the (VMEM) output refs —
-            # Mosaic has no dynamic_update_slice on loop-carried values,
-            # and in-ref stores avoid carrying the buffers entirely.
             out_traj[:] = jnp.zeros((traj_len, rows, 128), jnp.float32)
             out_traj[0] = zero_v + f(F_INIT_BAL)
             out_price[:] = jnp.ones((traj_len, rows, 128), jnp.float32)
             out_wr[:] = jnp.full((R, rows, 128), jnp.nan, jnp.float32)
-            tracked0 = (
-                zero_v + jnp.nan,                        # years_to_ruin
-                zero_v + f(F_INIT_BAL),                  # start_balance
-                zero_v + 1.0,                            # inflation at ret.
-                zero_v,                                  # yg (year gross)
-                zero_v,                                  # yr (year real gross)
-                zero_v,                                  # first-year gross
-                zero_v,                                  # first-year real
-            )
-        else:
-            tracked0 = ()
-        init = (
-            b1_0, b1_0, b2_0, b2_0,                      # b1, c1, b2, c2
-            zero_v + 1.0,                                # infl
-            zero_v,                                      # g1acc
-            zero_v,                                      # g2acc
-            zero_v + 1.0,                                # alive (0/1 flag)
-            zero_v,                                      # preret_failed (0/1)
-            tuple(zero_v - 1.0 for _ in range(n_streams)),
-        ) + tracked0
+
+        init = [b1_0, b1_0, b2_0, b2_0, zero_v + 1.0, zero_v + 1.0]
+        if any_bills:
+            init += [zero_v, zero_v, zero_v]  # g1a, g2a, preret_f
+        init += [zero_v - 1.0] * n_fixed
+        if track:
+            init += [
+                zero_v + jnp.nan,            # years_to_ruin
+                zero_v + f(F_INIT_BAL),      # start_balance
+                zero_v + 1.0,                # inflation at retirement
+                zero_v,                      # yg (year gross)
+                zero_v,                      # yr (year real gross)
+                zero_v,                      # first-year gross
+                zero_v,                      # first-year real
+            ]
+        init = tuple(init)
 
         full_wy = w // MONTHS_PER_YEAR
         partial_wy = (w % MONTHS_PER_YEAR != 0).astype(jnp.int32)
-
 
         def draw(m):
             if with_shocks:
@@ -265,19 +424,25 @@ def _make_kernel(
                 z_ind = shocks_ref[m - 1, 1]
                 z_prem = shocks_ref[m - 1, 2]
             else:
-                z_eq, z_ind, z_prem = _three_normals(shape)
+                z_eq = _normal(shape)
+                z_ind = _normal(shape)
+                z_prem = _normal(shape)
             z_inf = f(F_RHO) * z_eq + f(F_RHO_C) * z_ind
             g1 = jnp.exp(f(F_MU1_M) + f(F_S1_M) * z_eq)
             gi = jnp.exp(f(F_MUI_M) + f(F_SI_M) * z_inf)
             gp = jnp.exp(f(F_MUP_M) + f(F_SP_M) * z_prem)
             return g1, gi, gi * gp
 
+        # ------------------------------------------------------------------
+        # accumulation month (1 <= m <= W): no deaths, no masks
+        # ------------------------------------------------------------------
         def accum_month(m, st):
-            b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f, fixed = st[:10]
-            tracked = st[10:]
+            st = list(st)
+            b1, c1, b2, c2, infl = st[0], st[1], st[2], st[3], st[4]
             g1, gi, g2 = draw(m)
-            g1a = g1a + b1 * (g1 - 1.0)
-            g2a = g2a + b2 * (g2 - 1.0)
+            if any_bills:
+                st[i_bills] = st[i_bills] + b1 * (g1 - 1.0)
+                st[i_bills + 1] = st[i_bills + 1] + b2 * (g2 - 1.0)
             b1 = b1 * g1
             b2 = b2 * g2
             infl = infl * gi
@@ -291,180 +456,235 @@ def _make_kernel(
 
             b1, c1, b2, c2 = monthly_rebalance(b1, c1, b2, c2)
 
-            def on_boundary(args):
-                b1, c1, b2, c2, g1a, g2a, preret_f = args
-                tb1, tc1, tb2, tc2, tfail = annual_tax(b1, c1, b2, c2, g1a, g2a)
-                # Zeros derived from live vectors keep branch layouts equal
-                # (replicated constants trip Mosaic's cond relayout).
-                return (
-                    tb1, tc1, tb2, tc2,
-                    g1a * 0.0, g2a * 0.0,
-                    jnp.where(tfail, 1.0, preret_f),
-                )
+            if any_bills:
+                def on_boundary(args):
+                    bb1, cc1, bb2, cc2, gg1, gg2, pf = args
+                    tb1, tc1, tb2, tc2, tfail = annual_tax(
+                        bb1, cc1, bb2, cc2, gg1, gg2
+                    )
+                    return (tb1, tc1, tb2, tc2, gg1 * 0.0, gg2 * 0.0,
+                            jnp.where(tfail, 1.0, pf))
 
-            b1, c1, b2, c2, g1a, g2a, preret_f = lax.cond(
-                m % MONTHS_PER_YEAR == 0,
-                on_boundary,
-                lambda a: a,
-                (b1, c1, b2, c2, g1a, g2a, preret_f),
-            )
-            # Pre-retirement tax ruin takes effect on the retirement date.
-            at_w = m == w
-            alive_f = jnp.where(at_w & (preret_f > 0.5), 0.0, alive_f)
+                b1, c1, b2, c2, st[i_bills], st[i_bills + 1], st[i_bills + 2] = (
+                    lax.cond(
+                        m % MONTHS_PER_YEAR == 0,
+                        on_boundary,
+                        lambda a: a,
+                        (b1, c1, b2, c2, st[i_bills], st[i_bills + 1],
+                         st[i_bills + 2]),
+                    )
+                )
             if track:
-                ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r = tracked
-                start_bal = jnp.where(at_w, b1 + b2, start_bal)
-                infl_ret = jnp.where(at_w, infl, infl_ret)
-                ytr = jnp.where(at_w & (preret_f > 0.5), 0.0, ytr)
-                # Yearly sample at full working years and at a partial-year
-                # retirement date (scalar predicates; one slot per month).
-                rec = ((m % MONTHS_PER_YEAR) == 0) | (at_w & (partial_wy == 1))
-                slot = jnp.clip(
-                    jnp.where(at_w, full_wy + partial_wy,
-                              m // MONTHS_PER_YEAR),
-                    0, traj_len - 1,
-                ).astype(jnp.int32)
                 total_rec = b1 + b2
                 infl_rec = infl
+                slot = jnp.clip(
+                    m // MONTHS_PER_YEAR, 0, traj_len - 1
+                ).astype(jnp.int32)
 
-                @pl.when(rec)
+                @pl.when(m % MONTHS_PER_YEAR == 0)
                 def _():
                     out_traj[pl.ds(slot, 1)] = total_rec[None]
                     out_price[pl.ds(slot, 1)] = infl_rec[None]
 
-                tracked = (ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r)
-            return (b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f,
-                    fixed) + tracked
+            st[0], st[1], st[2], st[3], st[4] = b1, c1, b2, c2, infl
+            return tuple(st)
 
+        # ------------------------------------------------------------------
+        # retirement snapshot (straight-line, once, right after month W)
+        # ------------------------------------------------------------------
+        def snapshot(st):
+            st = list(st)
+            if any_bills:
+                killed = st[i_bills + 2] > 0.5  # pre-ret tax failure
+                st[5] = jnp.where(killed, 0.0, st[5])
+            if track:
+                st[i_track] = (
+                    jnp.where(killed, 0.0, st[i_track]) if any_bills
+                    else st[i_track]
+                )  # years_to_ruin = 0 for pre-retirement failures
+                st[i_track + 1] = st[0] + st[2]   # start balance
+                st[i_track + 2] = st[4]           # inflation at retirement
+                total_rec = st[0] + st[2]
+                infl_rec = st[4]
+                slot = jnp.clip(full_wy + 1, 0, traj_len - 1).astype(jnp.int32)
+
+                @pl.when(partial_wy == 1)
+                def _():
+                    out_traj[pl.ds(slot, 1)] = total_rec[None]
+                    out_price[pl.ds(slot, 1)] = infl_rec[None]
+            return tuple(st)
+
+        # ------------------------------------------------------------------
+        # retirement month (W < m <= t_end)
+        # ------------------------------------------------------------------
         def ret_month(m, st):
-            b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f, fixed = st[:10]
-            tracked = st[10:]
+            st = list(st)
+            b1, c1, b2, c2, infl, alive_f = (
+                st[0], st[1], st[2], st[3], st[4], st[5]
+            )
             alive = alive_f > 0.5
             alive0_f = alive_f
             k = m - w
             ret_idx = k - 1
-            ret_idx_f = (k - 1).astype(jnp.float32)
+            ret_idx_f = ret_idx.astype(jnp.float32)
             if track:
-                ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r = tracked
+                (ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r) = st[i_track:]
                 new_year = (ret_idx % MONTHS_PER_YEAR) == 0
                 yg = jnp.where(new_year, 0.0, yg)
                 yr = jnp.where(new_year, 0.0, yr)
 
+            # --- income waterfall & net spending need
             price0 = infl
-            expenses = f(F_EXPENSES) * price0
-            net_income = jnp.zeros(shape, jnp.float32)
-            new_fixed = []
+            net_income = None
             for s in range(n_streams):
                 amount_s = stream_cell(s_amount, s)
-                active = (ret_idx_f >= stream_start[s]) & (
-                    ret_idx_f < stream_start[s] + stream_cell(s_duration, s)
-                )
-                fixed_s = jnp.where(
-                    active & (ret_idx_f == stream_start[s]) & (fixed[s] < 0),
-                    amount_s * price0,
-                    fixed[s],
-                )
-                nominal = jnp.where(
-                    stream_cell(s_indexed, s) > 0.5, amount_s * price0, fixed_s
-                )
-                net_income = net_income + jnp.where(
+                active = ret_idx_f >= stream_start[s]
+                if st_.stream_capped[s]:
+                    active = active & (
+                        ret_idx_f < stream_start[s]
+                        + stream_cell(s_duration, s)
+                    )
+                if st_.stream_indexed[s]:
+                    nominal = amount_s * price0
+                else:
+                    slot_f = i_fixed + fixed_slot[s]
+                    fixed_s = jnp.where(
+                        active & (ret_idx_f == stream_start[s])
+                        & (st[slot_f] < 0),
+                        amount_s * price0,
+                        st[slot_f],
+                    )
+                    st[slot_f] = fixed_s
+                    nominal = fixed_s
+                inc = jnp.where(
                     active, nominal * (1.0 - stream_cell(s_tax, s)), 0.0
                 )
-                new_fixed.append(fixed_s)
-            need = jnp.maximum(0.0, expenses - net_income)
+                net_income = inc if net_income is None else net_income + inc
+            if net_income is None:
+                need = f(F_EXPENSES) * price0
+            else:
+                need = jnp.maximum(0.0, f(F_EXPENSES) * price0 - net_income)
 
+            # --- ruin check A: broke before the month begins
             total0 = b1 + b2
             dies_a = alive & (total0 <= EPS) & (need > EPS)
 
+            # --- market growth & inflation (dead/ruined paths freeze)
             g1, gi, g2 = draw(m)
             gmask = alive & ~dies_a
-            g1a = g1a + jnp.where(gmask, b1 * (g1 - 1.0), 0.0)
-            g2a = g2a + jnp.where(gmask, b2 * (g2 - 1.0), 0.0)
+            if any_bills:
+                st[i_bills] = st[i_bills] + jnp.where(
+                    gmask, b1 * (g1 - 1.0), 0.0
+                )
+                st[i_bills + 1] = st[i_bills + 1] + jnp.where(
+                    gmask, b2 * (g2 - 1.0), 0.0
+                )
             b1 = jnp.where(gmask, b1 * g1, b1)
             b2 = jnp.where(gmask, b2 * g2, b2)
             infl = jnp.where(gmask, infl * gi, infl)
 
+            # --- ruin check B: growth alone cannot fund the month (balances
+            # are nonnegative after growth, so no clamp is needed)
             total1 = b1 + b2
             dies_b = gmask & (total1 <= EPS) & (need > EPS)
-            b1 = jnp.where(dies_b, jnp.maximum(0.0, b1), b1)
-            b2 = jnp.where(dies_b, jnp.maximum(0.0, b2), b2)
-
             wmask = gmask & ~dies_b
-            eff1, nc1 = sale_tax_profile(b1, c1, use_real1, f(F_R_REAL1))
-            eff2, nc2 = sale_tax_profile(b2, c2, use_real2, f(F_R_REAL2))
+            wmask_f = jnp.where(wmask, 1.0, 0.0)
+
+            # --- capacity-limited withdrawal, split pro-rata by net capacity
+            eff1, nf1, nc1 = profile(b1, c1, st_.use_real1, r1)
+            eff2, nf2, nc2 = profile(b2, c2, st_.use_real2, r2)
             tnc = nc1 + nc2
-            target = jnp.maximum(0.0, jnp.minimum(need, tnc))
-            ftol = EPS + frtol * (need + total1)
-            fail_cap = wmask & (need > EPS) & (target < need - ftol)
-            prop1 = jnp.where(
-                tnc > EPS, nc1 / jnp.where(tnc > EPS, tnc, 1.0), alloc1
+            target = jnp.minimum(need, tnc) * wmask_f
+            ftol = EPS + FAIL_RTOL * (need + total1)
+            t1 = target * _rdiv(nc1, jnp.maximum(tnc, EPS))
+            t2 = target - t1
+            # tax == gross*eff exactly under average-cost basis, so
+            # net == gross*nf: no taxable-gain chain, and a capacity
+            # failure shows up in nw (the reference's fail_cap and
+            # fail_net collapse to one test).
+            gross1 = (
+                jnp.minimum(_rdiv(t1, jnp.maximum(nf1, EPS)), b1)
+                if st_.use_real1 else jnp.minimum(t1, b1)
             )
-
-            wb1, wc1, gw1, nw1 = withdraw_net_target(
-                b1, c1, target * prop1, use_real1, f(F_R_REAL1), eff_tax=eff1
+            gross2 = (
+                jnp.minimum(_rdiv(t2, jnp.maximum(nf2, EPS)), b2)
+                if st_.use_real2 else jnp.minimum(t2, b2)
             )
-            wb2, wc2, gw2, nw2 = withdraw_net_target(
-                b2, c2, target * (1.0 - prop1), use_real2, f(F_R_REAL2),
-                eff_tax=eff2,
-            )
-            b1 = jnp.where(wmask, wb1, b1)
-            c1 = jnp.where(wmask, wc1, c1)
-            b2 = jnp.where(wmask, wb2, b2)
-            c2 = jnp.where(wmask, wc2, c2)
-            fail_net = wmask & (need > EPS) & (nw1 + nw2 < need - ftol)
+            nw = gross1 * nf1 + gross2 * nf2
+            c1 = c1 - c1 * _rdiv(gross1, jnp.where(b1 > EPS, b1, 1.0))
+            c2 = c2 - c2 * _rdiv(gross2, jnp.where(b2 > EPS, b2, 1.0))
+            b1 = b1 - gross1
+            b2 = b2 - gross2
+            e1 = b1 <= EPS
+            e2 = b2 <= EPS
+            b1 = jnp.where(e1, 0.0, b1)
+            c1 = jnp.where(e1, 0.0, c1)
+            b2 = jnp.where(e2, 0.0, b2)
+            c2 = jnp.where(e2, 0.0, c2)
+            fail_net = wmask & (need > EPS) & (nw < need - ftol)
             if track:
-                gw = jnp.where(wmask, gw1 + gw2, 0.0)
+                gw = gross1 + gross2  # zero where target was masked off
                 yg = yg + gw
-                yr = yr + gw * infl_ret / jnp.maximum(price0, EPS)
-
-            rb1, rc1, rb2, rc2 = monthly_rebalance(b1, c1, b2, c2)
-            b1 = jnp.where(wmask, rb1, b1)
-            c1 = jnp.where(wmask, rc1, c1)
-            b2 = jnp.where(wmask, rb2, b2)
-            c2 = jnp.where(wmask, rc2, c2)
-
-            # Annual tax at absolute boundaries / terminal settle share one
-            # subgraph (mutually exclusive scalar triggers).
-            tmask_ok = wmask & ~fail_cap & ~fail_net
-            is_boundary = (m % MONTHS_PER_YEAR) == 0
-            is_settle = (m == t_end) & ((w % MONTHS_PER_YEAR) != 0)
-            dies_pre = dies_a | dies_b | fail_cap | fail_net
-
-            def apply_tax(args):
-                b1, c1, b2, c2, g1a, g2a = args
-                tb1, tc1, tb2, tc2, tfail = annual_tax(b1, c1, b2, c2, g1a, g2a)
-                # Pure boolean algebra (no bool-vector select; Mosaic-safe):
-                mask = (is_boundary & tmask_ok) | (
-                    ~is_boundary & alive & ~dies_pre
-                )
-                return (
-                    jnp.where(mask, tb1, b1),
-                    jnp.where(mask, tc1, c1),
-                    jnp.where(mask, tb2, b2),
-                    jnp.where(mask, tc2, c2),
-                    jnp.where(mask & is_boundary, 0.0, g1a),
-                    jnp.where(mask & is_boundary, 0.0, g2a),
-                    # Cond outputs must not be i1 vectors (Mosaic): 0/1 f32.
-                    jnp.where(mask & tfail, 1.0, g1a * 0.0),
+                yr = yr + gw * infl_ret * _rdiv(
+                    jnp.ones(shape, jnp.float32), jnp.maximum(price0, EPS)
                 )
 
-            b1, c1, b2, c2, g1a, g2a, tfail_f = lax.cond(
-                is_boundary | is_settle,
-                apply_tax,
-                lambda a: a + (a[4] * 0.0,),
-                (b1, c1, b2, c2, g1a, g2a),
+            # --- monthly rebalance (gain fractions unchanged by the
+            # proportional sale above, so the profiles are reusable)
+            b1, c1, b2, c2 = rebalance_lite(
+                b1, c1, b2, c2, eff1, eff2, extra_noop=~wmask
             )
-            dies = dies_pre | (tfail_f > 0.5)
-            settle_failed = is_settle & (tfail_f > 0.5)
-            dies_regular = dies & ~settle_failed
+
+            # --- annual taxes at absolute boundaries / terminal settle
+            dies_pre = dies_a | dies_b | fail_net
+            if any_bills:
+                tmask_ok = wmask & ~fail_net
+                is_boundary = (m % MONTHS_PER_YEAR) == 0
+                is_settle = (m == t_end) & ((w % MONTHS_PER_YEAR) != 0)
+
+                def apply_tax(args):
+                    bb1, cc1, bb2, cc2, gg1, gg2 = args
+                    tb1, tc1, tb2, tc2, tfail = annual_tax(
+                        bb1, cc1, bb2, cc2, gg1, gg2
+                    )
+                    mask = (is_boundary & tmask_ok) | (
+                        ~is_boundary & alive & ~dies_pre
+                    )
+                    return (
+                        jnp.where(mask, tb1, bb1),
+                        jnp.where(mask, tc1, cc1),
+                        jnp.where(mask, tb2, bb2),
+                        jnp.where(mask, tc2, cc2),
+                        jnp.where(mask & is_boundary, 0.0, gg1),
+                        jnp.where(mask & is_boundary, 0.0, gg2),
+                        jnp.where(mask & tfail, 1.0, gg1 * 0.0),
+                    )
+
+                b1, c1, b2, c2, st[i_bills], st[i_bills + 1], tfail_f = (
+                    lax.cond(
+                        is_boundary | is_settle,
+                        apply_tax,
+                        lambda a: a + (a[4] * 0.0,),
+                        (b1, c1, b2, c2, st[i_bills], st[i_bills + 1]),
+                    )
+                )
+                dies = dies_pre | (tfail_f > 0.5)
+                settle_failed = is_settle & (tfail_f > 0.5)
+                dies_regular = dies & ~settle_failed
+            else:
+                dies = dies_pre
+                settle_failed = jnp.zeros(shape, bool)
+                dies_regular = dies
+
             alive_f = jnp.where(dies, 0.0, alive_f)
             if track:
                 ytr = jnp.where(
                     dies_regular,
-                    (ret_idx.astype(jnp.float32) + 1.0) / MONTHS_PER_YEAR,
+                    (ret_idx_f + 1.0) / MONTHS_PER_YEAR,
                     ytr,
                 )
-                ytr = jnp.where(settle_failed, jnp.float32(R), ytr)
+                if any_bills:
+                    ytr = jnp.where(settle_failed, jnp.float32(R), ytr)
                 year0 = (ret_idx // MONTHS_PER_YEAR) == 0
                 year_end = (k % MONTHS_PER_YEAR) == 0
                 cap_fy = (alive0_f > 0.5) & year0 & (dies_regular | year_end)
@@ -492,11 +712,9 @@ def _make_kernel(
                 value_rec = jnp.where(
                     wmask_rec,
                     jnp.where(alive_now, total2, jnp.maximum(0.0, total2)),
-                    0.0,  # non-recording dead paths keep their zero padding
+                    0.0,
                 )
                 infl_rec = infl
-                # WR recorded for paths that completed the whole year
-                # (includes a failed terminal settle, like the reference).
                 wr_mask = (alive0_f > 0.5) & ~dies_regular
                 wr_value = jnp.where(
                     start_bal > EPS,
@@ -519,33 +737,23 @@ def _make_kernel(
                         wr_mask, wr_value, old_w
                     )[None]
 
-                tracked = (ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r)
-            return (b1, c1, b2, c2, infl, g1a, g2a, alive_f, preret_f,
-                    tuple(new_fixed)) + tracked
+                st[i_track:] = [ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r]
 
-        def month(m, st):
-            return lax.cond(
-                m <= w,
-                lambda s: accum_month(m, s),
-                lambda s: ret_month(m, s),
-                st,
+            st[0], st[1], st[2], st[3], st[4], st[5] = (
+                b1, c1, b2, c2, infl, alive_f
             )
+            return tuple(st)
 
-        if t_scan:
-            def month_guarded(m, st):
-                return lax.cond(m <= t_end, lambda s: month(m, s),
-                                lambda s: s, st)
+        state = lax.fori_loop(1, w + 1, accum_month, init)
+        state = snapshot(state)
+        final = lax.fori_loop(w + 1, t_end + 1, ret_month, state)
 
-            final = lax.fori_loop(1, t_scan + 1, month_guarded, init)
-        else:
-            final = lax.fori_loop(1, t_end + 1, month, init)
-        b1, c1, b2, c2 = final[0], final[1], final[2], final[3]
-        # alive flag is already a 0/1 float32; reshape covers both the
-        # (rows, 128) single-candidate and (1, rows, 128) probe out blocks.
-        out_success[:] = final[7].reshape(out_success.shape)
-        out_final[:] = jnp.maximum(0.0, b1 + b2).reshape(out_final.shape)
+        out_success[:] = final[5].reshape(out_success.shape)
+        out_final[:] = jnp.maximum(0.0, final[0] + final[2]).reshape(
+            out_final.shape
+        )
         if track:
-            ytr, start_bal, infl_ret, _yg, _yr, fy_g, fy_r = final[10:]
+            ytr, start_bal, infl_ret, _yg, _yr, fy_g, fy_r = final[i_track:]
             out_ytr[:] = ytr.reshape(out_ytr.shape)
             out_start[:] = start_bal.reshape(out_start.shape)
             out_inflret[:] = infl_ret.reshape(out_inflret.shape)
@@ -590,10 +798,24 @@ def _pack_params(params: SimParams, seed: int, working_months, retirement_years)
     return ip, fp
 
 
+def _stream_inputs(params, in_specs, inputs):
+    f32 = jnp.float32
+    in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
+    inputs += [
+        params.stream_amount.astype(f32),
+        params.stream_months_from_t0.astype(f32),
+        jnp.minimum(
+            params.stream_duration_months.astype(f32), jnp.float32(3.0e7)
+        ),
+        params.stream_indexed.astype(f32),
+        params.stream_tax.astype(f32),
+    ]
+
+
 @partial(
     jax.jit,
-    static_argnames=("n_paths", "retirement_years", "n_streams", "with_shocks",
-                     "interpret", "t_scan"),
+    static_argnames=("n_paths", "retirement_years", "n_streams", "statics",
+                     "with_shocks", "interpret", "t_scan"),
 )
 def pallas_simulate(
     params: SimParams,
@@ -603,23 +825,24 @@ def pallas_simulate(
     n_paths: int,
     retirement_years: int,
     n_streams: int,
+    statics: Statics,
     shocks: Optional[jnp.ndarray] = None,
     with_shocks: bool = False,
     interpret: bool = False,
-    t_scan: int = 0,
+    t_scan: int = 0,  # accepted for API compatibility; loops are dynamic now
 ):
     """Probe-mode simulation on the Pallas TPU kernel.
 
     Returns (success_f32, final_balance) of shape (n_padded,); the caller
     slices [:n_paths]. ``shocks`` (debug/parity only): (T, 3, BLOCK_ROWS, 128)
-    pre-drawn independent normals for a single block. ``t_scan`` > 0 selects
-    a static month-loop trip count (must be >= W + 12R).
+    pre-drawn independent normals for a single block.
     """
+    del t_scan
     assert n_streams == params.n_streams
     n_blocks = max(1, -(-n_paths // BLOCK_PATHS))
     ip, fp = _pack_params(params, seed, working_months, retirement_years)
 
-    kernel = _make_kernel(n_streams, retirement_years, with_shocks, t_scan)
+    kernel = _make_kernel(n_streams, retirement_years, with_shocks, statics)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # iparams
@@ -627,17 +850,7 @@ def pallas_simulate(
     ]
     inputs = [ip, fp]
     if n_streams:
-        f32 = jnp.float32
-        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
-        inputs += [
-            params.stream_amount.astype(f32),
-            params.stream_months_from_t0.astype(f32),
-            jnp.minimum(
-                params.stream_duration_months.astype(f32), jnp.float32(3.0e7)
-            ),
-            params.stream_indexed.astype(f32),
-            params.stream_tax.astype(f32),
-        ]
+        _stream_inputs(params, in_specs, inputs)
     if with_shocks:
         assert n_blocks == 1, "injected shocks support a single block only"
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
@@ -668,7 +881,7 @@ def pallas_simulate(
 @partial(
     jax.jit,
     static_argnames=("n_candidates", "n_paths", "retirement_years",
-                     "n_streams", "t_scan", "interpret"),
+                     "n_streams", "statics", "t_scan", "interpret"),
 )
 def pallas_probe(
     params: SimParams,
@@ -679,7 +892,8 @@ def pallas_probe(
     n_paths: int,
     retirement_years: int,
     n_streams: int,
-    t_scan: int,
+    statics: Statics,
+    t_scan: int = 0,  # accepted for API compatibility
     interpret: bool = False,
 ):
     """Candidate-parallel probe: one dispatch for a whole candidate batch.
@@ -691,12 +905,13 @@ def pallas_probe(
     probe path. Returns per-candidate success probabilities in percent,
     shape (n_candidates,).
     """
+    del t_scan
     assert n_streams == params.n_streams
     n_blocks = max(1, -(-n_paths // BLOCK_PATHS))
     ip, fp = _pack_params(params, seed, months, retirement_years)
 
     kernel = _make_kernel(
-        n_streams, retirement_years, with_shocks=False, t_scan=t_scan,
+        n_streams, retirement_years, with_shocks=False, statics=statics,
         block_axis=1, cand_axis=0,
     )
 
@@ -706,17 +921,7 @@ def pallas_probe(
     ]
     inputs = [ip, fp]
     if n_streams:
-        f32 = jnp.float32
-        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
-        inputs += [
-            params.stream_amount.astype(f32),
-            params.stream_months_from_t0.astype(f32),
-            jnp.minimum(
-                params.stream_duration_months.astype(f32), jnp.float32(3.0e7)
-            ),
-            params.stream_indexed.astype(f32),
-            params.stream_tax.astype(f32),
-        ]
+        _stream_inputs(params, in_specs, inputs)
     out_shape = [
         jax.ShapeDtypeStruct(
             (n_candidates, n_blocks * BLOCK_ROWS, 128), jnp.float32
@@ -743,14 +948,10 @@ def pallas_probe(
     return jnp.mean(flat, axis=1) * 100.0
 
 
-FULL_BLOCK_ROWS = 32  # smaller path blocks in full mode: the trajectory
-# buffers ((traj_len + R) x rows x 128 floats) must fit VMEM alongside state.
-
-
 @partial(
     jax.jit,
-    static_argnames=("n_paths", "retirement_years", "n_streams", "traj_len",
-                     "t_scan", "with_shocks", "interpret"),
+    static_argnames=("n_paths", "retirement_years", "n_streams", "statics",
+                     "traj_len", "t_scan", "with_shocks", "interpret"),
 )
 def pallas_simulate_full(
     params: SimParams,
@@ -760,8 +961,9 @@ def pallas_simulate_full(
     n_paths: int,
     retirement_years: int,
     n_streams: int,
+    statics: Statics,
     traj_len: int,
-    t_scan: int,
+    t_scan: int = 0,  # accepted for API compatibility
     shocks=None,
     with_shocks: bool = False,
     interpret: bool = False,
@@ -772,14 +974,8 @@ def pallas_simulate_full(
     infl_ret of shape (n_padded,), trajectory/price (n_padded, traj_len) and
     wr (n_padded, R). Same semantics as the XLA scan kernel's tracked mode
     (pinned by the injected-shocks parity suite).
-
-    RNG note: probe mode (BLOCK_ROWS) and full mode (FULL_BLOCK_ROWS) tile
-    paths differently, so the same path index sees different draws — the two
-    entry points use independent bit streams. CRN (same (stream, month) →
-    same shocks across candidate months) holds *within* each entry point,
-    which is where the search relies on it; search and final runs are on
-    independent seed streams by design anyway.
     """
+    del t_scan
     assert n_streams == params.n_streams
     rows = FULL_BLOCK_ROWS
     block_paths = rows * 128
@@ -788,8 +984,8 @@ def pallas_simulate_full(
     R = retirement_years
 
     kernel = _make_kernel(
-        n_streams, retirement_years, with_shocks=with_shocks, t_scan=t_scan,
-        rows=rows, traj_len=traj_len,
+        n_streams, retirement_years, with_shocks=with_shocks,
+        statics=statics, rows=rows, traj_len=traj_len,
     )
 
     in_specs = [
@@ -798,17 +994,7 @@ def pallas_simulate_full(
     ]
     inputs = [ip, fp]
     if n_streams:
-        f32 = jnp.float32
-        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
-        inputs += [
-            params.stream_amount.astype(f32),
-            params.stream_months_from_t0.astype(f32),
-            jnp.minimum(
-                params.stream_duration_months.astype(f32), jnp.float32(3.0e7)
-            ),
-            params.stream_indexed.astype(f32),
-            params.stream_tax.astype(f32),
-        ]
+        _stream_inputs(params, in_specs, inputs)
     if with_shocks:
         assert n_blocks == 1, "injected shocks support a single block only"
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
@@ -860,7 +1046,7 @@ def pallas_simulate_full(
 @partial(
     jax.jit,
     static_argnames=("n_scenarios", "n_paths", "retirement_years",
-                     "n_streams", "t_scan", "interpret"),
+                     "n_streams", "statics", "t_scan", "interpret"),
 )
 def pallas_scenario_grid(
     params_batch: SimParams,
@@ -871,7 +1057,8 @@ def pallas_scenario_grid(
     n_paths: int,
     retirement_years: int,
     n_streams: int,
-    t_scan: int,
+    statics: Statics,
+    t_scan: int = 0,  # accepted for API compatibility
     interpret: bool = False,
 ):
     """Scenario-grid probe: every (config, working_months) pair in one
@@ -881,8 +1068,11 @@ def pallas_scenario_grid(
     see engine.scenario_batch.stack_params); the kernel grid is
     (scenarios, path-blocks) with per-row parameters and path-block-only PRNG
     seeding, so the whole grid shares shock draws (CRN across scenarios).
-    Returns success probabilities in percent, shape (n_scenarios,).
+    All scenarios in a batch must share ``statics`` (same tax systems and
+    stream structure). Returns success probabilities in percent, shape
+    (n_scenarios,).
     """
+    del t_scan
     # Batched SimParams carry streams as (K, S); n_streams is the last axis.
     assert n_streams == int(params_batch.stream_amount.shape[-1])
     n_blocks = max(1, -(-n_paths // BLOCK_PATHS))
@@ -892,7 +1082,7 @@ def pallas_scenario_grid(
     fp = jnp.transpose(fp_rows)
 
     kernel = _make_kernel(
-        n_streams, retirement_years, with_shocks=False, t_scan=t_scan,
+        n_streams, retirement_years, with_shocks=False, statics=statics,
         block_axis=1, cand_axis=0, multi_params=True,
     )
 
@@ -902,18 +1092,7 @@ def pallas_scenario_grid(
     ]
     inputs = [ip, fp]
     if n_streams:
-        f32 = jnp.float32
-        in_specs += [pl.BlockSpec(memory_space=pltpu.SMEM)] * 5
-        inputs += [
-            params_batch.stream_amount.astype(f32),
-            params_batch.stream_months_from_t0.astype(f32),
-            jnp.minimum(
-                params_batch.stream_duration_months.astype(f32),
-                jnp.float32(3.0e7),
-            ),
-            params_batch.stream_indexed.astype(f32),
-            params_batch.stream_tax.astype(f32),
-        ]
+        _stream_inputs(params_batch, in_specs, inputs)
     out_shape = [
         jax.ShapeDtypeStruct(
             (n_scenarios, n_blocks * BLOCK_ROWS, 128), jnp.float32

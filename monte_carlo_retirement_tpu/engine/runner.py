@@ -119,6 +119,12 @@ class Engine:
         self.dtype = dtype
         self.retirement_years = int(self.config.retirement_years)
         self.params = SimParams.from_config(self.config, dtype=dtype)
+        # Compile-time structure for the Pallas kernels (tax systems, stream
+        # shape). Editing rates/amounts reuses executables; flipping a tax
+        # system or stream indexing recompiles in seconds.
+        from .pallas_kernel import statics_from_config
+
+        self.statics = statics_from_config(self.config)
         self.search_key, self.final_key = stream_keys(self.main_seed)
         # Optional jax.sharding.Mesh with a 'paths' axis: shards the path
         # batch over devices (data-parallel over ICI).
@@ -219,7 +225,7 @@ class Engine:
                     n_paths=int(num_simulations),
                     retirement_years=self.retirement_years,
                     n_streams=self.params.n_streams,
-                    t_scan=t_scan,
+                    statics=self.statics,
                 )
             else:
                 probs = _probe_jit(
@@ -275,8 +281,8 @@ class Engine:
                 n_paths=n,
                 retirement_years=self.retirement_years,
                 n_streams=self.params.n_streams,
+                statics=self.statics,
                 traj_len=traj_len,
-                t_scan=t_scan,
             )
             outs = PathOutputs(
                 success=full["success"][:n] > 0.5,

@@ -13,7 +13,7 @@ import numpy as np
 
 from monte_carlo_retirement_tpu.config import Config, load_config_from_json
 from monte_carlo_retirement_tpu.engine.kernel import simulate_paths
-from monte_carlo_retirement_tpu.engine.pallas_kernel import pallas_simulate
+from monte_carlo_retirement_tpu.engine.pallas_kernel import pallas_simulate, statics_from_config
 from monte_carlo_retirement_tpu.engine.runner import enable_persistent_compilation_cache
 from monte_carlo_retirement_tpu.models.retirement import SimParams
 from monte_carlo_retirement_tpu.ops.shocks import stream_keys
@@ -46,7 +46,7 @@ for name, fname, W, R in cases:
 
     s, _f = pallas_simulate(
         params, W, 2026, n_paths=N, retirement_years=R,
-        n_streams=params.n_streams, t_scan=t_scan,
+        n_streams=params.n_streams, statics=statics_from_config(config),
     )
     p_pallas = float(np.asarray(s)[:N].mean()) * 100.0
 

@@ -12,7 +12,7 @@ import numpy as np
 from monte_carlo_retirement_tpu.config import Config, load_config_from_json
 from monte_carlo_retirement_tpu.engine.kernel import simulate_paths
 from monte_carlo_retirement_tpu.engine.pallas_kernel import (
-    BLOCK_PATHS, BLOCK_ROWS, pallas_simulate,
+    BLOCK_PATHS, BLOCK_ROWS, pallas_simulate, statics_from_config,
 )
 from monte_carlo_retirement_tpu.models.retirement import SimParams
 from monte_carlo_retirement_tpu.ops.shocks import stream_keys
@@ -42,6 +42,7 @@ t0 = time.time()
 succ_p, final_p = pallas_simulate(
     params, W, 0,
     n_paths=BLOCK_PATHS, retirement_years=R, n_streams=params.n_streams,
+    statics=statics_from_config(cfg),
     shocks=shocks, with_shocks=True, interpret=True,
 )
 print(f"  {time.time()-t0:.1f}s")

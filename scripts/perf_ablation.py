@@ -1,0 +1,560 @@
+"""Perf ablation for the Pallas month kernel at the bench workload.
+
+Builds stripped kernel variants (semantics intentionally broken in most —
+timing only) and measures each at 1M paths x 600 months, min-of-N, to
+attribute the ~165 ms bench cost to RNG, erfinv, exp, tax chain, rebalance,
+streams, scalar conds, etc. Run on the real TPU.
+"""
+
+import json
+import math
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from monte_carlo_retirement_tpu.config import Config, load_config_from_json
+from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+    BLOCK_PATHS,
+    BLOCK_ROWS,
+    _pack_params,
+    pallas_simulate,
+)
+from monte_carlo_retirement_tpu.engine.runner import (
+    enable_persistent_compilation_cache,
+)
+from monte_carlo_retirement_tpu.models.retirement import SimParams
+from monte_carlo_retirement_tpu.ops.tax import (
+    rebalance,
+    sale_tax_profile,
+    withdraw_net_target,
+)
+
+EPS = 1e-6
+N_PATHS = 1_000_000
+T = 600
+REPEATS = 5
+_INV_2_23 = 1.0 / float(1 << 23)
+_SQRT2 = math.sqrt(2.0)
+
+
+def make_variant_kernel(opts):
+    """Bench-shaped kernel: W=0, pure retirement months, 2 streams, both
+    assets realized-tax. `opts` switches pieces off (timing only)."""
+    rows = opts.get("rows", BLOCK_ROWS)
+    shape = (rows, 128)
+
+    def _uniform():
+        bits = pltpu.prng_random_bits(shape)
+        reduced = jax.lax.shift_right_logical(
+            pltpu.bitcast(bits, jnp.int32), jnp.int32(9)
+        )
+        return (reduced.astype(jnp.float32) + 0.5) * _INV_2_23
+
+    _ZPOLY = [0.0001782477551054519, -0.0028148533007281555,
+              0.016944312865490738, -0.04569300513968381,
+              0.04307398034973402, 0.014180894039555763,
+              -0.028215645346410155, 0.3470778790734455,
+              -0.003963483920460122, 1.2534926535177795]
+
+    def _normal():
+        u = _uniform()
+        if opts.get("no_erfinv"):
+            return 2.0 * u - 1.0  # wrong distribution; timing only
+        x = 2.0 * u - 1.0
+        if opts.get("custom_erfinv"):
+            w = -jnp.log1p(-(x * x))
+            sq = jnp.sqrt(w)
+            acc = jnp.full(u.shape, _ZPOLY[0], jnp.float32)
+            for k in _ZPOLY[1:]:
+                acc = acc * sq + k
+            return acc * x
+        return _SQRT2 * jax.lax.erf_inv(x)
+
+    def kernel(iparams, fparams, s_amount, s_from_t0, s_duration, s_indexed,
+               s_tax, out_success, out_final):
+        fv = [fparams[i] for i in range(19)]
+        (mu1, s1, mui, si, mup, sp, rho, rho_c, alloc1, init_bal, _c0, _g,
+         expenses0, _u1, r_real1, _a1, _u2, r_real2, _a2) = fv
+        sv = {
+            id(arr): [arr[s] for s in range(2)]
+            for arr in (s_amount, s_from_t0, s_duration, s_indexed, s_tax)
+        }
+        cell = lambda arr, s: sv[id(arr)][s]
+
+        pltpu.prng_seed(
+            iparams[0, 2] ^ (pl.program_id(0) * jnp.int32(-1640531527))
+        )
+        use_r1 = jnp.float32(1.0) > 0.5  # static-true flags (bench scenario)
+        use_r2 = jnp.float32(1.0) > 0.5
+
+        stream_start = [
+            jnp.maximum(0.0, jnp.ceil(jnp.maximum(0.0, cell(s_from_t0, s)) - EPS))
+            for s in range(2)
+        ]
+
+        zero_v = (
+            jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        ).astype(jnp.float32) * 0.0
+        b1_0 = zero_v + init_bal * alloc1
+        b2_0 = zero_v + init_bal - b1_0
+        init = (b1_0, b1_0, b2_0, b2_0, zero_v + 1.0, zero_v, zero_v,
+                zero_v + 1.0, zero_v - 1.0, zero_v - 1.0)
+
+        def draw():
+            if opts.get("no_rng"):
+                z = zero_v
+                return (jnp.exp(mu1 + s1 * z), jnp.exp(mui + si * z),
+                        jnp.exp((mui + mup) + (si + sp) * z))
+            if opts.get("one_rng_call"):
+                bits = pltpu.prng_random_bits((3 * rows, 128))
+                red = jax.lax.shift_right_logical(
+                    pltpu.bitcast(bits, jnp.int32), jnp.int32(9)
+                ).astype(jnp.float32)
+                u = (red + 0.5) * _INV_2_23
+                if opts.get("no_erfinv"):
+                    zz = 2.0 * u - 1.0
+                else:
+                    zz = _SQRT2 * jax.lax.erf_inv(2.0 * u - 1.0)
+                z_eq = zz[:rows]
+                z_ind = zz[rows:2 * rows]
+                z_prem = zz[2 * rows:]
+            else:
+                z_eq, z_ind, z_prem = _normal(), _normal(), _normal()
+            z_inf = rho * z_eq + rho_c * z_ind
+            if opts.get("no_exp"):
+                g1 = 1.0 + mu1 + s1 * z_eq
+                gi = 1.0 + mui + si * z_inf
+                return g1, gi, gi * (1.0 + mup + sp * z_prem)
+            g1 = jnp.exp(mu1 + s1 * z_eq)
+            gi = jnp.exp(mui + si * z_inf)
+            if opts.get("fused_prem_exp"):
+                g2 = jnp.exp((mui + mup) + si * z_inf + sp * z_prem)
+            else:
+                g2 = gi * jnp.exp(mup + sp * z_prem)
+            return g1, gi, g2
+
+        def ret_month(m, st):
+            b1, c1, b2, c2, infl, g1a, g2a, alive_f, f0, f1 = st
+            alive = alive_f > 0.5
+            ret_idx_f = (m - 1).astype(jnp.float32)
+
+            price0 = infl
+            if opts.get("no_streams"):
+                need = expenses0 * price0
+            else:
+                net_income = jnp.zeros(shape, jnp.float32)
+                fixed = [f0, f1]
+                new_fixed = []
+                for s in range(2):
+                    amount_s = cell(s_amount, s)
+                    active = (ret_idx_f >= stream_start[s]) & (
+                        ret_idx_f < stream_start[s] + cell(s_duration, s)
+                    )
+                    fixed_s = jnp.where(
+                        active & (ret_idx_f == stream_start[s]) & (fixed[s] < 0),
+                        amount_s * price0, fixed[s],
+                    )
+                    nominal = jnp.where(
+                        cell(s_indexed, s) > 0.5, amount_s * price0, fixed_s
+                    )
+                    net_income = net_income + jnp.where(
+                        active, nominal * (1.0 - cell(s_tax, s)), 0.0
+                    )
+                    new_fixed.append(fixed_s)
+                f0, f1 = new_fixed
+                need = jnp.maximum(0.0, expenses0 * price0 - net_income)
+
+            total0 = b1 + b2
+            dies_a = alive & (total0 <= EPS) & (need > EPS)
+
+            g1, gi, g2 = draw()
+            gmask = alive & ~dies_a
+            if not opts.get("no_gacc"):
+                g1a = g1a + jnp.where(gmask, b1 * (g1 - 1.0), 0.0)
+                g2a = g2a + jnp.where(gmask, b2 * (g2 - 1.0), 0.0)
+            b1 = jnp.where(gmask, b1 * g1, b1)
+            b2 = jnp.where(gmask, b2 * g2, b2)
+            infl = jnp.where(gmask, infl * gi, infl)
+
+            total1 = b1 + b2
+            dies_b = gmask & (total1 <= EPS) & (need > EPS)
+            b1 = jnp.where(dies_b, jnp.maximum(0.0, b1), b1)
+            b2 = jnp.where(dies_b, jnp.maximum(0.0, b2), b2)
+            wmask = gmask & ~dies_b
+
+            if opts.get("no_tax_chain"):
+                spend1 = need * alloc1
+                b1 = jnp.where(wmask, jnp.maximum(0.0, b1 - spend1), b1)
+                b2 = jnp.where(wmask, jnp.maximum(0.0, b2 - (need - spend1)), b2)
+                fail = wmask & (b1 + b2 <= EPS)
+            else:
+                eff1, nc1 = sale_tax_profile(b1, c1, use_r1, r_real1)
+                eff2, nc2 = sale_tax_profile(b2, c2, use_r2, r_real2)
+                tnc = nc1 + nc2
+                target = jnp.maximum(0.0, jnp.minimum(need, tnc))
+                ftol = EPS + 2e-5 * (need + total1)
+                fail_cap = wmask & (need > EPS) & (target < need - ftol)
+                prop1 = jnp.where(tnc > EPS, nc1 / jnp.where(tnc > EPS, tnc, 1.0),
+                                  alloc1)
+                wb1, wc1, _gw1, nw1 = withdraw_net_target(
+                    b1, c1, target * prop1, use_r1, r_real1, eff_tax=eff1)
+                wb2, wc2, _gw2, nw2 = withdraw_net_target(
+                    b2, c2, target * (1.0 - prop1), use_r2, r_real2, eff_tax=eff2)
+                b1 = jnp.where(wmask, wb1, b1)
+                c1 = jnp.where(wmask, wc1, c1)
+                b2 = jnp.where(wmask, wb2, b2)
+                c2 = jnp.where(wmask, wc2, c2)
+                fail = fail_cap | (wmask & (need > EPS) & (nw1 + nw2 < need - ftol))
+
+            if not opts.get("no_rebalance"):
+                rb1, rc1, rb2, rc2 = rebalance(
+                    b1, c1, b2, c2, alloc1, use_r1, r_real1, use_r2, r_real2)
+                b1 = jnp.where(wmask, rb1, b1)
+                c1 = jnp.where(wmask, rc1, c1)
+                b2 = jnp.where(wmask, rb2, b2)
+                c2 = jnp.where(wmask, rc2, c2)
+
+            if not opts.get("no_boundary"):
+                is_boundary = (m % 12) == 0
+
+                def apply_reb(args):
+                    bb1, cc1, bb2, cc2, gg1, gg2 = args
+                    tb1, tc1, tb2, tc2 = rebalance(
+                        bb1, cc1, bb2, cc2, alloc1, use_r1, r_real1,
+                        use_r2, r_real2)
+                    return tb1, tc1, tb2, tc2, gg1 * 0.0, gg2 * 0.0
+
+                b1, c1, b2, c2, g1a, g2a = lax.cond(
+                    is_boundary, apply_reb, lambda a: a,
+                    (b1, c1, b2, c2, g1a, g2a))
+
+            dies = dies_a | dies_b | fail
+            alive_f = jnp.where(dies, 0.0, alive_f)
+            return (b1, c1, b2, c2, infl, g1a, g2a, alive_f, f0, f1)
+
+        def opt_month(m, st):
+            """Semantics-faithful restructured month (static use_real=True,
+            ann rates 0): shared tax profiles, identity-based tax algebra,
+            masks folded into the chain, no gain accumulators, no boundary
+            cond (a second rebalance after a monthly one is a no-op when the
+            annual bill is structurally zero)."""
+            b1, c1, b2, c2, infl, g1a, g2a, alive_f, f0, f1 = st
+            alive = alive_f > 0.5
+            ret_idx_f = (m - 1).astype(jnp.float32)
+
+            price0 = infl
+            net_income = jnp.zeros(shape, jnp.float32)
+            fixed = [f0, f1]
+            new_fixed = []
+            for si_ in range(2):
+                amount_s = cell(s_amount, si_)
+                active = (ret_idx_f >= stream_start[si_]) & (
+                    ret_idx_f < stream_start[si_] + cell(s_duration, si_)
+                )
+                fixed_s = jnp.where(
+                    active & (ret_idx_f == stream_start[si_]) & (fixed[si_] < 0),
+                    amount_s * price0, fixed[si_],
+                )
+                nominal = jnp.where(
+                    cell(s_indexed, si_) > 0.5, amount_s * price0, fixed_s
+                )
+                net_income = net_income + jnp.where(
+                    active, nominal * (1.0 - cell(s_tax, si_)), 0.0
+                )
+                new_fixed.append(fixed_s)
+            f0, f1 = new_fixed
+            need = jnp.maximum(0.0, expenses0 * price0 - net_income)
+
+            total0 = b1 + b2
+            dies_a = alive & (total0 <= EPS) & (need > EPS)
+
+            g1, gi, g2 = draw()
+            gmask = alive & ~dies_a
+            b1 = jnp.where(gmask, b1 * g1, b1)
+            b2 = jnp.where(gmask, b2 * g2, b2)
+            infl = jnp.where(gmask, infl * gi, infl)
+
+            total1 = b1 + b2
+            dies_b = gmask & (total1 <= EPS) & (need > EPS)
+            b1 = jnp.where(dies_b, jnp.maximum(0.0, b1), b1)
+            b2 = jnp.where(dies_b, jnp.maximum(0.0, b2), b2)
+            wmask = gmask & ~dies_b
+            wmask_f = jnp.where(wmask, 1.0, 0.0)
+
+            # shared per-asset sale profiles (gain fraction is invariant
+            # under proportional-basis sales, so one profile serves the
+            # withdrawal AND the rebalance this month)
+            if opts.get("recip"):
+                def rdiv(a, b):
+                    r = pl.reciprocal(b, approx=True)
+                    r = r * (2.0 - b * r)  # one Newton step
+                    return a * r
+            else:
+                rdiv = lambda a, b: a / b
+            safe1 = jnp.where(b1 > EPS, b1, 1.0)
+            safe2 = jnp.where(b2 > EPS, b2, 1.0)
+            gf1 = rdiv(jnp.maximum(0.0, b1 - c1), safe1)
+            gf2 = rdiv(jnp.maximum(0.0, b2 - c2), safe2)
+            eff1 = gf1 * r_real1
+            eff2 = gf2 * r_real2
+            nf1 = 1.0 - eff1
+            nf2 = 1.0 - eff2
+            nc1 = jnp.where(b1 > EPS, b1 * nf1, 0.0)
+            nc2 = jnp.where(b2 > EPS, b2 * nf2, 0.0)
+            tnc = nc1 + nc2
+            target = jnp.minimum(need, tnc) * wmask_f
+            ftol = EPS + 2e-5 * (need + total1)
+            fail_cap = wmask & (need > EPS) & (target < need - ftol)
+            t1 = target * rdiv(nc1, jnp.maximum(tnc, EPS))
+            t2 = target - t1
+
+            # withdraw-lite: tax == gross*eff exactly (avg-cost basis), so
+            # net == gross*nf and no taxable-gain max() chain is needed.
+            gross1 = jnp.minimum(rdiv(t1, jnp.maximum(nf1, EPS)), b1)
+            gross2 = jnp.minimum(rdiv(t2, jnp.maximum(nf2, EPS)), b2)
+            nw = gross1 * nf1 + gross2 * nf2
+            c1 = c1 - c1 * rdiv(gross1, safe1)
+            c2 = c2 - c2 * rdiv(gross2, safe2)
+            b1 = b1 - gross1
+            b2 = b2 - gross2
+            e1 = b1 <= EPS
+            e2 = b2 <= EPS
+            b1 = jnp.where(e1, 0.0, b1)
+            c1 = jnp.where(e1, 0.0, c1)
+            b2 = jnp.where(e2, 0.0, b2)
+            c2 = jnp.where(e2, 0.0, c2)
+            fail_net = wmask & (need > EPS) & (nw < need - ftol)
+
+            # rebalance-lite: shared gain fractions; drift2 == -drift1.
+            total = b1 + b2
+            drift1 = b1 - total * alloc1
+            adrift = jnp.abs(drift1)
+            sell1 = drift1 > 0
+            noop = (~wmask) | (total <= EPS) | (adrift <= EPS)
+            bal_s = jnp.where(sell1, b1, b2)
+            basis_s = jnp.where(sell1, c1, c2)
+            eff_s = jnp.where(sell1, eff1, eff2)
+            alloc_s = jnp.where(sell1, alloc1, 1.0 - alloc1)
+            denom = jnp.maximum(EPS, 1.0 - alloc_s * eff_s)
+            gross_s = jnp.minimum(bal_s, rdiv(adrift, denom))
+            frac_s = rdiv(gross_s, jnp.where(bal_s > EPS, bal_s, 1.0))
+            net_p = gross_s * (1.0 - eff_s)
+            new_sb = bal_s - gross_s
+            new_sc = basis_s - basis_s * frac_s
+            bal_b = jnp.where(sell1, b2, b1) + net_p
+            basis_b = jnp.where(sell1, c2, c1) + net_p
+            ob1 = jnp.where(sell1, new_sb, bal_b)
+            oc1 = jnp.where(sell1, new_sc, basis_b)
+            ob2 = jnp.where(sell1, bal_b, new_sb)
+            oc2 = jnp.where(sell1, basis_b, new_sc)
+            z1 = ob1 <= EPS
+            z2 = ob2 <= EPS
+            ob1 = jnp.where(z1, 0.0, ob1)
+            oc1 = jnp.where(z1, 0.0, oc1)
+            ob2 = jnp.where(z2, 0.0, ob2)
+            oc2 = jnp.where(z2, 0.0, oc2)
+            b1 = jnp.where(noop, b1, ob1)
+            c1 = jnp.where(noop, c1, oc1)
+            b2 = jnp.where(noop, b2, ob2)
+            c2 = jnp.where(noop, c2, oc2)
+
+            dies = dies_a | dies_b | fail_cap | fail_net
+            alive_f = jnp.where(dies, 0.0, alive_f)
+            return (b1, c1, b2, c2, infl, g1a, g2a, alive_f, f0, f1)
+
+        if opts.get("hand_unroll"):
+            w0 = iparams[0, 0]
+            t_end = iparams[0, 1]
+            u = opts.get("hand_unroll")
+
+            def body_u(i, st):
+                m0 = w0 + i * u
+                for j in range(1, u + 1):
+                    st = opt_month(m0 + j, st)
+                return st
+
+            final = lax.fori_loop(0, (t_end - w0) // u, body_u, init)
+        elif opts.get("empty_body"):
+            w0 = iparams[0, 0]
+            t_end = iparams[0, 1]
+
+            def nothing(m, st):
+                return tuple(v + 0.0 for v in st[:1]) + st[1:]
+            final = lax.fori_loop(w0 + 1, t_end + 1, nothing, init,
+                                  unroll=opts.get("unroll", 1))
+        elif opts.get("opt_body"):
+            w0 = iparams[0, 0]
+            t_end = iparams[0, 1]
+            final = lax.fori_loop(w0 + 1, t_end + 1, opt_month, init,
+                                  unroll=opts.get("unroll", 1))
+        elif opts.get("guard_cond"):
+            t_end = iparams[0, 1]
+
+            def month(m, st):
+                return lax.cond(m <= t_end, lambda s: ret_month(m, s),
+                                lambda s: s, st)
+            final = lax.fori_loop(1, T + 1, month, init)
+        elif opts.get("dyn_bounds"):
+            w0 = iparams[0, 0]
+            t_end = iparams[0, 1]
+            final = lax.fori_loop(w0 + 1, t_end + 1, ret_month, init)
+        else:
+            final = lax.fori_loop(1, T + 1, ret_month, init)
+        out_success[:] = final[7]
+        out_final[:] = jnp.maximum(0.0, final[0] + final[2])
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("optkey",))
+def run_variant(params, seed, optkey):
+    opts = dict(optkey)
+    kernel = make_variant_kernel(opts)
+    ip, fp = _pack_params(params, seed, 0, 50)
+    rows = opts.get("rows", BLOCK_ROWS)
+    n_blocks = -(-N_PATHS // (rows * 128))
+    f32 = jnp.float32
+    inputs = [
+        ip, fp,
+        params.stream_amount.astype(f32),
+        params.stream_months_from_t0.astype(f32),
+        jnp.minimum(params.stream_duration_months.astype(f32), jnp.float32(3e7)),
+        params.stream_indexed.astype(f32),
+        params.stream_tax.astype(f32),
+    ]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * 7
+    out_shape = [
+        jax.ShapeDtypeStruct((n_blocks * rows, 128), jnp.float32),
+        jax.ShapeDtypeStruct((n_blocks * rows, 128), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    succ, final = pl.pallas_call(
+        kernel, grid=(n_blocks,), in_specs=in_specs, out_specs=out_specs,
+        out_shape=out_shape,
+    )(*inputs)
+    return jnp.mean(succ[: N_PATHS // 128 * 128]) * 100.0, jnp.sum(final)
+
+
+def time_variant(params, name, **opts):
+    optkey = tuple(sorted(opts.items()))
+    rate = float(run_variant(params, 0, optkey)[0])  # compile+warm
+    times = []
+    for rep in range(REPEATS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run_variant(params, rep + 1, optkey))
+        times.append((time.perf_counter() - t0) * 1000.0)
+    print(f"{name:28s} {min(times):8.1f} ms   success={rate:6.2f}%", flush=True)
+    return min(times)
+
+
+def main():
+    enable_persistent_compilation_cache()
+    raw = load_config_from_json(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "config.json"))
+    raw["retirement_years"] = 50
+    raw["initial_balance"] = 1_500_000.0
+    raw["monthly_expenses"] = 4_000.0
+    config = Config(**raw)
+    params = SimParams.from_config(config, dtype=jnp.float32)
+
+    # Reference: the production kernel through its own entry point.
+    @jax.jit
+    def prod(seed):
+        succ, _ = pallas_simulate(params, 0, seed, n_paths=N_PATHS,
+                                  retirement_years=50,
+                                  n_streams=params.n_streams, t_scan=600)
+        return jnp.mean(succ[:N_PATHS]) * 100.0
+
+    float(prod(0))
+    times = []
+    for rep in range(REPEATS):
+        t0 = time.perf_counter()
+        float(prod(rep + 1))
+        times.append((time.perf_counter() - t0) * 1000.0)
+    print(f"{'PRODUCTION pallas_simulate':28s} {min(times):8.1f} ms", flush=True)
+
+    import sys as _sys
+    if len(_sys.argv) > 1 and _sys.argv[1] == "recip":
+        time_variant(params, "opt+cerf rows=32", rows=32, opt_body=True,
+                     custom_erfinv=True)
+        time_variant(params, "opt+cerf+recip rows=32", rows=32, opt_body=True,
+                     custom_erfinv=True, recip=True)
+        return
+    if len(_sys.argv) > 1 and _sys.argv[1] == "hand":
+        for u in (2, 4, 6, 12):
+            time_variant(params, f"opt+cerf rows=32 hu{u}", rows=32,
+                         opt_body=True, custom_erfinv=True, hand_unroll=u)
+        time_variant(params, "opt+cerf rows=16 hu12", rows=16,
+                     opt_body=True, custom_erfinv=True, hand_unroll=12)
+        time_variant(params, "opt+cerf rows=64 hu6", rows=64,
+                     opt_body=True, custom_erfinv=True, hand_unroll=6)
+        return
+    if len(_sys.argv) > 1 and _sys.argv[1] == "unroll":
+        time_variant(params, "empty body rows=32", rows=32, empty_body=True)
+        time_variant(params, "opt+cerf rows=32 u1", rows=32, opt_body=True,
+                     custom_erfinv=True)
+        for u in (2, 4, 8):
+            time_variant(params, f"opt+cerf rows=32 u{u}", rows=32,
+                         opt_body=True, custom_erfinv=True, unroll=u)
+        time_variant(params, "opt+cerf rows=16 u4", rows=16, opt_body=True,
+                     custom_erfinv=True, unroll=4)
+        time_variant(params, "opt+cerf rows=64 u4", rows=64, opt_body=True,
+                     custom_erfinv=True, unroll=4)
+        return
+    if len(_sys.argv) > 1 and _sys.argv[1] == "opt":
+        for rows in (24, 32, 48):
+            time_variant(params, f"opt+cerf rows={rows}", rows=rows,
+                         opt_body=True, custom_erfinv=True)
+        time_variant(params, "opt rows=32 (xla erfinv)", rows=32, opt_body=True)
+        time_variant(params, "opt+cerf+fusedexp rows=32", rows=32,
+                     opt_body=True, custom_erfinv=True, fused_prem_exp=True)
+        time_variant(params, "opt+cerf rows=32 no_streams", rows=32,
+                     opt_body=True, custom_erfinv=True, no_streams=True)
+        time_variant(params, "opt+cerf rows=32 no_exp", rows=32,
+                     opt_body=True, custom_erfinv=True, no_exp=True)
+        return
+    if len(_sys.argv) > 1 and _sys.argv[1] == "dyn":
+        time_variant(params, "base rows=32", rows=32)
+        time_variant(params, "dyn-bounds rows=32", rows=32, dyn_bounds=True)
+        time_variant(params, "dyn-bounds rows=64", rows=64, dyn_bounds=True)
+        return
+    if len(_sys.argv) > 1 and _sys.argv[1] == "rows":
+        for rows in (8, 16, 32, 64, 128, 256, 512):
+            time_variant(params, f"base rows={rows}", rows=rows)
+            time_variant(params, f"minimal rows={rows}", rows=rows,
+                         no_rng=True, no_tax_chain=True, no_rebalance=True,
+                         no_streams=True, no_boundary=True, no_gacc=True)
+        return
+    time_variant(params, "variant-base (no W-cond)")
+    time_variant(params, "  + guard cond", guard_cond=True)
+    time_variant(params, "no boundary reb", no_boundary=True)
+    time_variant(params, "no streams", no_streams=True)
+    time_variant(params, "no gain accumulators", no_gacc=True)
+    time_variant(params, "no rebalance", no_rebalance=True)
+    time_variant(params, "no tax chain", no_tax_chain=True)
+    time_variant(params, "no erfinv", no_erfinv=True)
+    time_variant(params, "one rng call", one_rng_call=True)
+    time_variant(params, "no exp", no_exp=True)
+    time_variant(params, "fused premium exp", fused_prem_exp=True)
+    time_variant(params, "no rng at all", no_rng=True)
+    time_variant(params, "minimal (no rng+tax+reb+str)", no_rng=True,
+                 no_tax_chain=True, no_rebalance=True, no_streams=True,
+                 no_boundary=True, no_gacc=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,7 +13,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from monte_carlo_retirement_tpu.config import Config, load_config_from_json
-from monte_carlo_retirement_tpu.engine.pallas_kernel import pallas_scenario_grid
+from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+    pallas_scenario_grid,
+    statics_from_config,
+)
 from monte_carlo_retirement_tpu.engine.runner import enable_persistent_compilation_cache
 from monte_carlo_retirement_tpu.engine.scenario_batch import stack_params
 
@@ -46,7 +49,7 @@ for i in range(0, len(configs), CHUNK):
     out = pallas_scenario_grid(
         batch, months, 7,
         n_scenarios=len(chunk), n_paths=N_PATHS, retirement_years=R,
-        n_streams=2, t_scan=W + 12 * R,
+        n_streams=2, statics=statics_from_config(chunk[0]),
     )
     probs[i : i + len(chunk)] = np.asarray(out)
 elapsed = time.time() - t0

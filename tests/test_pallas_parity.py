@@ -16,6 +16,7 @@ from monte_carlo_retirement_tpu.engine.pallas_kernel import (
     BLOCK_PATHS,
     BLOCK_ROWS,
     pallas_simulate,
+    statics_from_config,
 )
 from monte_carlo_retirement_tpu.models.retirement import SimParams
 from monte_carlo_retirement_tpu.ops.shocks import stream_keys
@@ -105,6 +106,7 @@ def test_pallas_matches_scan_with_injected_shocks(working_months, overrides):
         n_paths=BLOCK_PATHS,
         retirement_years=R,
         n_streams=params.n_streams,
+        statics=statics_from_config(cfg),
         shocks=shocks,
         with_shocks=True,
         interpret=True,
@@ -181,7 +183,8 @@ def test_pallas_full_mode_matches_scan(working_months):
 
     full = pallas_simulate_full(
         params, working_months, 0,
-        n_paths=N, retirement_years=R, n_streams=1, traj_len=L, t_scan=T,
+        n_paths=N, retirement_years=R, n_streams=1,
+        statics=statics_from_config(cfg), traj_len=L,
         shocks=shocks, with_shocks=True, interpret=True,
     )
     outs = simulate_paths(
