@@ -41,12 +41,6 @@ SCAN_BUCKET_MONTHS = 60
 # verification sweep — reuses a single compiled executable.
 PROBE_WIDTH = 16
 
-# Auto backend policy for full-statistics runs: at or below this many paths
-# (4 Pallas VMEM blocks) the Pallas kernel's seconds-long compile beats the
-# XLA scan's minutes-long cold compile; above it the warm XLA scan's
-# steady-state throughput wins (see Engine._resolve_run_backend).
-RUN_PALLAS_MAX_PATHS = 16_384
-
 
 def enable_persistent_compilation_cache() -> None:
     """Cache compiled executables on disk so fresh processes skip XLA compiles."""
@@ -166,17 +160,16 @@ class Engine:
         return backend
 
     def _resolve_run_backend(self, backend: Optional[str], n_paths: int) -> str:
-        """Backend for the full-statistics run. Selection is per-phase:
-        search probes favor Pallas (seconds to compile vs minutes for the
-        big XLA scan), but the stats run trades differently — Pallas full
-        mode streams 4k-path VMEM blocks (~2 s at 100k paths) while the warm
-        XLA scan serves 100k in ~100 ms from the persistent compile cache.
-        Auto picks Pallas only when the block count is small enough that
-        compile-time savings beat steady-state cost."""
+        """Backend for the full-statistics run (resolved separately from the
+        search probes). Since the round-2 kernel rewrite the Pallas full mode
+        wins at every scale — 0.52 s vs the warm XLA scan's 2.4 s at 1M paths
+        (and seconds-long compiles vs minutes) — so auto is Pallas whenever
+        the platform supports it. MCRT_RUN_BACKEND=scan forces the XLA scan
+        (useful for cross-backend checks)."""
+        del n_paths
         backend = backend or os.environ.get("MCRT_RUN_BACKEND", "auto")
         if backend == "auto":
-            small = n_paths <= RUN_PALLAS_MAX_PATHS
-            return "pallas" if (self._pallas_eligible() and small) else "scan"
+            return "pallas" if self._pallas_eligible() else "scan"
         return backend
 
     def _stream_seed(self, stream: str) -> int:

@@ -27,6 +27,7 @@ from monte_carlo_retirement_tpu.engine.pallas_kernel import (
     BLOCK_ROWS,
     _pack_params,
     pallas_simulate,
+    statics_from_config,
 )
 from monte_carlo_retirement_tpu.engine.runner import (
     enable_persistent_compilation_cache,
@@ -243,6 +244,9 @@ def make_variant_kernel(opts):
             return (b1, c1, b2, c2, infl, g1a, g2a, alive_f, f0, f1)
 
         def opt_month(m, st):
+            return opt_month_with_draw(m, st, None)
+
+        def opt_month_with_draw(m, st, draw_fn):
             """Semantics-faithful restructured month (static use_real=True,
             ann rates 0): shared tax profiles, identity-based tax algebra,
             masks folded into the chain, no gain accumulators, no boundary
@@ -278,7 +282,7 @@ def make_variant_kernel(opts):
             total0 = b1 + b2
             dies_a = alive & (total0 <= EPS) & (need > EPS)
 
-            g1, gi, g2 = draw()
+            g1, gi, g2 = draw() if draw_fn is None else draw_fn()
             gmask = alive & ~dies_a
             b1 = jnp.where(gmask, b1 * g1, b1)
             b2 = jnp.where(gmask, b2 * g2, b2)
@@ -372,7 +376,31 @@ def make_variant_kernel(opts):
             alive_f = jnp.where(dies, 0.0, alive_f)
             return (b1, c1, b2, c2, infl, g1a, g2a, alive_f, f0, f1)
 
-        if opts.get("hand_unroll"):
+        if opts.get("pipe_rng"):
+            w0 = iparams[0, 0]
+            t_end = iparams[0, 1]
+
+            def opt_month_z(m, st_z):
+                st, z_next = st_z[:-3], st_z[-3:]
+                # draw NEXT month's normals first: independent of this
+                # month's state, so the scheduler can overlap them with the
+                # tax chain below
+                z_new = (_normal(), _normal(), _normal())
+                _saved = draw  # not used; keep graph equal otherwise
+                z_eq, z_ind, z_prem = z_next
+                z_inf = rho * z_eq + rho_c * z_ind
+                g1 = jnp.exp(mu1 + s1 * z_eq)
+                gi = jnp.exp(mui + si * z_inf)
+                g2 = gi * jnp.exp(mup + sp * z_prem)
+
+                def draw_override():
+                    return g1, gi, g2
+                st = opt_month_with_draw(m, st, draw_override)
+                return st + z_new
+
+            init_z = init + (_normal(), _normal(), _normal())
+            final = lax.fori_loop(w0 + 1, t_end + 1, opt_month_z, init_z)[:-3]
+        elif opts.get("hand_unroll"):
             w0 = iparams[0, 0]
             t_end = iparams[0, 1]
             u = opts.get("hand_unroll")
@@ -476,7 +504,8 @@ def main():
     def prod(seed):
         succ, _ = pallas_simulate(params, 0, seed, n_paths=N_PATHS,
                                   retirement_years=50,
-                                  n_streams=params.n_streams, t_scan=600)
+                                  n_streams=params.n_streams,
+                                  statics=statics_from_config(config))
         return jnp.mean(succ[:N_PATHS]) * 100.0
 
     float(prod(0))
@@ -488,6 +517,12 @@ def main():
     print(f"{'PRODUCTION pallas_simulate':28s} {min(times):8.1f} ms", flush=True)
 
     import sys as _sys
+    if len(_sys.argv) > 1 and _sys.argv[1] == "pipe":
+        time_variant(params, "opt+cerf+recip rows=32", rows=32, opt_body=True,
+                     custom_erfinv=True, recip=True)
+        time_variant(params, "  + pipelined rng", rows=32, opt_body=True,
+                     custom_erfinv=True, recip=True, pipe_rng=True)
+        return
     if len(_sys.argv) > 1 and _sys.argv[1] == "recip":
         time_variant(params, "opt+cerf rows=32", rows=32, opt_body=True,
                      custom_erfinv=True)

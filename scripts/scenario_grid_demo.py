@@ -49,7 +49,8 @@ for i in range(0, len(configs), CHUNK):
     out = pallas_scenario_grid(
         batch, months, 7,
         n_scenarios=len(chunk), n_paths=N_PATHS, retirement_years=R,
-        n_streams=2, statics=statics_from_config(chunk[0]),
+        n_streams=int(batch.stream_amount.shape[-1]),
+        statics=statics_from_config(chunk[0]),
     )
     probs[i : i + len(chunk)] = np.asarray(out)
 elapsed = time.time() - t0

@@ -225,3 +225,86 @@ def test_pallas_full_mode_matches_scan(working_months):
     assert (np.isnan(wr_p) == np.isnan(wr_s)).mean() > 0.999
     ok = ~np.isnan(wr_s) & ~np.isnan(wr_p)
     np.testing.assert_allclose(wr_p[ok], wr_s[ok], rtol=5e-3, atol=1e-4)
+
+
+def test_pallas_fuzz_differential_statics_combos():
+    """Randomized Pallas-vs-scan differential sweeping the kernel's static
+    specialization axes: tax system per asset, annual-bill existence,
+    stream indexing/capping, partial working years. Same injected shocks
+    into both kernels; outcomes must agree per path."""
+    rng = np.random.default_rng(99)
+    for case in range(4):
+        n_streams = int(rng.integers(0, 3))
+        streams = []
+        for s in range(n_streams):
+            streams.append(
+                {
+                    "name": f"s{s}",
+                    "monthly_amount_today": float(rng.uniform(300, 2500)),
+                    "start_at_age": float(rng.uniform(40, 52)),
+                    "duration_years": (
+                        None if rng.random() < 0.5 else int(rng.integers(1, 6))
+                    ),
+                    "inflation_indexed": bool(rng.random() < 0.5),
+                    "tax_rate": float(rng.uniform(0, 0.4)),
+                }
+            )
+        use1 = bool(rng.random() < 0.5)
+        use2 = bool(rng.random() < 0.5)
+        W = int(rng.integers(0, 30))
+        R = int(rng.integers(1, 5))
+        cfg = make_config(
+            retirement_years=R,
+            seed=int(rng.integers(0, 10_000)),
+            initial_balance=float(rng.uniform(20_000, 250_000)),
+            monthly_contribution=float(rng.uniform(0, 4_000)),
+            monthly_expenses=float(rng.uniform(800, 4_000)),
+            current_age=45.0,
+            inv1_returns_volatility=float(rng.uniform(0.05, 0.25)),
+            inv1_use_realized_gains_tax_system=use1,
+            inv1_realized_gains_tax_rate=float(rng.uniform(0, 0.3)),
+            inv1_annual_tax_on_gains_rate=float(rng.uniform(0, 0.3)),
+            inv2_use_realized_gains_tax_system=use2,
+            inv2_realized_gains_tax_rate=float(rng.uniform(0, 0.3)),
+            inv2_annual_tax_on_gains_rate=float(rng.uniform(0, 0.3)),
+            inflation_rate_volatility=float(rng.uniform(0, 0.03)),
+            equity_inflation_correlation=float(rng.uniform(-0.9, 0.9)),
+            other_income_streams=streams,
+        )
+        params = SimParams.from_config(cfg, dtype=jnp.float32)
+        _, key = stream_keys(cfg.seed)
+        T = W + 12 * R
+        shocks = _drawn_shocks(key, T, BLOCK_PATHS)
+        succ_p, final_p = pallas_simulate(
+            params,
+            W,
+            0,
+            n_paths=BLOCK_PATHS,
+            retirement_years=R,
+            n_streams=params.n_streams,
+            statics=statics_from_config(cfg),
+            shocks=shocks,
+            with_shocks=True,
+            interpret=True,
+        )
+        outs = simulate_paths(
+            params,
+            jnp.int32(W),
+            key,
+            n_paths=BLOCK_PATHS,
+            t_scan=T,
+            retirement_years=R,
+            traj_len=0,
+            dtype=jnp.float32,
+        )
+        succ_s = np.asarray(outs.success)
+        succ_pb = np.asarray(succ_p) > 0.5
+        mismatch = float((succ_pb != succ_s).mean())
+        assert mismatch < 3e-3, f"case {case}: success mismatch {mismatch:.4f}"
+        final_s = np.asarray(outs.final_balance)
+        rel = np.abs(np.asarray(final_p) - final_s) / np.maximum(
+            np.abs(final_s), 1.0
+        )
+        assert float(np.quantile(rel, 0.999)) < 5e-3, (
+            f"case {case}: final-balance rel err {rel.max():.2e}"
+        )
