@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..constants import MONTHS_PER_YEAR, NUM_SAMPLE_PATHS
+from ..constants import MAX_SEARCH_YEARS, MONTHS_PER_YEAR, NUM_SAMPLE_PATHS
 from ..logging_utils import generate_seed_from_timestamp
 from ..models.retirement import SimParams
 from ..ops.shocks import stream_keys
@@ -266,6 +266,19 @@ class Engine:
         if run_backend == "pallas":
             from .kernel import PathOutputs
             from .pallas_kernel import pallas_simulate_full
+
+            # The Pallas month loops have dynamic bounds, so the only
+            # shape-bearing knob is the trajectory buffer width. Size it for
+            # the search cap (start + 70y) once per scenario: every
+            # working_months value — warmup, overrides, search results —
+            # then reuses ONE compiled executable. Unused slots keep their
+            # init values and are trimmed to L below.
+            cap_w = max(
+                working_months,
+                int(self.config.starting_working_months_search)
+                + MAX_SEARCH_YEARS * MONTHS_PER_YEAR,
+            )
+            traj_len = 1 + self._t_scan(cap_w) // MONTHS_PER_YEAR
 
             full = pallas_simulate_full(
                 self.params,

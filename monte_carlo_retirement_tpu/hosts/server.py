@@ -267,8 +267,11 @@ def _warmup() -> None:
             config.num_simulations_search,
             horizon_months=config.starting_working_months_search + 70 * 12,
         )
+        # Warm the REAL serving shapes: the full-stats executable is keyed
+        # by path count (and scenario-static trajectory width), so warming a
+        # tiny batch would leave the first user request paying the compile.
         simulator.engine.run(
-            config.starting_working_months_search, min(8, config.num_simulations_main)
+            config.starting_working_months_search, config.num_simulations_main
         )
         log.info("Warmup complete: default-scenario executables compiled.")
     except Exception:  # pragma: no cover - warmup is best-effort
