@@ -89,8 +89,11 @@ FULL_BLOCK_ROWS = 32  # full mode: series buffers also fit VMEM at 32 rows
     NUM_FPARAMS,
 ) = range(20)
 
-# iparams vector layout (int32, SMEM)
-I_W, I_T_END, I_SEED, NUM_IPARAMS = range(4)
+# iparams vector layout (int32, SMEM). I_BLOCK_OFF shifts the per-block PRNG
+# seed index: on a sharded mesh every device passes its global block offset,
+# so shard-local block 0 on device d draws the stream of global block
+# d * blocks_per_shard — device count never changes which streams exist.
+I_W, I_T_END, I_SEED, I_BLOCK_OFF, NUM_IPARAMS = range(5)
 
 _INV_2_22 = 1.0 / float(1 << 22)
 _X_OFFSET = 1.0 / float(1 << 23) - 1.0
@@ -184,8 +187,15 @@ def _make_kernel(
     rows: int = BLOCK_ROWS,
     traj_len: int = 0,
     multi_params: bool = False,
+    interpret: bool = False,
 ):
     """Build the block kernel for one (streams, R, statics) combination.
+
+    ``interpret`` swaps the hardware PRNG for a threefry stream keyed by
+    (block seed, month) — `pltpu.prng_*` has no CPU lowering — so the
+    global-block seeding structure (CRN, shard offsets) is testable on CPU;
+    bit streams differ from the device PRNG, which is already true across
+    backends.
 
     The month loop is two dynamic-bound fori_loops (accumulation, then
     retirement) around a straight-line retirement snapshot; per-candidate
@@ -256,13 +266,29 @@ def _make_kernel(
         w_f = w.astype(jnp.float32)
 
         if not with_shocks:
-            # Per-(stream, path-block) seed: golden-ratio mix keeps block
-            # streams decorrelated; int32 overflow wraps, which is fine for
-            # mixing. Candidate grid axes do NOT enter the seed (CRN).
-            pltpu.prng_seed(
-                iparams[row, I_SEED]
-                ^ (pl.program_id(block_axis) * jnp.int32(-1640531527))
+            # Per-(stream, GLOBAL path-block) seed: golden-ratio mix keeps
+            # block streams decorrelated; int32 overflow wraps, which is
+            # fine for mixing. Candidate grid axes do NOT enter the seed
+            # (CRN); on a sharded mesh the block offset makes local block
+            # ids globally unique.
+            block_seed = iparams[row, I_SEED] ^ (
+                (pl.program_id(block_axis) + iparams[row, I_BLOCK_OFF])
+                * jnp.int32(-1640531527)
             )
+            if interpret:
+                sw_key = jax.random.key(
+                    jnp.abs(block_seed).astype(jnp.uint32)
+                )
+            else:
+                pltpu.prng_seed(block_seed)
+
+        def draw_normals(m):
+            if interpret:
+                z = jax.random.normal(
+                    jax.random.fold_in(sw_key, m), (3,) + shape, jnp.float32
+                )
+                return z[0], z[1], z[2]
+            return _normal(shape), _normal(shape), _normal(shape)
 
         alloc1 = f(F_ALLOC1)
         alloc2 = 1.0 - alloc1
@@ -424,9 +450,7 @@ def _make_kernel(
                 z_ind = shocks_ref[m - 1, 1]
                 z_prem = shocks_ref[m - 1, 2]
             else:
-                z_eq = _normal(shape)
-                z_ind = _normal(shape)
-                z_prem = _normal(shape)
+                z_eq, z_ind, z_prem = draw_normals(m)
             z_inf = f(F_RHO) * z_eq + f(F_RHO_C) * z_ind
             g1 = jnp.exp(f(F_MU1_M) + f(F_S1_M) * z_eq)
             gi = jnp.exp(f(F_MUI_M) + f(F_SI_M) * z_inf)
@@ -763,7 +787,10 @@ def _make_kernel(
     return kernel
 
 
-def _pack_params(params: SimParams, seed: int, working_months, retirement_years):
+def _pack_params(
+    params: SimParams, seed: int, working_months, retirement_years,
+    block_offset=0,
+):
     sq = math.sqrt(MONTHS_PER_YEAR)
     f32 = jnp.float32
     fp = jnp.stack(
@@ -791,8 +818,9 @@ def _pack_params(params: SimParams, seed: int, working_months, retirement_years)
     )
     w = jnp.asarray(working_months, jnp.int32).reshape(-1)  # (K,) candidates
     seeds = jnp.broadcast_to(jnp.asarray(seed, jnp.int32), w.shape)
+    offs = jnp.broadcast_to(jnp.asarray(block_offset, jnp.int32), w.shape)
     ip = jnp.stack(
-        [w, w + jnp.int32(MONTHS_PER_YEAR * retirement_years), seeds],
+        [w, w + jnp.int32(MONTHS_PER_YEAR * retirement_years), seeds, offs],
         axis=1,
     )  # (K, NUM_IPARAMS)
     return ip, fp
@@ -830,6 +858,7 @@ def pallas_simulate(
     with_shocks: bool = False,
     interpret: bool = False,
     t_scan: int = 0,  # accepted for API compatibility; loops are dynamic now
+    block_offset=0,
 ):
     """Probe-mode simulation on the Pallas TPU kernel.
 
@@ -840,9 +869,15 @@ def pallas_simulate(
     del t_scan
     assert n_streams == params.n_streams
     n_blocks = max(1, -(-n_paths // BLOCK_PATHS))
-    ip, fp = _pack_params(params, seed, working_months, retirement_years)
+    ip, fp = _pack_params(
+        params, seed, working_months, retirement_years,
+        block_offset=block_offset,
+    )
 
-    kernel = _make_kernel(n_streams, retirement_years, with_shocks, statics)
+    kernel = _make_kernel(
+        n_streams, retirement_years, with_shocks, statics,
+        interpret=interpret,
+    )
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # iparams
@@ -895,6 +930,7 @@ def pallas_probe(
     statics: Statics,
     t_scan: int = 0,  # accepted for API compatibility
     interpret: bool = False,
+    block_offset=0,
 ):
     """Candidate-parallel probe: one dispatch for a whole candidate batch.
 
@@ -908,11 +944,13 @@ def pallas_probe(
     del t_scan
     assert n_streams == params.n_streams
     n_blocks = max(1, -(-n_paths // BLOCK_PATHS))
-    ip, fp = _pack_params(params, seed, months, retirement_years)
+    ip, fp = _pack_params(
+        params, seed, months, retirement_years, block_offset=block_offset
+    )
 
     kernel = _make_kernel(
         n_streams, retirement_years, with_shocks=False, statics=statics,
-        block_axis=1, cand_axis=0,
+        block_axis=1, cand_axis=0, interpret=interpret,
     )
 
     in_specs = [
@@ -985,7 +1023,7 @@ def pallas_simulate_full(
 
     kernel = _make_kernel(
         n_streams, retirement_years, with_shocks=with_shocks,
-        statics=statics, rows=rows, traj_len=traj_len,
+        statics=statics, rows=rows, traj_len=traj_len, interpret=interpret,
     )
 
     in_specs = [
@@ -1083,7 +1121,7 @@ def pallas_scenario_grid(
 
     kernel = _make_kernel(
         n_streams, retirement_years, with_shocks=False, statics=statics,
-        block_axis=1, cand_axis=0, multi_params=True,
+        block_axis=1, cand_axis=0, multi_params=True, interpret=interpret,
     )
 
     in_specs = [
@@ -1117,3 +1155,142 @@ def pallas_scenario_grid(
     )(*inputs)
     flat = success.reshape(n_scenarios, -1)[:, :n_paths]
     return jnp.mean(flat, axis=1) * 100.0
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip: the Pallas kernels under shard_map over a 'paths' mesh axis
+# ---------------------------------------------------------------------------
+
+_SHARDED_CACHE: dict = {}
+
+
+def pallas_probe_sharded(
+    params: SimParams,
+    months,
+    seed,
+    *,
+    mesh,
+    n_candidates: int,
+    n_paths: int,
+    retirement_years: int,
+    n_streams: int,
+    statics: Statics,
+    interpret: bool = False,
+):
+    """Candidate probe data-parallel over a device mesh's first axis.
+
+    Each device runs ``local_blocks`` path blocks whose PRNG seeds are
+    indexed by GLOBAL block id (device_index * local_blocks + local block),
+    so the set of shock streams is a pure function of the seed — common
+    random numbers across candidates hold exactly as on one chip, and an
+    n-device run reproduces the single-chip run that uses the same global
+    block count (pinned by test_pallas_parity). The path count rounds up to
+    whole blocks per device; probabilities average over all simulated paths.
+    Per-candidate success means reduce with a psum over ICI.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.shape[axis])
+    local_blocks = max(1, -(-(-(-n_paths // n_dev)) // BLOCK_PATHS))
+    local_pad = local_blocks * BLOCK_PATHS
+
+    key = (
+        "probe", mesh, n_candidates, local_blocks, retirement_years,
+        n_streams, statics, interpret,
+    )
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+
+        def shard_fn(params, months, seed):
+            offset = (
+                jax.lax.axis_index(axis).astype(jnp.int32)
+                * jnp.int32(local_blocks)
+            )
+            local = pallas_probe(
+                params, months, seed,
+                n_candidates=n_candidates,
+                n_paths=local_pad,
+                retirement_years=retirement_years,
+                n_streams=n_streams,
+                statics=statics,
+                interpret=interpret,
+                block_offset=offset,
+            )
+            # equal local path counts on every shard: global mean = mean of
+            # shard means
+            return jax.lax.pmean(local, axis)
+
+        fn = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), P(), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        _SHARDED_CACHE[key] = fn
+    return fn(params, jnp.asarray(months, jnp.int32), jnp.asarray(seed, jnp.int32))
+
+
+def pallas_simulate_sharded(
+    params: SimParams,
+    working_months,
+    seed,
+    *,
+    mesh,
+    n_paths: int,
+    retirement_years: int,
+    n_streams: int,
+    statics: Statics,
+    interpret: bool = False,
+):
+    """Probe-mode simulation sharded over a 'paths' mesh: returns
+    (success_f32, final_balance) with the leading axis sharded across
+    devices (n_dev * local_pad entries; caller slices [:n_paths]). Seeds are
+    global-block-indexed exactly like ``pallas_probe_sharded``."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.shape[axis])
+    local_blocks = max(1, -(-(-(-n_paths // n_dev)) // BLOCK_PATHS))
+    local_pad = local_blocks * BLOCK_PATHS
+
+    key = (
+        "simulate", mesh, local_blocks, retirement_years, n_streams,
+        statics, interpret,
+    )
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+
+        def shard_fn(params, w, seed):
+            offset = (
+                jax.lax.axis_index(axis).astype(jnp.int32)
+                * jnp.int32(local_blocks)
+            )
+            return pallas_simulate(
+                params, w, seed,
+                n_paths=local_pad,
+                retirement_years=retirement_years,
+                n_streams=n_streams,
+                statics=statics,
+                interpret=interpret,
+                block_offset=offset,
+            )
+
+        fn = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), P(), P()),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+        )
+        _SHARDED_CACHE[key] = fn
+    return fn(
+        params,
+        jnp.asarray(working_months, jnp.int32),
+        jnp.asarray(seed, jnp.int32),
+    )

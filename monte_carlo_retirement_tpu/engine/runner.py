@@ -156,7 +156,17 @@ class Engine:
     def _resolve_probe_backend(self, backend: Optional[str]) -> str:
         backend = backend or os.environ.get("MCRT_PROBE_BACKEND", "auto")
         if backend == "auto":
-            return "pallas" if self._pallas_eligible() else "scan"
+            if self._pallas_eligible():
+                return "pallas"
+            if (
+                self.mesh is not None
+                and jax.default_backend() != "cpu"
+                and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
+            ):
+                # Multi-chip TPU: the Pallas kernel under shard_map, seeds
+                # indexed by global block id (device-count invariant).
+                return "pallas_sharded"
+            return "scan"
         return backend
 
     def _resolve_run_backend(self, backend: Optional[str], n_paths: int) -> str:
@@ -200,20 +210,34 @@ class Engine:
         if not months:
             return []
         t_scan = self._t_scan(int(horizon_months or max(months)))
-        use_pallas = self._resolve_probe_backend(backend) == "pallas"
+        probe_backend = self._resolve_probe_backend(backend)
         key = self._key(stream)
         t_start = time.perf_counter()
         out: List[float] = []
         for i in range(0, len(months), PROBE_WIDTH):
             chunk = months[i : i + PROBE_WIDTH]
             padded = chunk + [chunk[-1]] * (PROBE_WIDTH - len(chunk))
-            if use_pallas:
+            if probe_backend == "pallas":
                 from .pallas_kernel import pallas_probe
 
                 probs = pallas_probe(
                     self.params,
                     jnp.asarray(padded, dtype=jnp.int32),
                     self._stream_seed(stream),
+                    n_candidates=PROBE_WIDTH,
+                    n_paths=int(num_simulations),
+                    retirement_years=self.retirement_years,
+                    n_streams=self.params.n_streams,
+                    statics=self.statics,
+                )
+            elif probe_backend == "pallas_sharded":
+                from .pallas_kernel import pallas_probe_sharded
+
+                probs = pallas_probe_sharded(
+                    self.params,
+                    jnp.asarray(padded, dtype=jnp.int32),
+                    self._stream_seed(stream),
+                    mesh=self.mesh,
                     n_candidates=PROBE_WIDTH,
                     n_paths=int(num_simulations),
                     retirement_years=self.retirement_years,
@@ -234,7 +258,7 @@ class Engine:
             out.extend(float(v) for v in np.asarray(probs)[: len(chunk)])
         log.debug(
             "phase=probe backend=%s candidates=%d paths=%d t_scan=%d: %.3f s",
-            "pallas" if use_pallas else "scan",
+            probe_backend,
             len(months),
             int(num_simulations),
             t_scan,

@@ -308,3 +308,62 @@ def test_pallas_fuzz_differential_statics_combos():
         assert float(np.quantile(rel, 0.999)) < 5e-3, (
             f"case {case}: final-balance rel err {rel.max():.2e}"
         )
+
+
+def test_pallas_sharded_matches_single_device_exactly():
+    """The shard_map'd Pallas entry points seed PRNG streams by GLOBAL block
+    id, so an 8-device run must reproduce the single-device run that uses
+    the same global block count bit-for-bit (interpret mode, CPU mesh)."""
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        BLOCK_PATHS as BP,
+        pallas_probe,
+        pallas_probe_sharded,
+        pallas_simulate,
+        pallas_simulate_sharded,
+    )
+    from monte_carlo_retirement_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    assert n_dev == 8  # conftest forces 8 virtual CPU devices
+    n_paths = n_dev * BP
+
+    cfg = make_config(
+        retirement_years=2,
+        seed=7,
+        initial_balance=150_000.0,
+        monthly_contribution=2_000.0,
+        monthly_expenses=2_500.0,
+        inv1_returns_volatility=0.15,
+    )
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        statics_from_config,
+    )
+
+    params = SimParams.from_config(cfg, dtype=jnp.float32)
+    statics = statics_from_config(cfg)
+    months = jnp.asarray([1, 13], jnp.int32)
+
+    p_single = pallas_probe(
+        params, months, 7, n_candidates=2, n_paths=n_paths,
+        retirement_years=2, n_streams=0, statics=statics, interpret=True,
+    )
+    p_sharded = pallas_probe_sharded(
+        params, months, 7, mesh=mesh, n_candidates=2, n_paths=n_paths,
+        retirement_years=2, n_streams=0, statics=statics, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_sharded), np.asarray(p_single), rtol=0, atol=1e-5
+    )
+
+    s_single, f_single = pallas_simulate(
+        params, 13, 7, n_paths=n_paths, retirement_years=2, n_streams=0,
+        statics=statics, interpret=True,
+    )
+    s_sharded, f_sharded = pallas_simulate_sharded(
+        params, 13, 7, mesh=mesh, n_paths=n_paths, retirement_years=2,
+        n_streams=0, statics=statics, interpret=True,
+    )
+    assert len(f_sharded.sharding.device_set) == n_dev
+    np.testing.assert_array_equal(np.asarray(s_sharded), np.asarray(s_single))
+    np.testing.assert_array_equal(np.asarray(f_sharded), np.asarray(f_single))
