@@ -82,3 +82,34 @@ def test_sharded_reduction_collectives():
         dtype=jnp.float64,
     )
     assert rate == pytest.approx(float(np.mean(np.asarray(outs.success))) * 100.0)
+
+
+def test_probe_backend_resolution(monkeypatch):
+    """Auto backend policy: pallas on bare TPU, sharded pallas on meshed
+    TPU, scan on CPU or under x64/f64 (exact-semantics path)."""
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    from monte_carlo_retirement_tpu.engine.runner import Engine
+    from tests.conftest import make_config
+
+    eng = Engine(make_config(), dtype=_jnp.float32)
+    # CPU (the test platform): always scan regardless of mesh
+    assert eng._resolve_probe_backend(None) == "scan"
+    assert eng._resolve_run_backend(None, 1000) == "scan"
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    assert eng._resolve_probe_backend(None) == "pallas"
+    assert eng._resolve_run_backend(None, 10**6) == "pallas"
+
+    eng_mesh = Engine(make_config(), dtype=_jnp.float32, mesh=make_mesh())
+    assert eng_mesh._resolve_probe_backend(None) == "pallas_sharded"
+    assert eng_mesh._resolve_run_backend(None, 1000) == "scan"
+
+    eng64 = Engine(make_config(), dtype=_jnp.float64)
+    assert eng64._resolve_probe_backend(None) == "scan"
+
+    # explicit override always wins
+    assert eng._resolve_probe_backend("scan") == "scan"
+    monkeypatch.setenv("MCRT_RUN_BACKEND", "scan")
+    assert eng._resolve_run_backend(None, 8) == "scan"
