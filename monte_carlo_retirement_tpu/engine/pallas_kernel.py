@@ -1098,6 +1098,7 @@ def pallas_scenario_grid(
     statics: Statics,
     t_scan: int = 0,  # accepted for API compatibility
     interpret: bool = False,
+    block_offset=0,
 ):
     """Scenario-grid probe: every (config, working_months) pair in one
     dispatch on the Pallas kernel.
@@ -1114,7 +1115,10 @@ def pallas_scenario_grid(
     # Batched SimParams carry streams as (K, S); n_streams is the last axis.
     assert n_streams == int(params_batch.stream_amount.shape[-1])
     n_blocks = max(1, -(-n_paths // BLOCK_PATHS))
-    ip, fp_rows = _pack_params(params_batch, seed, months, retirement_years)
+    ip, fp_rows = _pack_params(
+        params_batch, seed, months, retirement_years,
+        block_offset=block_offset,
+    )
     # _pack_params stacks per-parameter vectors of shape (K,) -> fp (NF, K);
     # the kernel wants rows per scenario: (K, NF).
     fp = jnp.transpose(fp_rows)
@@ -1292,5 +1296,71 @@ def pallas_simulate_sharded(
     return fn(
         params,
         jnp.asarray(working_months, jnp.int32),
+        jnp.asarray(seed, jnp.int32),
+    )
+
+
+def pallas_scenario_grid_sharded(
+    params_batch: SimParams,
+    months,
+    seed,
+    *,
+    mesh,
+    n_scenarios: int,
+    n_paths: int,
+    retirement_years: int,
+    n_streams: int,
+    statics: Statics,
+    interpret: bool = False,
+):
+    """Scenario-grid probe data-parallel over a 'paths' mesh: every device
+    simulates its share of paths for ALL scenarios (global-block PRNG
+    seeding preserves CRN across the grid), per-scenario success means
+    reduce with a pmean over ICI. Path count rounds up to whole blocks per
+    device."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.shape[axis])
+    local_blocks = max(1, -(-(-(-n_paths // n_dev)) // BLOCK_PATHS))
+    local_pad = local_blocks * BLOCK_PATHS
+
+    key = (
+        "grid", mesh, n_scenarios, local_blocks, retirement_years,
+        n_streams, statics, interpret,
+    )
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+
+        def shard_fn(params_batch, months, seed):
+            offset = (
+                jax.lax.axis_index(axis).astype(jnp.int32)
+                * jnp.int32(local_blocks)
+            )
+            local = pallas_scenario_grid(
+                params_batch, months, seed,
+                n_scenarios=n_scenarios,
+                n_paths=local_pad,
+                retirement_years=retirement_years,
+                n_streams=n_streams,
+                statics=statics,
+                interpret=interpret,
+                block_offset=offset,
+            )
+            return jax.lax.pmean(local, axis)
+
+        fn = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), P(), P()),
+                out_specs=P(),
+                check_vma=False,
+            )
+        )
+        _SHARDED_CACHE[key] = fn
+    return fn(
+        params_batch,
+        jnp.asarray(months, jnp.int32),
         jnp.asarray(seed, jnp.int32),
     )

@@ -57,3 +57,47 @@ def test_scenario_batch_validates_structure():
         stack_params([a, c])
     with pytest.raises(ValueError):
         run_scenario_batch([a], [1, 2], 16)
+
+
+def test_pallas_scenario_grid_sharded_matches_single_device():
+    """8-shard scenario grid reproduces the 1-device grid bit-for-bit
+    (global-block PRNG seeding; interpret mode on the CPU mesh)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        BLOCK_PATHS,
+        pallas_scenario_grid,
+        pallas_scenario_grid_sharded,
+        statics_from_config,
+    )
+    from monte_carlo_retirement_tpu.engine.scenario_batch import stack_params
+    from monte_carlo_retirement_tpu.parallel.mesh import make_mesh
+    from tests.conftest import make_config
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    cfgs = [
+        make_config(monthly_expenses=e, retirement_years=2, seed=3)
+        for e in (1_000.0, 3_000.0, 9_000.0)
+    ]
+    batch = stack_params(cfgs, dtype=jnp.float32)
+    statics = statics_from_config(cfgs[0])
+    months = jnp.asarray([0, 0, 0], jnp.int32)
+    n_paths = n_dev * BLOCK_PATHS
+
+    single = pallas_scenario_grid(
+        batch, months, 5, n_scenarios=3, n_paths=n_paths,
+        retirement_years=2, n_streams=0, statics=statics, interpret=True,
+    )
+    sharded = pallas_scenario_grid_sharded(
+        batch, months, 5, mesh=mesh, n_scenarios=3, n_paths=n_paths,
+        retirement_years=2, n_streams=0, statics=statics, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(single), rtol=0, atol=1e-5
+    )
+    # sanity: higher expenses, lower success
+    p = np.asarray(single)
+    assert p[0] >= p[1] >= p[2]
