@@ -58,7 +58,8 @@ function renderProgress() {
   progressPanel.innerHTML = `
     <div class="card">
       <div class="progress-head">
-        <h3>${headline}</h3><span class="sub">${elapsed}s elapsed</span>
+        <h3><span class="spinner" aria-hidden="true"></span>${headline}</h3>
+        <span class="sub">${elapsed}s elapsed</span>
       </div>
       ${bar}
       ${iterations.length ? `
@@ -73,6 +74,18 @@ function renderProgress() {
 const resultsDiv = document.getElementById("results");
 const emptyState = document.getElementById("empty-state");
 let lastResult = null;
+
+function showBanner(message) {
+  let banner = document.getElementById("error-banner");
+  if (!message) { if (banner) banner.remove(); return; }
+  if (!banner) {
+    banner = document.createElement("div");
+    banner.id = "error-banner";
+    banner.className = "error-banner";
+    resultsDiv.parentNode.insertBefore(banner, resultsDiv);
+  }
+  banner.textContent = `Simulation failed: ${message}`;
+}
 
 function renderResult(result) {
   lastResult = result;
@@ -91,6 +104,7 @@ const editor = new ConfigEditor(document.getElementById("config-editor"), {
   onRun: async (config, override) => {
     editor.setRunning(true);
     editor.showError("");
+    showBanner("");
     iterations = [];
     phase = override ? "final_sim" : "search";
     startedAt = Date.now();
@@ -108,6 +122,7 @@ const editor = new ConfigEditor(document.getElementById("config-editor"), {
       },
       onError: (message) => {
         editor.showError(message);
+        showBanner(message);
       },
     });
 

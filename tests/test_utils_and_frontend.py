@@ -58,8 +58,11 @@ def test_frontend_dom_contract():
     for src in sources.values():
         queried |= set(re.findall(r'getElementById\("([\w-]+)"\)', src))
     declared = set(re.findall(r'id="([\w-]+)"', html))
+    # ids assigned dynamically in JS (el.id = "...") count as declared
+    for src in sources.values():
+        declared |= set(re.findall(r'\.id\s*=\s*"([\w-]+)"', src))
     missing = {i for i in queried if i not in declared}
-    # ids created dynamically by the editor itself are exempt
+    # ids created by the editor's template strings are exempt
     dynamic = {"run-btn", "override-input", "json-editor"}
     assert not (missing - dynamic), f"JS queries unknown ids: {missing - dynamic}"
 
