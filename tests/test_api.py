@@ -300,3 +300,40 @@ def test_build_result_below_cap_keeps_reference_shape(monkeypatch):
     assert "binned" not in result["histogram"]
     assert result["ruin_histogram"]["years_to_ruin"] == [0.5]
     assert result["ruin_histogram"]["year_counts"] is None
+
+
+def test_concurrent_simulate_requests():
+    """Two overlapping /api/simulate requests with different scenarios must
+    both succeed with their own results — per-request engines, no shared
+    mutable state (the reference re-created its simulator per request too)."""
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            cfg_a = make_config(
+                num_simulations_main=4, retirement_years=1,
+                monthly_expenses=0.0, seed=11,
+            ).model_dump(by_alias=True)
+            cfg_b = make_config(
+                num_simulations_main=4, retirement_years=1,
+                monthly_expenses=50_000.0, initial_balance=1_000.0, seed=12,
+            ).model_dump(by_alias=True)
+            resp_a, resp_b = await asyncio.gather(
+                client.post(
+                    "/api/simulate",
+                    json={"config": cfg_a, "working_months_override": 12},
+                ),
+                client.post(
+                    "/api/simulate",
+                    json={"config": cfg_b, "working_months_override": 12},
+                ),
+            )
+            assert resp_a.status == 200 and resp_b.status == 200
+            a = SimulationResponse.model_validate(await resp_a.json())
+            b = SimulationResponse.model_validate(await resp_b.json())
+            assert a.summary.success_probability == 100.0  # zero expenses
+            assert b.summary.success_probability == 0.0    # ruinous expenses
+        finally:
+            await client.close()
+
+    _run(scenario())
