@@ -255,33 +255,34 @@ def simulate_paths(
                 )
             return cc
 
-        mid = lax.cond(
+        return lax.cond(
             m % MONTHS_PER_YEAR == 0, on_boundary, lambda cc: cc, mid
         )
 
-        # Retirement-date snapshot (+ partial-year trajectory sample).
-        def at_retirement(cc: _Carry) -> _Carry:
-            kill = cc.preret_failed
-            cc = cc._replace(alive=cc.alive & ~kill)
-            if track:
-                cc = cc._replace(
-                    start_bal=cc.b1 + cc.b2,
-                    infl_ret=cc.infl,
-                    ytr=jnp.where(kill, 0.0, cc.ytr),
+    # ------------------------------------------------------------------
+    # Retirement-date snapshot — straight-line, once, between the phases
+    # (+ partial-year trajectory sample).
+    # ------------------------------------------------------------------
+    def at_retirement(cc: _Carry) -> _Carry:
+        kill = cc.preret_failed
+        cc = cc._replace(alive=cc.alive & ~kill)
+        if track:
+            cc = cc._replace(
+                start_bal=cc.b1 + cc.b2,
+                infl_ret=cc.infl,
+                ytr=jnp.where(kill, 0.0, cc.ytr),
+            )
+            def partial_sample(c2_: _Carry) -> _Carry:
+                ones = jnp.ones((n_paths,), dtype=bool)
+                slot = full_wy + 1
+                return c2_._replace(
+                    traj=write_col(c2_.traj, slot, c2_.b1 + c2_.b2, ones),
+                    price=write_col(c2_.price, slot, c2_.infl, ones),
                 )
-                def partial_sample(c2_: _Carry) -> _Carry:
-                    ones = jnp.ones((n_paths,), dtype=bool)
-                    slot = full_wy + 1
-                    return c2_._replace(
-                        traj=write_col(c2_.traj, slot, c2_.b1 + c2_.b2, ones),
-                        price=write_col(c2_.price, slot, c2_.infl, ones),
-                    )
-                cc = lax.cond(
-                    partial_wy == 1, partial_sample, lambda x: x, cc
-                )
-            return cc
-
-        return lax.cond(m == W, at_retirement, lambda cc: cc, mid)
+            cc = lax.cond(
+                partial_wy == 1, partial_sample, lambda x: x, cc
+            )
+        return cc
 
     # ------------------------------------------------------------------
     # Retirement month body (W < m <= t_end)
@@ -489,19 +490,35 @@ def simulate_paths(
         return mid
 
     # ------------------------------------------------------------------
-    def step(carry: _Carry, m):
-        new = lax.cond(
-            m <= W,
-            lambda c: accum_month(m, c),
-            lambda c: lax.cond(
-                m <= t_end, lambda cc: ret_month(m, cc), lambda cc: cc, c
-            ),
-            carry,
-        )
-        return new, None
+    # Two phase scans instead of one scan with a per-month phase dispatch:
+    # the accumulation scan covers the bucketed working horizon (months past
+    # a candidate's own W pass through a guard), the retirement scan is
+    # exactly 12R months with no guard at all, and the retirement snapshot
+    # runs straight-line between them. Per-month arithmetic is identical to
+    # the single-scan form (bit-exact under f64), but each scan body carries
+    # one phase, which roughly halves the executable and removes dead work
+    # from vmapped candidate probes.
+    # ------------------------------------------------------------------
+    t_acc = t_scan - MONTHS_PER_YEAR * R  # static; >= any candidate's W
 
-    months = jnp.arange(1, t_scan + 1, dtype=jnp.int32)
-    final, _ = lax.scan(step, init, months)
+    def acc_step(carry: _Carry, m):
+        return lax.cond(
+            m <= W, lambda c: accum_month(m, c), lambda c: c, carry
+        ), None
+
+    def ret_step(carry: _Carry, k):
+        return ret_month(W + k, carry), None
+
+    state = init
+    if t_acc > 0:
+        state, _ = lax.scan(
+            acc_step, state, jnp.arange(1, t_acc + 1, dtype=jnp.int32)
+        )
+    state = at_retirement(state)
+    final, _ = lax.scan(
+        ret_step, state,
+        jnp.arange(1, MONTHS_PER_YEAR * R + 1, dtype=jnp.int32),
+    )
 
     return PathOutputs(
         success=final.alive,
