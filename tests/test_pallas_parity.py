@@ -367,3 +367,41 @@ def test_pallas_sharded_matches_single_device_exactly():
     assert len(f_sharded.sharding.device_set) == n_dev
     np.testing.assert_array_equal(np.asarray(s_sharded), np.asarray(s_single))
     np.testing.assert_array_equal(np.asarray(f_sharded), np.asarray(f_single))
+
+
+def test_pallas_candidate_axis_preserves_crn():
+    """A candidate's probability must not depend on which other candidates
+    share the batch (common random numbers are structural: the candidate
+    grid axis never enters the PRNG seed)."""
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        BLOCK_PATHS as BP,
+        pallas_probe,
+    )
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        statics_from_config,
+    )
+
+    cfg = make_config(
+        retirement_years=2,
+        seed=21,
+        initial_balance=90_000.0,
+        monthly_expenses=2_400.0,
+        inv1_returns_volatility=0.18,
+    )
+    params = SimParams.from_config(cfg, dtype=jnp.float32)
+    statics = statics_from_config(cfg)
+
+    def probe(months):
+        return np.asarray(
+            pallas_probe(
+                params, jnp.asarray(months, jnp.int32), 21,
+                n_candidates=len(months), n_paths=BP, retirement_years=2,
+                n_streams=0, statics=statics, interpret=True,
+            )
+        )
+
+    a = probe([6, 18])
+    b = probe([6, 30])
+    c = probe([12, 18])
+    assert a[0] == b[0]      # month 6 unaffected by its batch partner
+    assert a[1] == c[1]      # month 18 likewise
