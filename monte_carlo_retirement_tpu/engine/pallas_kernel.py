@@ -71,9 +71,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import MONTHS_PER_YEAR, SMALL_EPSILON
 from ..models.retirement import SimParams
+from ..ops.tax import fail_rtol
 
 EPS = SMALL_EPSILON
-FAIL_RTOL = 2e-5  # ops.tax.fail_rtol(float32); keep in sync
+FAIL_RTOL = fail_rtol(jnp.float32)  # shared with the scan kernel
 
 BLOCK_ROWS = 32  # paths per block = 32 * 128 = 4096 (register-resident carry)
 BLOCK_PATHS = BLOCK_ROWS * 128
@@ -276,8 +277,10 @@ def _make_kernel(
                 * jnp.int32(-1640531527)
             )
             if interpret:
+                # bit-exact reinterpretation: abs() would alias seed pairs
+                # (x, -x) onto one stream and leaves INT32_MIN negative
                 sw_key = jax.random.key(
-                    jnp.abs(block_seed).astype(jnp.uint32)
+                    jax.lax.bitcast_convert_type(block_seed, jnp.uint32)
                 )
             else:
                 pltpu.prng_seed(block_seed)
@@ -649,9 +652,7 @@ def _make_kernel(
             if track:
                 gw = gross1 + gross2  # zero where target was masked off
                 yg = yg + gw
-                yr = yr + gw * infl_ret * _rdiv(
-                    jnp.ones(shape, jnp.float32), jnp.maximum(price0, EPS)
-                )
+                yr = yr + _rdiv(gw * infl_ret, jnp.maximum(price0, EPS))
 
             # --- monthly rebalance (gain fractions unchanged by the
             # proportional sale above, so the profiles are reusable)
@@ -1107,8 +1108,12 @@ def pallas_scenario_grid(
     see engine.scenario_batch.stack_params); the kernel grid is
     (scenarios, path-blocks) with per-row parameters and path-block-only PRNG
     seeding, so the whole grid shares shock draws (CRN across scenarios).
-    All scenarios in a batch must share ``statics`` (same tax systems and
-    stream structure). Returns success probabilities in percent, shape
+    All scenarios in a batch MUST share ``statics`` (same tax systems and
+    stream structure) — the kernel bakes them into the executable, so a
+    mixed batch would silently simulate rows under the wrong tax system.
+    Use ``engine.scenario_batch.grid_statics(configs)``, which validates
+    and returns the shared value (``stack_params`` also rejects mixed
+    batches). Returns success probabilities in percent, shape
     (n_scenarios,).
     """
     del t_scan

@@ -153,8 +153,16 @@ class Engine:
             and self.mesh is None
         )
 
+    _PROBE_BACKENDS = ("auto", "scan", "pallas", "pallas_sharded")
+    _RUN_BACKENDS = ("auto", "scan", "pallas")
+
     def _resolve_probe_backend(self, backend: Optional[str]) -> str:
         backend = backend or os.environ.get("MCRT_PROBE_BACKEND", "auto")
+        if backend not in self._PROBE_BACKENDS:
+            raise ValueError(
+                f"Unknown probe backend {backend!r}; expected one of "
+                f"{self._PROBE_BACKENDS}"
+            )
         if backend == "auto":
             if self._pallas_eligible():
                 return "pallas"
@@ -178,6 +186,11 @@ class Engine:
         (useful for cross-backend checks)."""
         del n_paths
         backend = backend or os.environ.get("MCRT_RUN_BACKEND", "auto")
+        if backend not in self._RUN_BACKENDS:
+            raise ValueError(
+                f"Unknown run backend {backend!r}; expected one of "
+                f"{self._RUN_BACKENDS}"
+            )
         if backend == "auto":
             return "pallas" if self._pallas_eligible() else "scan"
         return backend

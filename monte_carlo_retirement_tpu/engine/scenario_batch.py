@@ -33,6 +33,26 @@ class ScenarioBatchResult(NamedTuple):
     mean_final_balance: np.ndarray  # (k,)
 
 
+def grid_statics(configs: Sequence[Config]):
+    """The shared compile-time Statics of a scenario batch.
+
+    The round-2 Pallas kernel bakes tax systems and stream structure into
+    the executable, so every config in one grid dispatch MUST share them —
+    a mixed batch would silently simulate some rows under another row's tax
+    system. Raises ValueError otherwise.
+    """
+    from .pallas_kernel import statics_from_config
+
+    statics = {statics_from_config(c) for c in configs}
+    if len(statics) != 1:
+        raise ValueError(
+            "all configs in a scenario grid must share tax systems and "
+            "stream structure (compile-time Statics); split the batch by "
+            f"statics. Got {len(statics)} distinct combinations."
+        )
+    return next(iter(statics))
+
+
 def stack_params(configs: Sequence[Config], dtype=jnp.float32) -> SimParams:
     """Stack per-config SimParams into one struct-of-arrays pytree."""
     if not configs:
@@ -48,6 +68,7 @@ def stack_params(configs: Sequence[Config], dtype=jnp.float32) -> SimParams:
             "all configs must have the same number of income streams "
             f"(pad with zero-amount streams), got {sorted(n_streams)}"
         )
+    grid_statics(configs)  # reject mixed tax-system/stream-structure batches
     per_config = [SimParams.from_config(c, dtype=dtype) for c in configs]
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_config)
 

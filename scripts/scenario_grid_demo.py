@@ -13,10 +13,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from monte_carlo_retirement_tpu.config import Config, load_config_from_json
-from monte_carlo_retirement_tpu.engine.pallas_kernel import (
-    pallas_scenario_grid,
-    statics_from_config,
-)
+from monte_carlo_retirement_tpu.engine.pallas_kernel import pallas_scenario_grid
+from monte_carlo_retirement_tpu.engine.scenario_batch import grid_statics
 from monte_carlo_retirement_tpu.engine.runner import enable_persistent_compilation_cache
 from monte_carlo_retirement_tpu.engine.scenario_batch import stack_params
 
@@ -50,7 +48,7 @@ for i in range(0, len(configs), CHUNK):
         batch, months, 7,
         n_scenarios=len(chunk), n_paths=N_PATHS, retirement_years=R,
         n_streams=int(batch.stream_amount.shape[-1]),
-        statics=statics_from_config(chunk[0]),
+        statics=grid_statics(chunk),
     )
     probs[i : i + len(chunk)] = np.asarray(out)
 elapsed = time.time() - t0

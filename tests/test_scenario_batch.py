@@ -101,3 +101,31 @@ def test_pallas_scenario_grid_sharded_matches_single_device():
     # sanity: higher expenses, lower success
     p = np.asarray(single)
     assert p[0] >= p[1] >= p[2]
+
+
+def test_stack_params_rejects_mixed_tax_systems():
+    """The round-2 kernel bakes tax systems into the executable; a grid
+    mixing them would silently simulate rows under the wrong system, so
+    stack_params (and grid_statics) must refuse."""
+    import pytest
+
+    from monte_carlo_retirement_tpu.engine.scenario_batch import (
+        grid_statics,
+        stack_params,
+    )
+    from tests.conftest import make_config
+
+    realized = make_config(
+        inv1_use_realized_gains_tax_system=True,
+        inv1_realized_gains_tax_rate=0.1,
+    )
+    annual = make_config(
+        inv1_use_realized_gains_tax_system=False,
+        inv1_annual_tax_on_gains_rate=0.25,
+    )
+    with pytest.raises(ValueError, match="Statics"):
+        grid_statics([realized, annual])
+    with pytest.raises(ValueError, match="Statics"):
+        stack_params([realized, annual])
+    # uniform batches still stack fine
+    stack_params([realized, realized])
