@@ -1006,6 +1006,7 @@ def pallas_simulate_full(
     shocks=None,
     with_shocks: bool = False,
     interpret: bool = False,
+    block_offset=0,
 ):
     """Full-statistics simulation on the Pallas kernel.
 
@@ -1019,7 +1020,10 @@ def pallas_simulate_full(
     rows = FULL_BLOCK_ROWS
     block_paths = rows * 128
     n_blocks = max(1, -(-n_paths // block_paths))
-    ip, fp = _pack_params(params, seed, working_months, retirement_years)
+    ip, fp = _pack_params(
+        params, seed, working_months, retirement_years,
+        block_offset=block_offset,
+    )
     R = retirement_years
 
     kernel = _make_kernel(
@@ -1367,5 +1371,84 @@ def pallas_scenario_grid_sharded(
     return fn(
         params_batch,
         jnp.asarray(months, jnp.int32),
+        jnp.asarray(seed, jnp.int32),
+    )
+
+
+def pallas_simulate_full_sharded(
+    params: SimParams,
+    working_months,
+    seed,
+    *,
+    mesh,
+    n_paths: int,
+    retirement_years: int,
+    n_streams: int,
+    statics: Statics,
+    traj_len: int,
+    interpret: bool = False,
+):
+    """Full-statistics simulation sharded over a 'paths' mesh.
+
+    Per-path vectors come back sharded on their leading axis and the yearly
+    series on their path axis (same dict layout as ``pallas_simulate_full``,
+    n_dev * local_pad entries; caller slices [:n_paths]). Global-block PRNG
+    seeding makes an n-device run reproduce the 1-device run bit-for-bit.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.shape[axis])
+    rows = FULL_BLOCK_ROWS
+    local_blocks = max(1, -(-(-(-n_paths // n_dev)) // (rows * 128)))
+    local_pad = local_blocks * rows * 128
+
+    key = (
+        "full", mesh, local_blocks, retirement_years, n_streams, statics,
+        traj_len, interpret,
+    )
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+        out_specs = {
+            name: (P(axis) if name not in
+                   ("trajectory", "price_levels", "withdrawal_rates")
+                   else P(axis, None))
+            for name in (
+                "success", "final_balance", "start_balance", "years_to_ruin",
+                "first_year_gross", "first_year_real_gross",
+                "inflation_at_retirement", "trajectory", "price_levels",
+                "withdrawal_rates",
+            )
+        }
+
+        def shard_fn(params, w, seed):
+            offset = (
+                jax.lax.axis_index(axis).astype(jnp.int32)
+                * jnp.int32(local_blocks)
+            )
+            return pallas_simulate_full(
+                params, w, seed,
+                n_paths=local_pad,
+                retirement_years=retirement_years,
+                n_streams=n_streams,
+                statics=statics,
+                traj_len=traj_len,
+                interpret=interpret,
+                block_offset=offset,
+            )
+
+        fn = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), P(), P()),
+                out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+        _SHARDED_CACHE[key] = fn
+    return fn(
+        params,
+        jnp.asarray(working_months, jnp.int32),
         jnp.asarray(seed, jnp.int32),
     )

@@ -154,7 +154,7 @@ class Engine:
         )
 
     _PROBE_BACKENDS = ("auto", "scan", "pallas", "pallas_sharded")
-    _RUN_BACKENDS = ("auto", "scan", "pallas")
+    _RUN_BACKENDS = ("auto", "scan", "pallas", "pallas_sharded")
 
     def _resolve_probe_backend(self, backend: Optional[str]) -> str:
         backend = backend or os.environ.get("MCRT_PROBE_BACKEND", "auto")
@@ -192,7 +192,15 @@ class Engine:
                 f"{self._RUN_BACKENDS}"
             )
         if backend == "auto":
-            return "pallas" if self._pallas_eligible() else "scan"
+            if self._pallas_eligible():
+                return "pallas"
+            if (
+                self.mesh is not None
+                and jax.default_backend() != "cpu"
+                and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
+            ):
+                return "pallas_sharded"
+            return "scan"
         return backend
 
     def _stream_seed(self, stream: str) -> int:
@@ -300,9 +308,12 @@ class Engine:
         )
         run_backend = self._resolve_run_backend(backend, n)
         t_start = time.perf_counter()
-        if run_backend == "pallas":
+        if run_backend in ("pallas", "pallas_sharded"):
             from .kernel import PathOutputs
-            from .pallas_kernel import pallas_simulate_full
+            from .pallas_kernel import (
+                pallas_simulate_full,
+                pallas_simulate_full_sharded,
+            )
 
             # The Pallas month loops have dynamic bounds, so the only
             # shape-bearing knob is the trajectory buffer width. Size it for
@@ -317,16 +328,29 @@ class Engine:
             )
             traj_len = 1 + self._t_scan(cap_w) // MONTHS_PER_YEAR
 
-            full = pallas_simulate_full(
-                self.params,
-                working_months,
-                self._stream_seed(stream),
-                n_paths=n,
-                retirement_years=self.retirement_years,
-                n_streams=self.params.n_streams,
-                statics=self.statics,
-                traj_len=traj_len,
-            )
+            if run_backend == "pallas_sharded":
+                full = pallas_simulate_full_sharded(
+                    self.params,
+                    working_months,
+                    self._stream_seed(stream),
+                    mesh=self.mesh,
+                    n_paths=n,
+                    retirement_years=self.retirement_years,
+                    n_streams=self.params.n_streams,
+                    statics=self.statics,
+                    traj_len=traj_len,
+                )
+            else:
+                full = pallas_simulate_full(
+                    self.params,
+                    working_months,
+                    self._stream_seed(stream),
+                    n_paths=n,
+                    retirement_years=self.retirement_years,
+                    n_streams=self.params.n_streams,
+                    statics=self.statics,
+                    traj_len=traj_len,
+                )
             outs = PathOutputs(
                 success=full["success"][:n] > 0.5,
                 final_balance=full["final_balance"][:n],

@@ -405,3 +405,46 @@ def test_pallas_candidate_axis_preserves_crn():
     c = probe([12, 18])
     assert a[0] == b[0]      # month 6 unaffected by its batch partner
     assert a[1] == c[1]      # month 18 likewise
+
+
+def test_pallas_full_sharded_matches_single_device_exactly():
+    """Sharded full-statistics mode reproduces the single-device run
+    bit-for-bit across every output (interpret mode, CPU mesh)."""
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        FULL_BLOCK_ROWS,
+        pallas_simulate_full,
+        pallas_simulate_full_sharded,
+        statics_from_config,
+    )
+    from monte_carlo_retirement_tpu.parallel.mesh import make_mesh
+    from monte_carlo_retirement_tpu.timing import expected_trajectory_length
+
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    n_paths = n_dev * FULL_BLOCK_ROWS * 128
+
+    cfg = make_config(
+        retirement_years=2,
+        seed=9,
+        initial_balance=120_000.0,
+        monthly_contribution=1_500.0,
+        monthly_expenses=2_800.0,
+        inv1_returns_volatility=0.17,
+    )
+    params = SimParams.from_config(cfg, dtype=jnp.float32)
+    statics = statics_from_config(cfg)
+    L = expected_trajectory_length(13, 2)
+
+    single = pallas_simulate_full(
+        params, 13, 9, n_paths=n_paths, retirement_years=2, n_streams=0,
+        statics=statics, traj_len=L, interpret=True,
+    )
+    sharded = pallas_simulate_full_sharded(
+        params, 13, 9, mesh=mesh, n_paths=n_paths, retirement_years=2,
+        n_streams=0, statics=statics, traj_len=L, interpret=True,
+    )
+    assert len(sharded["final_balance"].sharding.device_set) == n_dev
+    for name in single:
+        np.testing.assert_array_equal(
+            np.asarray(sharded[name]), np.asarray(single[name]), err_msg=name
+        )

@@ -104,7 +104,7 @@ def test_probe_backend_resolution(monkeypatch):
 
     eng_mesh = Engine(make_config(), dtype=_jnp.float32, mesh=make_mesh())
     assert eng_mesh._resolve_probe_backend(None) == "pallas_sharded"
-    assert eng_mesh._resolve_run_backend(None, 1000) == "scan"
+    assert eng_mesh._resolve_run_backend(None, 1000) == "pallas_sharded"
 
     eng64 = Engine(make_config(), dtype=_jnp.float64)
     assert eng64._resolve_probe_backend(None) == "scan"
