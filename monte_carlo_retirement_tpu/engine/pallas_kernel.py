@@ -151,6 +151,43 @@ def statics_from_config(config) -> Statics:
     )
 
 
+def _local_blocks(n_paths: int, n_dev: int, block_paths: int) -> int:
+    """Blocks each device runs: ceil(ceil(n_paths / n_dev) / block_paths)."""
+    per_dev = (n_paths + n_dev - 1) // n_dev
+    return max(1, (per_dev + block_paths - 1) // block_paths)
+
+
+def _check_grid_statics(params_batch: SimParams, statics: Statics) -> None:
+    """Best-effort guard: when the batched parameters are concrete, verify
+    every row matches the compile-time ``statics`` — the kernel would
+    otherwise silently simulate rows under another row's tax system. Traced
+    inputs skip the check (callers validate configs via
+    engine.scenario_batch.grid_statics)."""
+    try:
+        import numpy as _np
+
+        u1 = _np.asarray(params_batch.use_real1) > 0.5
+        u2 = _np.asarray(params_batch.use_real2) > 0.5
+        a1 = _np.asarray(params_batch.ann_tax1) > 0.0
+        a2 = _np.asarray(params_batch.ann_tax2) > 0.0
+    except Exception:
+        return  # tracers: cannot inspect values here
+    ok = (
+        bool((u1 == statics.use_real1).all())
+        and bool((u2 == statics.use_real2).all())
+        and bool(((~u1 & a1) == statics.bill1).all())
+        and bool(((~u2 & a2) == statics.bill2).all())
+    )
+    if not ok:
+        raise ValueError(
+            "scenario batch mixes tax systems/annual-bill structure that "
+            "conflict with the compile-time Statics; all rows of one Pallas "
+            "grid dispatch must share them (see "
+            "engine.scenario_batch.grid_statics). Use the XLA scan path "
+            "(run_scenario_batch) for mixed batches."
+        )
+
+
 def _rdiv(a, b):
     """a / b via approximate reciprocal + one Newton step (~1.5e-5 relative,
     inside the f32 fail_rtol budget; pinned by the f32-vs-f64 parity test)."""
@@ -1086,12 +1123,26 @@ def pallas_simulate_full(
     }
 
 
+def pallas_scenario_grid(
+    params_batch: SimParams,
+    months,
+    seed,
+    **kwargs,
+):
+    """Public scenario-grid entry: validates (when values are concrete) that
+    every row matches the compile-time ``statics`` before dispatching — a
+    mixed batch would silently simulate rows under the wrong tax system.
+    See ``_pallas_scenario_grid_jit`` for the full docstring."""
+    _check_grid_statics(params_batch, kwargs["statics"])
+    return _pallas_scenario_grid_jit(params_batch, months, seed, **kwargs)
+
+
 @partial(
     jax.jit,
     static_argnames=("n_scenarios", "n_paths", "retirement_years",
                      "n_streams", "statics", "t_scan", "interpret"),
 )
-def pallas_scenario_grid(
+def _pallas_scenario_grid_jit(
     params_batch: SimParams,
     months,
     seed,
@@ -1205,7 +1256,7 @@ def pallas_probe_sharded(
 
     axis = mesh.axis_names[0]
     n_dev = int(mesh.shape[axis])
-    local_blocks = max(1, -(-(-(-n_paths // n_dev)) // BLOCK_PATHS))
+    local_blocks = _local_blocks(n_paths, n_dev, BLOCK_PATHS)
     local_pad = local_blocks * BLOCK_PATHS
 
     key = (
@@ -1267,7 +1318,7 @@ def pallas_simulate_sharded(
 
     axis = mesh.axis_names[0]
     n_dev = int(mesh.shape[axis])
-    local_blocks = max(1, -(-(-(-n_paths // n_dev)) // BLOCK_PATHS))
+    local_blocks = _local_blocks(n_paths, n_dev, BLOCK_PATHS)
     local_pad = local_blocks * BLOCK_PATHS
 
     key = (
@@ -1329,9 +1380,10 @@ def pallas_scenario_grid_sharded(
     device."""
     from jax.sharding import PartitionSpec as P
 
+    _check_grid_statics(params_batch, statics)
     axis = mesh.axis_names[0]
     n_dev = int(mesh.shape[axis])
-    local_blocks = max(1, -(-(-(-n_paths // n_dev)) // BLOCK_PATHS))
+    local_blocks = _local_blocks(n_paths, n_dev, BLOCK_PATHS)
     local_pad = local_blocks * BLOCK_PATHS
 
     key = (
@@ -1400,7 +1452,7 @@ def pallas_simulate_full_sharded(
     axis = mesh.axis_names[0]
     n_dev = int(mesh.shape[axis])
     rows = FULL_BLOCK_ROWS
-    local_blocks = max(1, -(-(-(-n_paths // n_dev)) // (rows * 128)))
+    local_blocks = _local_blocks(n_paths, n_dev, rows * 128)
     local_pad = local_blocks * rows * 128
 
     key = (

@@ -153,26 +153,38 @@ class Engine:
             and self.mesh is None
         )
 
-    _PROBE_BACKENDS = ("auto", "scan", "pallas", "pallas_sharded")
-    _RUN_BACKENDS = ("auto", "scan", "pallas", "pallas_sharded")
+    _BACKENDS = ("auto", "scan", "pallas", "pallas_sharded")
+
+    def _sharded_eligible(self) -> bool:
+        """Multi-chip TPU: the Pallas kernels under shard_map, PRNG streams
+        indexed by global block id (device-count invariant)."""
+        return (
+            self.mesh is not None
+            and jax.default_backend() != "cpu"
+            and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
+        )
+
+    def _validate_backend(self, backend: str, kind: str) -> str:
+        if backend not in self._BACKENDS:
+            raise ValueError(
+                f"Unknown {kind} backend {backend!r}; expected one of "
+                f"{self._BACKENDS}"
+            )
+        if backend == "pallas_sharded" and self.mesh is None:
+            raise ValueError(
+                "backend 'pallas_sharded' needs an Engine mesh "
+                "(Engine(..., mesh=make_mesh()))"
+            )
+        return backend
 
     def _resolve_probe_backend(self, backend: Optional[str]) -> str:
-        backend = backend or os.environ.get("MCRT_PROBE_BACKEND", "auto")
-        if backend not in self._PROBE_BACKENDS:
-            raise ValueError(
-                f"Unknown probe backend {backend!r}; expected one of "
-                f"{self._PROBE_BACKENDS}"
-            )
+        backend = self._validate_backend(
+            backend or os.environ.get("MCRT_PROBE_BACKEND", "auto"), "probe"
+        )
         if backend == "auto":
             if self._pallas_eligible():
                 return "pallas"
-            if (
-                self.mesh is not None
-                and jax.default_backend() != "cpu"
-                and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
-            ):
-                # Multi-chip TPU: the Pallas kernel under shard_map, seeds
-                # indexed by global block id (device-count invariant).
+            if self._sharded_eligible():
                 return "pallas_sharded"
             return "scan"
         return backend
@@ -185,20 +197,13 @@ class Engine:
         the platform supports it. MCRT_RUN_BACKEND=scan forces the XLA scan
         (useful for cross-backend checks)."""
         del n_paths
-        backend = backend or os.environ.get("MCRT_RUN_BACKEND", "auto")
-        if backend not in self._RUN_BACKENDS:
-            raise ValueError(
-                f"Unknown run backend {backend!r}; expected one of "
-                f"{self._RUN_BACKENDS}"
-            )
+        backend = self._validate_backend(
+            backend or os.environ.get("MCRT_RUN_BACKEND", "auto"), "run"
+        )
         if backend == "auto":
             if self._pallas_eligible():
                 return "pallas"
-            if (
-                self.mesh is not None
-                and jax.default_backend() != "cpu"
-                and jnp.dtype(self.dtype) == jnp.dtype(jnp.float32)
-            ):
+            if self._sharded_eligible():
                 return "pallas_sharded"
             return "scan"
         return backend

@@ -36,10 +36,10 @@ class ScenarioBatchResult(NamedTuple):
 def grid_statics(configs: Sequence[Config]):
     """The shared compile-time Statics of a scenario batch.
 
-    The round-2 Pallas kernel bakes tax systems and stream structure into
-    the executable, so every config in one grid dispatch MUST share them —
-    a mixed batch would silently simulate some rows under another row's tax
-    system. Raises ValueError otherwise.
+    The Pallas grid kernel bakes tax systems and stream structure into the
+    executable, so every config in one PALLAS grid dispatch must share them
+    (the XLA scan path keeps these as per-row traced data and accepts mixed
+    batches). Raises ValueError when the batch mixes them.
     """
     from .pallas_kernel import statics_from_config
 
@@ -68,7 +68,6 @@ def stack_params(configs: Sequence[Config], dtype=jnp.float32) -> SimParams:
             "all configs must have the same number of income streams "
             f"(pad with zero-amount streams), got {sorted(n_streams)}"
         )
-    grid_statics(configs)  # reject mixed tax-system/stream-structure batches
     per_config = [SimParams.from_config(c, dtype=dtype) for c in configs]
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_config)
 

@@ -103,14 +103,20 @@ def test_pallas_scenario_grid_sharded_matches_single_device():
     assert p[0] >= p[1] >= p[2]
 
 
-def test_stack_params_rejects_mixed_tax_systems():
-    """The round-2 kernel bakes tax systems into the executable; a grid
-    mixing them would silently simulate rows under the wrong system, so
-    stack_params (and grid_statics) must refuse."""
+def test_mixed_tax_systems_rejected_by_pallas_grid_only():
+    """The Pallas grid bakes tax systems into the executable, so a mixed
+    batch must be rejected loudly there; the XLA scan path keeps them as
+    per-row traced data and must keep accepting mixed batches."""
+    import numpy as np
     import pytest
 
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        pallas_scenario_grid,
+        statics_from_config,
+    )
     from monte_carlo_retirement_tpu.engine.scenario_batch import (
         grid_statics,
+        run_scenario_batch,
         stack_params,
     )
     from tests.conftest import make_config
@@ -118,14 +124,28 @@ def test_stack_params_rejects_mixed_tax_systems():
     realized = make_config(
         inv1_use_realized_gains_tax_system=True,
         inv1_realized_gains_tax_rate=0.1,
+        retirement_years=2,
     )
     annual = make_config(
         inv1_use_realized_gains_tax_system=False,
         inv1_annual_tax_on_gains_rate=0.25,
+        retirement_years=2,
     )
     with pytest.raises(ValueError, match="Statics"):
         grid_statics([realized, annual])
+
+    # The XLA scan path handles mixed batches correctly (per-row traced
+    # flags) — it must NOT be blocked.
+    res = run_scenario_batch([realized, annual], [12, 12], 64, seed=4)
+    assert res.success_probability.shape == (2,)
+
+    # The Pallas grid entry refuses concrete mixed batches before dispatch.
+    import jax.numpy as jnp
+
+    batch = stack_params([realized, annual], dtype=jnp.float32)
     with pytest.raises(ValueError, match="Statics"):
-        stack_params([realized, annual])
-    # uniform batches still stack fine
-    stack_params([realized, realized])
+        pallas_scenario_grid(
+            batch, jnp.asarray([12, 12], jnp.int32), 4,
+            n_scenarios=2, n_paths=4096, retirement_years=2, n_streams=0,
+            statics=statics_from_config(realized), interpret=True,
+        )
