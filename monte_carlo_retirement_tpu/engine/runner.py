@@ -1,13 +1,17 @@
 """Engine: the compiled-run orchestrator.
 
-Owns seed/stream management, scan-length bucketing (so a handful of
-compilations serve every working-month value), candidate batching for the
-search, device placement/sharding, and host-side result assembly.
+Owns seed/stream management, backend selection (XLA scan vs Pallas vs
+sharded Pallas), candidate batching for the search, device
+placement/sharding, and host-side result assembly.
 
 Compilation model: every user-editable scenario number is a traced input —
 editing rates/amounts/ages re-runs the same executable. Only structural
-changes (retirement_years, stream count, path count, horizon bucket)
-recompile, and jit caches each combination.
+changes recompile, and jit caches each combination:
+  * Pallas kernels: (retirement_years, pruned stream count, Statics, path
+    blocks) — month loops have dynamic bounds, so working months never
+    enter the key and the full-stats trajectory width is scenario-static.
+  * XLA scan kernels: the above plus a 60-month scan-length bucket
+    (lax.scan needs static trip counts).
 """
 
 from __future__ import annotations
