@@ -275,3 +275,143 @@ def test_search_months_parity_jorge(ref):
     margin = min(100.0, 150.0 / math.sqrt(data["num_simulations_search"]))
     assert p_ref >= target - margin
     assert p_ours >= target - margin
+
+
+def _import_reference_build_result():
+    """Import the reference server module with stubs for its web deps
+    (fastapi/uvicorn/starlette aren't installed; only _build_result and the
+    pydantic response models are needed)."""
+    if "fastapi" not in sys.modules:
+        fastapi = types.ModuleType("fastapi")
+
+        class _FakeApp:
+            def __init__(self, *a, **k):
+                pass
+
+            def add_middleware(self, *a, **k):
+                pass
+
+            def _deco(self, *a, **k):
+                return lambda fn: fn
+
+            get = post = put = delete = _deco
+
+        class _HTTPException(Exception):
+            def __init__(self, status_code=500, detail=""):
+                super().__init__(detail)
+                self.status_code = status_code
+                self.detail = detail
+
+        fastapi.FastAPI = _FakeApp
+        fastapi.HTTPException = _HTTPException
+        cors = types.ModuleType("fastapi.middleware.cors")
+        cors.CORSMiddleware = object
+        middleware = types.ModuleType("fastapi.middleware")
+        middleware.cors = cors
+        fastapi.middleware = middleware
+        sys.modules["fastapi"] = fastapi
+        sys.modules["fastapi.middleware"] = middleware
+        sys.modules["fastapi.middleware.cors"] = cors
+        uvicorn = types.ModuleType("uvicorn")
+        uvicorn.run = lambda *a, **k: None
+        sys.modules["uvicorn"] = uvicorn
+        starlette_resp = types.ModuleType("starlette.responses")
+
+        class _SR:  # StreamingResponse stand-in
+            def __init__(self, *a, **k):
+                pass
+
+        starlette_resp.StreamingResponse = _SR
+        starlette = types.ModuleType("starlette")
+        starlette.responses = starlette_resp
+        sys.modules["starlette"] = starlette
+        sys.modules["starlette.responses"] = starlette_resp
+    import importlib
+
+    return importlib.import_module("server")
+
+
+def test_response_assembly_matches_reference_exactly(ref):
+    """Feed the SAME fake engine output through the reference server's
+    _build_result and this framework's build_result: the wire payloads must
+    be deeply equal (modulo this framework's optional large-run extension
+    keys, which are None/absent below the payload cap)."""
+    del ref  # ensures the loguru stub + reference path are installed
+    import pandas as pd
+
+    from monte_carlo_retirement_tpu.hosts.payload import build_result
+
+    ref_server = _import_reference_build_result()
+
+    summary = pd.DataFrame(
+        {
+            "Start Balance": [250_000.0, 250_000.0, 250_000.0, 250_000.0],
+            "Final Balance": [0.0, 812_345.678, 25_000.5, 1_234_567.89],
+            "Success": [True, True, False, True],
+            "YearsToRuin": [float("nan"), float("nan"), 3.25, float("nan")],
+            "First Year Gross Withdrawal": [0.0, 12_000.0, 11_500.0, 12_500.0],
+            "First Year Real Gross Withdrawal": [0.0, 11_800.0, 11_300.0, 12_100.0],
+            "Inflation At Retirement": [1.0, 1.02, 1.01, 1.03],
+        }
+    )
+    years = [0.0, 1.0, 13 / 12, 13 / 12 + 1, 13 / 12 + 2]
+    pct_cols = [0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95]
+    rng = np.random.default_rng(3)
+    traj = pd.DataFrame(
+        np.sort(rng.uniform(0, 1e6, (len(years), 7)), axis=1), columns=pct_cols
+    )
+    real = traj * 0.9
+    wr = pd.DataFrame(
+        np.sort(rng.uniform(1, 9, (2, 5)), axis=1),
+        columns=[0.05, 0.25, 0.50, 0.75, 0.95],
+    )
+    wr.iloc[1, 0] = float("nan")
+    samples = [[1.0, 2.0, 3.0, 4.0, 5.0]] * 3
+    counts = [4, 3]
+
+    class FakeSimulator:
+        def run_monte_carlo_simulations(self, **_kwargs):
+            return summary, traj, samples, wr, real, samples, counts
+
+    curve = [
+        {"working_months": 12, "working_years": 1.0, "probability": 55.0},
+        {"working_months": 13, "working_years": 1.1, "probability": 97.5},
+        {"working_months": 12, "working_years": 1.0, "probability": 56.0},
+    ]
+
+    overrides = dict(
+        num_simulations_main=4,
+        retirement_years=2,
+        current_age=58.0,
+        other_income_streams=[
+            dict(
+                name="pension",
+                monthly_amount_today=900.0,
+                start_at_age=60.0,
+                duration_years=None,
+                inflation_indexed=True,
+                tax_rate=0.1,
+            )
+        ],
+    )
+    ours_cfg = make_config(**overrides)
+    import config as ref_config_mod
+
+    theirs_cfg = ref_config_mod.Config(**ours_cfg.model_dump(by_alias=True))
+
+    ours = build_result(ours_cfg, FakeSimulator(), 13, search_curve=curve)
+    theirs = ref_server._build_result(theirs_cfg, FakeSimulator(), 13, curve)
+
+    # Drop this framework's large-run extension key (None below the cap).
+    assert ours["ruin_histogram"].pop("year_counts") is None
+
+    def norm(x):
+        if isinstance(x, dict):
+            return {k: norm(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [norm(v) for v in x]
+        if isinstance(x, float):
+            return round(x, 9)
+        return x
+
+    assert norm(ours) == norm(theirs)
