@@ -415,3 +415,142 @@ def test_response_assembly_matches_reference_exactly(ref):
         return x
 
     assert norm(ours) == norm(theirs)
+
+
+# ---------------------------------------------------------------------------
+# Injected-shock exact parity: the STOCHASTIC month stack head-to-head
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("case", range(8))
+def test_injected_shocks_exact_vs_reference(ref, case):
+    """Feed the reference engine the scan kernel's exact raw normal draws
+    (monkeypatched ``_draw_shock_path``) and compare every per-path output
+    field. Unlike the zero-volatility cases this exercises the full
+    stochastic month stack — correlated shocks, capacity-limited
+    withdrawals, ruin timing, trajectory padding, withdrawal-rate NaN
+    semantics — directly against the reference with no oracle in between;
+    tolerances cover only float64 op-ordering differences.
+    Reference: backend/simulation.py:452-474 (shock draw), :476-950 (path).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from monte_carlo_retirement_tpu.engine.kernel import simulate_paths
+    from monte_carlo_retirement_tpu.models.retirement import SimParams
+    from monte_carlo_retirement_tpu.ops.shocks import stream_keys
+    from monte_carlo_retirement_tpu.timing import expected_trajectory_length
+    from tests.test_fuzz_parity import _random_config
+
+    ref_sim_mod, ref_cfg_mod = ref
+    rng = np.random.default_rng(7000 + case)
+    cfg = _random_config(rng)
+    working_months = int(rng.integers(0, 40))
+    R = cfg.retirement_years
+    T = working_months + 12 * R
+    n_paths = 8
+
+    params = SimParams.from_config(cfg, dtype=jnp.float64)
+    _, key = stream_keys(cfg.seed)
+    L = expected_trajectory_length(working_months, R)
+    outs = simulate_paths(
+        params,
+        jnp.int32(working_months),
+        key,
+        n_paths=n_paths,
+        t_scan=T,
+        retirement_years=R,
+        traj_len=L,
+        dtype=jnp.float64,
+    )
+    # The exact same raw draws the kernel consumed: (T, n_paths, 3) of
+    # independent normals (z_equity, z_independent, z_premium).
+    raw = np.stack(
+        [
+            np.asarray(
+                jax.random.normal(
+                    jax.random.fold_in(key, m), (n_paths, 3),
+                    dtype=jnp.float64,
+                )
+            )
+            for m in range(1, T + 1)
+        ]
+    )
+
+    base = cfg.model_dump(by_alias=True)
+    base["num_processes"] = 1
+    sim = ref_sim_mod.RetirementMonteCarloSimulator(ref_cfg_mod.Config(**base))
+    rho = float(cfg.equity_inflation_correlation)
+    rho_c = math.sqrt(max(0.0, 1.0 - rho * rho))
+
+    for p in range(n_paths):
+        z = raw[:, p, :]
+
+        def draw(n_months, path_seed, z=z):
+            # Same correlation construction the reference applies on draw
+            # (simulation.py:458-466), on OUR raw normals.
+            assert n_months <= T
+            z_eq = z[:n_months, 0]
+            z_inf = rho * z_eq + rho_c * z[:n_months, 1]
+            return np.column_stack((z_eq, z_inf, z[:n_months, 2]))
+
+        sim._draw_shock_path = draw
+        theirs = sim._run_single_simulation_path(working_months, 0)
+        msg = f"case {case} path {p} (W={working_months}, R={R})"
+
+        assert bool(np.asarray(outs.success)[p]) == theirs["Success"], msg
+        np.testing.assert_allclose(
+            max(0.0, float(np.asarray(outs.final_balance)[p])),
+            theirs["Final Balance"], rtol=1e-8, atol=1e-6, err_msg=msg,
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(outs.start_balance)[p]),
+            theirs["Start Balance"], rtol=1e-8, atol=1e-6, err_msg=msg,
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(outs.inflation_at_retirement)[p]),
+            theirs["Inflation At Retirement"], rtol=1e-10, err_msg=msg,
+        )
+        ytr_ours = float(np.asarray(outs.years_to_ruin)[p])
+        if math.isnan(theirs["YearsToRuin"]):
+            assert math.isnan(ytr_ours), msg
+        else:
+            np.testing.assert_allclose(
+                ytr_ours, theirs["YearsToRuin"], rtol=0, atol=1e-9,
+                err_msg=msg,
+            )
+        np.testing.assert_allclose(
+            float(np.asarray(outs.first_year_gross)[p]),
+            theirs["First Year Gross Withdrawal"], rtol=1e-8, atol=1e-6,
+            err_msg=msg,
+        )
+        np.testing.assert_allclose(
+            float(np.asarray(outs.first_year_real_gross)[p]),
+            theirs["First Year Real Gross Withdrawal"], rtol=1e-8, atol=1e-6,
+            err_msg=msg,
+        )
+
+        assert len(theirs["Trajectory"]) == L, msg
+        traj = np.asarray(outs.trajectory)[p][:L]
+        np.testing.assert_allclose(
+            traj, theirs["Trajectory"], rtol=1e-8, atol=1e-6, err_msg=msg,
+        )
+        np.testing.assert_allclose(
+            np.where(
+                np.asarray(outs.price_levels)[p][:L] > 1e-6,
+                traj / np.maximum(np.asarray(outs.price_levels)[p][:L], 1e-6),
+                0.0,
+            ),
+            theirs["RealTrajectory"], rtol=1e-8, atol=1e-6, err_msg=msg,
+        )
+
+        wr_ours = np.asarray(outs.withdrawal_rates)[p]
+        wr_theirs = np.asarray(theirs["WithdrawalRateTrajectory"], dtype=float)
+        assert wr_theirs.shape == wr_ours.shape, msg
+        np.testing.assert_array_equal(
+            np.isnan(wr_ours), np.isnan(wr_theirs), err_msg=msg + " wr NaNs"
+        )
+        valid = ~np.isnan(wr_theirs)
+        np.testing.assert_allclose(
+            wr_ours[valid], wr_theirs[valid], rtol=1e-7, atol=1e-8,
+            err_msg=msg,
+        )
