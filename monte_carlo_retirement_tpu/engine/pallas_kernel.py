@@ -132,13 +132,12 @@ class Statics(NamedTuple):
 
 
 def statics_from_config(config) -> Statics:
-    """Derive kernel Statics from a validated Config (post stream pruning —
-    must mirror SimParams.from_config's pruning rule)."""
-    streams = [
-        s
-        for s in config.other_income_streams
-        if s.monthly_amount_today > 1e-6 and s.duration_years != 0
-    ]
+    """Derive kernel Statics from a validated Config. Streams are pruned by
+    the SAME helper that builds the SimParams stream arrays, so the per-stream
+    flag indices here always align with the kernel's stream table."""
+    from ..models.retirement import prune_streams
+
+    streams = prune_streams(config)
     use1 = bool(config.inv1_use_realized_gains_tax_system)
     use2 = bool(config.inv2_use_realized_gains_tax_system)
     return Statics(

@@ -214,7 +214,10 @@ class Engine:
 
     def _stream_seed(self, stream: str) -> int:
         """A stable 31-bit seed per (main_seed, stream) for the Pallas PRNG."""
-        idx = 0 if stream == "search" else 1
+        try:
+            idx = {"search": 0, "final": 1}[stream]
+        except KeyError:
+            raise ValueError(f"Unknown seed stream '{stream}'") from None
         state = np.random.SeedSequence([self.main_seed, idx]).generate_state(1)
         return int(state[0] % (2**31))
 
@@ -239,6 +242,16 @@ class Engine:
         months = [int(m) for m in months]
         if not months:
             return []
+        if any(m < 0 for m in months):
+            raise ValueError(f"working-month candidates must be >= 0: {months}")
+        if horizon_months is not None and horizon_months < max(months):
+            # The scan horizon must cover every candidate's accumulation
+            # phase; a short horizon would silently truncate it and return
+            # wrong probabilities.
+            raise ValueError(
+                f"horizon_months={horizon_months} is below the largest "
+                f"candidate ({max(months)})"
+            )
         t_scan = self._t_scan(int(horizon_months or max(months)))
         probe_backend = self._resolve_probe_backend(backend)
         key = self._key(stream)
@@ -307,6 +320,8 @@ class Engine:
         backend: Optional[str] = None,
     ) -> RunResult:
         working_months = int(working_months)
+        if working_months < 0:
+            raise ValueError(f"working_months must be >= 0, got {working_months}")
         n = int(num_simulations)
         t_scan = self._t_scan(working_months)
         traj_len = 1 + t_scan // MONTHS_PER_YEAR

@@ -48,7 +48,10 @@ def _parse_args(argv) -> argparse.Namespace:
                         help="write the full result payload JSON here")
     parser.add_argument("--override", type=int, default=None,
                         help="working months; skips the search phase")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+    if args.override is not None and args.override < 0:
+        parser.error("--override must be a nonnegative month count")
+    return args
 
 
 def main() -> None:

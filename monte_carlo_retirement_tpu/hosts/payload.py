@@ -245,7 +245,7 @@ def build_result(
                 "start_balances": [
                     round(float(v), 2) for v in summary_df["Start Balance"]
                 ],
-                "success_flags": [bool(v) for v in summary_df["Success"]],
+                "success_flags": [bool(v) for v in success_mask],
             }
         ),
         "reference_lines": reference_lines,

@@ -28,7 +28,7 @@ from aiohttp import web
 from pydantic import ValidationError
 
 from ..config import Config
-from ..constants import MONTHS_PER_YEAR
+from ..constants import MAX_SEARCH_YEARS, MONTHS_PER_YEAR
 from ..engine.simulator import RetirementMonteCarloSimulator
 from ..logging_utils import configure_logging
 from .payload import build_result
@@ -234,6 +234,18 @@ async def cors_middleware(request: web.Request, handler):
         except web.HTTPException as exc:
             exc.headers.update(_cors_headers())
             raise
+        except json.JSONDecodeError:
+            # A malformed request body raises before the handler's own error
+            # handling; answer 400 (with CORS headers below) rather than an
+            # opaque header-less 500.
+            response = web.json_response(
+                {"detail": "Malformed JSON request body."}, status=400
+            )
+        except Exception:
+            log.exception("Unhandled error serving %s", request.path)
+            response = web.json_response(
+                {"detail": "Internal server error."}, status=500
+            )
     response.headers.update(_cors_headers())
     return response
 
@@ -262,10 +274,14 @@ def _warmup() -> None:
             return
         config = Config(**json.load(open(DEFAULT_CONFIG_PATH, encoding="utf-8")))
         simulator = RetirementMonteCarloSimulator(config)
+        # Same horizon derivation as the serving probe path
+        # (engine/simulator.py::_probe_batch) so warmup compiles the exact
+        # executable the first search reuses.
         simulator.engine.probe(
             [config.starting_working_months_search],
             config.num_simulations_search,
-            horizon_months=config.starting_working_months_search + 70 * 12,
+            horizon_months=config.starting_working_months_search
+            + MAX_SEARCH_YEARS * MONTHS_PER_YEAR,
         )
         # Warm the REAL serving shapes: the full-stats executable is keyed
         # by path count (and scenario-static trajectory width), so warming a

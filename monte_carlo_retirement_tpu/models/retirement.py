@@ -46,6 +46,20 @@ def arithmetic_to_log_params(mean: float, vol: float) -> Tuple[float, float]:
     return mu, sigma
 
 
+def prune_streams(config: Config) -> list:
+    """Income streams that can actually pay: zero-amount or zero-duration
+    streams contribute exactly nothing to the waterfall but would cost
+    per-month kernel work. The SAME pruned list orders both the SimParams
+    stream arrays and the Pallas ``Statics`` per-stream flags — a single
+    predicate keeps their indices aligned. Host-side consumers (reference
+    lines, payloads) read the Config, which keeps every stream."""
+    return [
+        s
+        for s in config.other_income_streams
+        if s.monthly_amount_today > 1e-6 and s.duration_years != 0
+    ]
+
+
 class SimParams(NamedTuple):
     """Traced scenario parameters (all leaves are jnp scalars / small arrays).
 
@@ -99,16 +113,7 @@ class SimParams(NamedTuple):
             config.inv2_premium_over_inflation_mean,
             config.inv2_premium_over_inflation_volatility,
         )
-        # Streams that can never pay (zero amount or zero duration) are
-        # pruned from the kernel parameters — they contribute exactly nothing
-        # to the income waterfall but would cost per-month work. Host-side
-        # consumers (reference lines, payloads) read the Config, which keeps
-        # every stream.
-        streams = [
-            s
-            for s in config.other_income_streams
-            if s.monthly_amount_today > 1e-6 and s.duration_years != 0
-        ]
+        streams = prune_streams(config)
         n = len(streams)
         amounts = np.array([s.monthly_amount_today for s in streams], dtype=np.float64)
         from_t0 = np.array(

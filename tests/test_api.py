@@ -337,3 +337,52 @@ def test_concurrent_simulate_requests():
             await client.close()
 
     _run(scenario())
+
+
+def test_build_result_without_success_column_uses_balance_fallback():
+    """Summary frames lacking a Success column (the reference's documented
+    fallback, backend/server.py + simulation.py:1130-1136) must flow through
+    the whole payload — including the histogram success flags — using the
+    final-balance>eps mask rather than crashing."""
+    config = make_config(num_simulations_main=3, retirement_years=1)
+    summary = pd.DataFrame(
+        {
+            "Start Balance": [100.0, 100.0, 100.0],
+            "Final Balance": [0.0, 50.0, 25.0],
+            "YearsToRuin": [0.25, float("nan"), float("nan")],
+            "First Year Gross Withdrawal": [10.0, 10.0, 10.0],
+            "First Year Real Gross Withdrawal": [10.0, 10.0, 10.0],
+            "Inflation At Retirement": [1.0, 1.0, 1.0],
+        }
+    )
+
+    class FakeSimulator:
+        def run_monte_carlo_simulations(self, **_kwargs):
+            return summary, None, None, None, None, None, None
+
+    result = build_result(config, FakeSimulator(), required_w_months=0)
+    SimulationResponse.model_validate(result)
+    assert result["summary"]["success_probability"] == pytest.approx(66.67)
+    assert result["histogram"]["success_flags"] == [False, True, True]
+
+
+def test_malformed_json_body_gets_400_with_cors_headers():
+    """A body that fails JSON parsing must yield a 400 (not an opaque
+    header-less 500) and still carry CORS headers so browsers can read it."""
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            resp = await client.post(
+                "/api/simulate",
+                data=b"{not json",
+                headers={"Content-Type": "application/json"},
+            )
+            assert resp.status == 400
+            assert resp.headers.get("Access-Control-Allow-Origin") == "*"
+            body = await resp.json()
+            assert "Malformed JSON" in body["detail"]
+        finally:
+            await client.close()
+
+    _run(scenario())

@@ -211,3 +211,19 @@ def test_search_target_met_exactly_at_cap():
     )
     assert months == cap
     assert prob == 100.0
+
+
+def test_probe_rejects_short_horizon_and_negative_months():
+    """Guards against silently-truncated accumulation phases and negative
+    candidates (the scan horizon must cover every candidate)."""
+    from monte_carlo_retirement_tpu.engine.runner import Engine
+
+    engine = Engine(make_config(retirement_years=1, seed=3))
+    with pytest.raises(ValueError, match="below the largest candidate"):
+        engine.probe([600], 8, horizon_months=300)
+    with pytest.raises(ValueError, match=">= 0"):
+        engine.probe([-1], 8)
+    with pytest.raises(ValueError, match="working_months"):
+        engine.run(-12, 8)
+    with pytest.raises(ValueError, match="seed stream"):
+        engine._stream_seed("serach")
