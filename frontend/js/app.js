@@ -106,7 +106,9 @@ const editor = new ConfigEditor(document.getElementById("config-editor"), {
     editor.showError("");
     showBanner("");
     iterations = [];
-    phase = override ? "final_sim" : "search";
+    // An override of 0 is valid (skip search, retire immediately).
+    phase = (override !== null && override !== undefined && override !== "")
+      ? "final_sim" : "search";
     startedAt = Date.now();
     renderProgress();
     timer = setInterval(renderProgress, 500);
