@@ -1,6 +1,6 @@
 """End-to-end drive on the default (TPU) runtime through the public API:
 load scenario JSON -> validate -> search working months -> final run."""
-import os, sys, time, json
+import os, sys, time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

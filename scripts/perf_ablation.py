@@ -6,7 +6,6 @@ attribute the ~165 ms bench cost to RNG, erfinv, exp, tax chain, rebalance,
 streams, scalar conds, etc. Run on the real TPU.
 """
 
-import json
 import math
 import os
 import sys
@@ -23,7 +22,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from monte_carlo_retirement_tpu.config import Config, load_config_from_json
 from monte_carlo_retirement_tpu.engine.pallas_kernel import (
-    BLOCK_PATHS,
     BLOCK_ROWS,
     _pack_params,
     pallas_simulate,

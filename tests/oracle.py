@@ -9,9 +9,8 @@ between the two is meaningful evidence of correctness.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from math import ceil, exp, isnan, log, nan, sqrt
-from typing import List, Optional
+from dataclasses import dataclass
+from math import ceil, exp, nan, sqrt
 
 import numpy as np
 

@@ -3,9 +3,6 @@
 import json
 import os
 
-import numpy as np
-import pandas as pd
-import pytest
 
 from monte_carlo_retirement_tpu.config import Config, load_config_from_json
 from monte_carlo_retirement_tpu.engine.simulator import RetirementMonteCarloSimulator

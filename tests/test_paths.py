@@ -5,7 +5,6 @@ These reproduce the reference test suite's engine contracts
 scan kernel.
 """
 
-import math
 
 import pytest
 

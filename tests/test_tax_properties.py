@@ -10,7 +10,6 @@ capacity definition shared by withdrawals and the ruin test.
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 from hypothesis import given, settings, strategies as st
 
 from monte_carlo_retirement_tpu.constants import SMALL_EPSILON as EPS
