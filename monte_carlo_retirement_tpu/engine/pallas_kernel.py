@@ -23,7 +23,12 @@ Round-2 architecture (measured on v5e, 1M x 600 months):
   * the tax algebra exploits the average-cost-basis invariant (gain fraction
     is unchanged by proportional sales), so one per-asset sale profile
     serves the capacity check, the withdrawal AND the rebalance, and
-    realized tax is exactly `gross * eff` — no taxable-gain max() chains;
+    realized tax is exactly `gross * eff` — no taxable-gain max() chains.
+    Pro-rata-by-net-capacity sales collapse further: with nc_i = b_i*nf_i
+    the withdrawal and the annual-tax bill each reduce to ONE shared sale
+    fraction (target/tnc) applied to both balances and bases, snapped to
+    exactly 1 in the capacity-limited branch so full liquidation zeroes
+    state bit-exactly;
   * divisions lower to `pl.reciprocal(approx) + one Newton step` (~1.5e-5
     relative, inside the engine's f32 `fail_rtol` tolerance budget);
   * normals use a degree-9 single-branch polynomial quantile (coefficients
@@ -428,13 +433,16 @@ def _make_kernel(
             tol = EPS + FAIL_RTOL * (total_due + tnc)
             do_pay = (tnc > EPS) & (payment > 0)
             pay_f = jnp.where(do_pay, 1.0, 0.0)
-            t1 = payment * _rdiv(nc1, jnp.maximum(tnc, EPS)) * pay_f
-            t2 = payment * pay_f - t1
-            g1 = jnp.minimum(_rdiv(t1, jnp.maximum(nf1, EPS)), b1)
-            g2 = jnp.minimum(_rdiv(t2, jnp.maximum(nf2, EPS)), b2)
-            nw = g1 * nf1 + g2 * nf2
-            c1 = c1 - c1 * _rdiv(g1, jnp.where(b1 > EPS, b1, 1.0))
-            c2 = c2 - c2 * _rdiv(g2, jnp.where(b2 > EPS, b2, 1.0))
+            frac_t = jnp.where(
+                total_due >= tnc, 1.0, _rdiv(total_due, jnp.maximum(tnc, EPS))
+            ) * pay_f
+            keep_t = 1.0 - frac_t
+            ok1 = nc1 > 0
+            ok2 = nc2 > 0
+            g1 = jnp.where(ok1, b1 * frac_t, 0.0)
+            g2 = jnp.where(ok2, b2 * frac_t, 0.0)
+            c1 = jnp.where(ok1, c1 * keep_t, c1)
+            c2 = jnp.where(ok2, c2 * keep_t, c2)
             b1 = b1 - g1
             b2 = b2 - g2
             e1 = b1 <= EPS
@@ -443,9 +451,7 @@ def _make_kernel(
             c1 = jnp.where(e1, 0.0, c1)
             b2 = jnp.where(e2, 0.0, b2)
             c2 = jnp.where(e2, 0.0, c2)
-            tfail = (payment < total_due - tol) | (
-                do_pay & (nw < total_due - tol)
-            )
+            tfail = payment < total_due - tol
             b1, c1, b2, c2 = monthly_rebalance(b1, c1, b2, c2)
             return b1, c1, b2, c2, tfail
 
@@ -657,25 +663,18 @@ def _make_kernel(
             eff1, nf1, nc1 = profile(b1, c1, st_.use_real1, r1)
             eff2, nf2, nc2 = profile(b2, c2, st_.use_real2, r2)
             tnc = nc1 + nc2
-            target = jnp.minimum(need, tnc) * wmask_f
             ftol = EPS + FAIL_RTOL * (need + total1)
-            t1 = target * _rdiv(nc1, jnp.maximum(tnc, EPS))
-            t2 = target - t1
-            # tax == gross*eff exactly under average-cost basis, so
-            # net == gross*nf: no taxable-gain chain, and a capacity
-            # failure shows up in nw (the reference's fail_cap and
-            # fail_net collapse to one test).
-            gross1 = (
-                jnp.minimum(_rdiv(t1, jnp.maximum(nf1, EPS)), b1)
-                if st_.use_real1 else jnp.minimum(t1, b1)
-            )
-            gross2 = (
-                jnp.minimum(_rdiv(t2, jnp.maximum(nf2, EPS)), b2)
-                if st_.use_real2 else jnp.minimum(t2, b2)
-            )
+            frac_w = jnp.where(
+                need >= tnc, 1.0, _rdiv(need, jnp.maximum(tnc, EPS))
+            ) * wmask_f
+            keep_w = 1.0 - frac_w
+            ok1 = nc1 > 0
+            ok2 = nc2 > 0
+            gross1 = jnp.where(ok1, b1 * frac_w, 0.0)
+            gross2 = jnp.where(ok2, b2 * frac_w, 0.0)
             nw = gross1 * nf1 + gross2 * nf2
-            c1 = c1 - c1 * _rdiv(gross1, jnp.where(b1 > EPS, b1, 1.0))
-            c2 = c2 - c2 * _rdiv(gross2, jnp.where(b2 > EPS, b2, 1.0))
+            c1 = jnp.where(ok1, c1 * keep_w, c1)
+            c2 = jnp.where(ok2, c2 * keep_w, c2)
             b1 = b1 - gross1
             b2 = b2 - gross2
             e1 = b1 <= EPS
