@@ -983,6 +983,12 @@ def pallas_probe(
     ip, fp = _pack_params(
         params, seed, months, retirement_years, block_offset=block_offset
     )
+    if ip.shape[0] != n_candidates:
+        raise ValueError(
+            f"months supplies {ip.shape[0]} candidate rows but the grid has "
+            f"n_candidates={n_candidates}; each grid step reads its own row, "
+            "so the counts must match exactly"
+        )
 
     kernel = _make_kernel(
         n_streams, retirement_years, with_shocks=False, statics=statics,
@@ -1180,6 +1186,12 @@ def _pallas_scenario_grid_jit(
     # _pack_params stacks per-parameter vectors of shape (K,) -> fp (NF, K);
     # the kernel wants rows per scenario: (K, NF).
     fp = jnp.transpose(fp_rows)
+    if ip.shape[0] != n_scenarios or fp.shape[0] != n_scenarios:
+        raise ValueError(
+            f"scenario grid of n_scenarios={n_scenarios} needs one months "
+            f"row and one SimParams row per scenario; got {ip.shape[0]} "
+            f"months rows and {fp.shape[0]} parameter rows"
+        )
 
     kernel = _make_kernel(
         n_streams, retirement_years, with_shocks=False, statics=statics,

@@ -333,7 +333,6 @@ class Engine:
         run_backend = self._resolve_run_backend(backend, n)
         t_start = time.perf_counter()
         if run_backend in ("pallas", "pallas_sharded"):
-            from .kernel import PathOutputs
             from .pallas_kernel import (
                 pallas_simulate_full,
                 pallas_simulate_full_sharded,

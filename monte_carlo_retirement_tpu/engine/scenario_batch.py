@@ -9,8 +9,10 @@ over the grid, so outcome differences are attributable to the config deltas,
 not sampling noise).
 
 Constraint: all configs in one batch must share structural shape —
-``retirement_years`` and the number of income streams (pad with zero-amount
-streams to align if needed).
+``retirement_years`` and the number of *effective* income streams (streams
+with zero amount or zero duration are pruned before stacking, so padding
+with zero-amount streams does NOT align batches; every config must carry
+the same count of streams that can actually pay).
 """
 
 from __future__ import annotations
@@ -58,17 +60,21 @@ def stack_params(configs: Sequence[Config], dtype=jnp.float32) -> SimParams:
     if not configs:
         raise ValueError("scenario batch needs at least one config")
     r_years = {c.retirement_years for c in configs}
-    n_streams = {len(c.other_income_streams) for c in configs}
     if len(r_years) != 1:
         raise ValueError(
             f"all configs must share retirement_years, got {sorted(r_years)}"
         )
+    per_config = [SimParams.from_config(c, dtype=dtype) for c in configs]
+    # Validate on the PRUNED stream count — SimParams.from_config drops
+    # zero-amount/zero-duration streams, so the raw config counts can match
+    # while the stacked array shapes do not.
+    n_streams = {p.n_streams for p in per_config}
     if len(n_streams) != 1:
         raise ValueError(
-            "all configs must have the same number of income streams "
-            f"(pad with zero-amount streams), got {sorted(n_streams)}"
+            "all configs must have the same number of effective income "
+            "streams after pruning zero-amount/zero-duration ones, got "
+            f"counts {sorted(n_streams)}"
         )
-    per_config = [SimParams.from_config(c, dtype=dtype) for c in configs]
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_config)
 
 

@@ -59,6 +59,71 @@ def test_scenario_batch_validates_structure():
         run_scenario_batch([a], [1, 2], 16)
 
 
+def test_stack_params_validates_pruned_stream_counts():
+    """A zero-amount 'padding' stream is pruned before stacking, so a batch
+    that only matches on RAW stream counts must be rejected with a clear
+    message, not die inside jnp.stack with a shape error."""
+    real = make_config(
+        retirement_years=5,
+        other_income_streams=[
+            {
+                "name": "P",
+                "monthly_amount_today": 100.0,
+                "start_at_age": 60.0,
+                "duration_years": None,
+                "inflation_indexed": True,
+                "tax_rate": 0.0,
+            }
+        ],
+    )
+    padded = make_config(
+        retirement_years=5,
+        other_income_streams=[
+            {
+                "name": "pad",
+                "monthly_amount_today": 0.0,
+                "start_at_age": 60.0,
+                "duration_years": None,
+                "inflation_indexed": True,
+                "tax_rate": 0.0,
+            }
+        ],
+    )
+    with pytest.raises(ValueError, match="effective income"):
+        stack_params([real, padded])
+
+
+def test_grid_entry_points_validate_months_row_count():
+    """pallas_probe / pallas_scenario_grid grids index a months row per grid
+    step; a short months vector must be rejected, not silently clamp or read
+    out of bounds."""
+    import jax.numpy as jnp
+
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        pallas_probe,
+        pallas_scenario_grid,
+        statics_from_config,
+    )
+    from monte_carlo_retirement_tpu.models.retirement import SimParams
+
+    cfg = make_config(retirement_years=2)
+    params = SimParams.from_config(cfg, dtype=jnp.float32)
+    statics = statics_from_config(cfg)
+    with pytest.raises(ValueError, match="candidate rows"):
+        pallas_probe(
+            params, jnp.asarray([12], jnp.int32), 0,
+            n_candidates=4, n_paths=4096, retirement_years=2, n_streams=0,
+            statics=statics, interpret=True,
+        )
+    batch = stack_params([cfg, cfg, cfg, cfg], dtype=jnp.float32)
+    with pytest.raises(ValueError, match="months rows"):
+        pallas_scenario_grid(
+            batch, jnp.asarray([12], jnp.int32), 0,
+            n_scenarios=4, n_paths=4096, retirement_years=2, n_streams=0,
+            statics=statics, interpret=True,
+        )
+
+
 def test_pallas_scenario_grid_sharded_matches_single_device():
     """8-shard scenario grid reproduces the 1-device grid bit-for-bit
     (global-block PRNG seeding; interpret mode on the CPU mesh)."""
