@@ -54,31 +54,39 @@ export async function runSimulationStream(
     return;
   }
 
+  // Everything past the headers must route failures through onError: a
+  // dropped connection mid-stream or a truncated frame would otherwise
+  // reject out of this function and strand the caller's running state.
   const reader = resp.body.getReader();
   const decoder = new TextDecoder();
   let buffer = "";
   let sawTerminal = false;
-  for (;;) {
-    const { value, done } = await reader.read();
-    if (done) break;
-    buffer += decoder.decode(value, { stream: true });
-    let idx;
-    while ((idx = buffer.indexOf("\n\n")) >= 0) {
-      const frame = buffer.slice(0, idx);
-      buffer = buffer.slice(idx + 2);
-      const line = frame.trim();
-      if (!line.startsWith("data: ")) continue;
-      const event = JSON.parse(line.slice(6));
-      if (event.type === "result") {
-        sawTerminal = true;
-        onResult(event.data);
-      } else if (event.type === "error") {
-        sawTerminal = true;
-        onError(event.message);
-      } else {
-        onProgress(event);
+  try {
+    for (;;) {
+      const { value, done } = await reader.read();
+      if (done) break;
+      buffer += decoder.decode(value, { stream: true });
+      let idx;
+      while ((idx = buffer.indexOf("\n\n")) >= 0) {
+        const frame = buffer.slice(0, idx);
+        buffer = buffer.slice(idx + 2);
+        const line = frame.trim();
+        if (!line.startsWith("data: ")) continue;
+        const event = JSON.parse(line.slice(6));
+        if (event.type === "result") {
+          sawTerminal = true;
+          onResult(event.data);
+        } else if (event.type === "error") {
+          sawTerminal = true;
+          onError(event.message);
+        } else {
+          onProgress(event);
+        }
       }
     }
+  } catch (err) {
+    if (!sawTerminal) onError(`Stream failed: ${err.message}`);
+    return;
   }
   if (!sawTerminal) onError("Stream ended without a result.");
 }

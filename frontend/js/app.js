@@ -1,6 +1,6 @@
 // App shell: theme, SSE orchestration, progress panel, result rendering.
 
-import { getDefaultConfig, runSimulationStream } from "./api.js";
+import { getDefaultConfig, runSimulationStream, validateConfig } from "./api.js";
 import { ConfigEditor } from "./editor.js";
 import {
   histogramCard, ruinCard, searchCurveCard, summaryCard, trajectoryCard,
@@ -105,6 +105,15 @@ const editor = new ConfigEditor(document.getElementById("config-editor"), {
     editor.setRunning(true);
     editor.showError("");
     showBanner("");
+    // Pre-flight: surface schema errors from /api/validate before starting
+    // a (potentially minutes-long) search stream.
+    try {
+      await validateConfig(config);
+    } catch (err) {
+      editor.showError(String(err.message || err));
+      editor.setRunning(false);
+      return;
+    }
     iterations = [];
     // An override of 0 is valid (skip search, retire immediately).
     phase = (override !== null && override !== undefined && override !== "")
@@ -113,25 +122,30 @@ const editor = new ConfigEditor(document.getElementById("config-editor"), {
     renderProgress();
     timer = setInterval(renderProgress, 500);
 
-    await runSimulationStream(config, override, {
-      onProgress: (event) => {
-        if (event.type === "phase") phase = event.phase;
-        else if (event.type === "search_iter") iterations.push(event);
-        renderProgress();
-      },
-      onResult: (data) => {
-        renderResult(data);
-      },
-      onError: (message) => {
-        editor.showError(message);
-        showBanner(message);
-      },
-    });
-
-    clearInterval(timer);
-    phase = null;
-    renderProgress();
-    editor.setRunning(false);
+    try {
+      await runSimulationStream(config, override, {
+        onProgress: (event) => {
+          if (event.type === "phase") phase = event.phase;
+          else if (event.type === "search_iter") iterations.push(event);
+          renderProgress();
+        },
+        onResult: (data) => {
+          renderResult(data);
+        },
+        onError: (message) => {
+          editor.showError(message);
+          showBanner(message);
+        },
+      });
+    } catch (err) {
+      editor.showError(String(err));
+      showBanner(String(err));
+    } finally {
+      clearInterval(timer);
+      phase = null;
+      renderProgress();
+      editor.setRunning(false);
+    }
   },
 });
 

@@ -167,14 +167,28 @@ export class ConfigEditor {
       if (spec.step) input.step = spec.step;
       input.value = value === null || value === undefined ? "" : value;
     }
+    // A cleared required field must NOT silently become 0 (zero expenses
+    // would "succeed" with a nonsense scenario); restore the last valid
+    // display instead. Only int-opt fields (duration: indefinite) accept
+    // empty as a real value (null).
+    let lastDisplay = input.value;
     input.onchange = () => {
       const raw = input.value.trim();
       if (spec.type === "text") return onChange(raw);
       if (raw === "") {
-        return onChange(spec.type === "int-opt" ? null : 0);
+        if (spec.type === "int-opt") {
+          lastDisplay = "";
+          return onChange(null);
+        }
+        input.value = lastDisplay;
+        return;
       }
       const num = Number(raw);
-      if (Number.isNaN(num)) return;
+      if (!Number.isFinite(num)) {
+        input.value = lastDisplay;
+        return;
+      }
+      lastDisplay = input.value;
       if (spec.type === "percent") return onChange(num / 100);
       if (spec.type.startsWith("int")) return onChange(Math.round(num));
       onChange(num);

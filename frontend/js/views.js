@@ -202,7 +202,7 @@ export function withdrawalRateCard(wr) {
 }
 
 // ----------------------------------------------------------- ruin histogram
-export function ruinCard(rh, retirementYears) {
+export function ruinCard(rh) {
   const div = card("Years to ruin (failed paths)",
     `${rh.failure_count} of ${rh.total_paths} paths failed`);
   const holder = document.createElement("div");

@@ -42,7 +42,7 @@ t0 = time.time()
 succ_p, final_p = pallas_simulate(
     params, W, 0,
     n_paths=BLOCK_PATHS, retirement_years=R, n_streams=params.n_streams,
-    statics=statics_from_config(cfg),
+    statics=statics_from_config(config),
     shocks=shocks, with_shocks=True, interpret=True,
 )
 print(f"  {time.time()-t0:.1f}s")

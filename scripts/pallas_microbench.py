@@ -69,9 +69,15 @@ if __name__ == "__main__":
     for op_name in ops:
         try:
             _ = np.asarray(run(op_name, 1))  # compile+run+fetch
-            t0 = time.perf_counter()
-            val = np.asarray(run(op_name, 2))
-            dt = (time.perf_counter() - t0) * 1000
+            # Tunnel rule (CLAUDE.md): vary inputs, fetch outputs, min-of-N —
+            # a single dispatch carries ~26 ms of relay variance.
+            times = []
+            val = None
+            for rep in range(5):
+                t0 = time.perf_counter()
+                val = np.asarray(run(op_name, 2 + rep))
+                times.append((time.perf_counter() - t0) * 1000)
+            dt = min(times)
             ns_per_elem = dt * 1e6 / (ITERS * SHAPE[0] * SHAPE[1])
             print(f"{op_name:8s}: {dt:8.1f} ms for {ITERS} iters "
                   f"({ns_per_elem:.3f} ns/elem/iter)  sample={val[0,0]:.4f}")
