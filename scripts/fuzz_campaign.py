@@ -247,6 +247,12 @@ def main() -> int:
                 f"{time.time() - t0:.0f}s",
                 flush=True,
             )
+        if (trial + 1) % 25 == 0:
+            # Every distinct (T, traj_len, streams) combo keeps a live CPU
+            # executable; hundreds of them exhaust the process's mmap budget
+            # (LLVM 'Cannot allocate memory' with free RAM). Drop them —
+            # recompiles hit the persistent cache.
+            jax.clear_caches()
     status = "CLEAN" if failures == 0 else f"{failures} FAILURES"
     print(
         f"fuzz campaign: {args.trials} trials x {N_PATHS} paths, {status} "
