@@ -11,7 +11,10 @@ subgrid plus the extreme representable inputs.
 """
 
 import numpy as np
-import scipy.special
+import pytest
+
+scipy = pytest.importorskip("scipy", reason="scipy provides the erfinv truth")
+import scipy.special  # noqa: E402
 
 from monte_carlo_retirement_tpu.engine.pallas_kernel import (
     _INV_2_22,
