@@ -220,6 +220,54 @@ def test_streaming_endpoint_runs_search_and_emits_progress():
     _run(scenario())
 
 
+def test_stream_client_disconnect_leaves_server_healthy():
+    """Closing the SSE connection mid-stream must not wedge the server: the
+    worker thread runs to completion in the background, and the server keeps
+    answering subsequent requests normally."""
+
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            cfg = make_config(
+                initial_balance=50_000.0,
+                monthly_contribution=4_000.0,
+                monthly_expenses=3_000.0,
+                retirement_years=5,
+                num_simulations_search=16,
+                num_simulations_main=16,
+                target_probability=80.0,
+                seed=3,
+            ).model_dump(by_alias=True)
+            resp = await client.post("/api/simulate/stream", json={"config": cfg})
+            assert resp.status == 200
+            # Read one chunk then abort the connection mid-search.
+            await resp.content.read(16)
+            resp.close()
+
+            health = await client.get("/api/health")
+            assert health.status == 200
+
+            # A fresh request on the same server still completes end-to-end.
+            resp2 = await client.post(
+                "/api/simulate/stream",
+                json={"config": cfg, "working_months_override": 13},
+            )
+            assert resp2.status == 200
+            text = await resp2.text()
+        finally:
+            await client.close()
+
+        events = [
+            json.loads(line.removeprefix("data: "))
+            for line in text.splitlines()
+            if line.startswith("data: ")
+        ]
+        assert [e for e in events if e.get("type") == "result"]
+
+    _run(scenario())
+
+
 def test_build_result_caps_raw_arrays_above_threshold(monkeypatch):
     """Above MCRT_MAX_RAW_PATHS the payload must carry pre-binned aggregates
     instead of per-path arrays, with identical binning semantics to the
