@@ -85,15 +85,18 @@ BLOCK_ROWS = 32  # paths per block = 32 * 128 = 4096 (register-resident carry)
 BLOCK_PATHS = BLOCK_ROWS * 128
 FULL_BLOCK_ROWS = 32  # full mode: series buffers also fit VMEM at 32 rows
 
-# fparams vector layout (float32, SMEM)
+# fparams vector layout (float32, SMEM). The use_real/bill flags are NOT
+# here: the tax system is compile-time Statics, never a traced parameter —
+# grid rows that disagree with the Statics are rejected before dispatch
+# (_check_grid_statics), not read per row.
 (
     F_MU1_M, F_S1_M, F_MUI_M, F_SI_M, F_MUP_M, F_SP_M,
     F_RHO, F_RHO_C,
     F_ALLOC1, F_INIT_BAL, F_CONTRIB0, F_LOG1P_GROWTH, F_EXPENSES,
-    F_USE_REAL1, F_R_REAL1, F_R_ANN1,
-    F_USE_REAL2, F_R_REAL2, F_R_ANN2,
+    F_R_REAL1, F_R_ANN1,
+    F_R_REAL2, F_R_ANN2,
     NUM_FPARAMS,
-) = range(20)
+) = range(18)
 
 # iparams vector layout (int32, SMEM). I_BLOCK_OFF shifts the per-block PRNG
 # seed index: on a sharded mesh every device passes its global block offset,
@@ -163,10 +166,11 @@ def _local_blocks(n_paths: int, n_dev: int, block_paths: int) -> int:
 
 def _check_grid_statics(params_batch: SimParams, statics: Statics) -> None:
     """Best-effort guard: when the batched parameters are concrete, verify
-    every row matches the compile-time ``statics`` — the kernel would
-    otherwise silently simulate rows under another row's tax system. Traced
-    inputs skip the check (callers validate configs via
-    engine.scenario_batch.grid_statics)."""
+    every row matches the compile-time ``statics`` — the kernel ignores the
+    per-row tax-system and stream-structure data and branches solely on the
+    static flags, so a mismatched row would silently simulate under another
+    row's structure. Traced inputs skip the check (callers validate configs
+    via engine.scenario_batch.grid_statics)."""
     try:
         import numpy as _np
 
@@ -174,19 +178,28 @@ def _check_grid_statics(params_batch: SimParams, statics: Statics) -> None:
         u2 = _np.asarray(params_batch.use_real2) > 0.5
         a1 = _np.asarray(params_batch.ann_tax1) > 0.0
         a2 = _np.asarray(params_batch.ann_tax2) > 0.0
+        # (K, S) per-row stream structure vs the static per-stream flags
+        s_idx = _np.asarray(params_batch.stream_indexed) > 0.5
+        s_cap = _np.isfinite(_np.asarray(params_batch.stream_duration_months))
     except Exception:
         return  # tracers: cannot inspect values here
+    want_idx = _np.asarray(statics.stream_indexed, dtype=bool)
+    want_cap = _np.asarray(statics.stream_capped, dtype=bool)
     ok = (
         bool((u1 == statics.use_real1).all())
         and bool((u2 == statics.use_real2).all())
         and bool(((~u1 & a1) == statics.bill1).all())
         and bool(((~u2 & a2) == statics.bill2).all())
     )
+    if ok and want_idx.size:
+        ok = bool(
+            (s_idx.reshape(-1, want_idx.size) == want_idx).all()
+        ) and bool((s_cap.reshape(-1, want_cap.size) == want_cap).all())
     if not ok:
         raise ValueError(
-            "scenario batch mixes tax systems/annual-bill structure that "
-            "conflict with the compile-time Statics; all rows of one Pallas "
-            "grid dispatch must share them (see "
+            "scenario batch mixes tax-system/annual-bill/stream structure "
+            "that conflicts with the compile-time Statics; all rows of one "
+            "Pallas grid dispatch must share them (see "
             "engine.scenario_batch.grid_statics). Use the XLA scan path "
             "(run_scenario_batch) for mixed batches."
         )
@@ -844,10 +857,8 @@ def _pack_params(
             params.monthly_contribution.astype(f32),
             jnp.log1p(params.contribution_growth.astype(f32)),
             params.monthly_expenses.astype(f32),
-            params.use_real1.astype(f32),
             params.real_tax1.astype(f32),
             params.ann_tax1.astype(f32),
-            params.use_real2.astype(f32),
             params.real_tax2.astype(f32),
             params.ann_tax2.astype(f32),
         ]
@@ -909,6 +920,11 @@ def pallas_simulate(
         params, seed, working_months, retirement_years,
         block_offset=block_offset,
     )
+    if ip.shape[0] != 1:
+        raise ValueError(
+            f"pallas_simulate takes ONE working_months value, got "
+            f"{ip.shape[0]} rows; use pallas_probe for candidate batches"
+        )
 
     kernel = _make_kernel(
         n_streams, retirement_years, with_shocks, statics,
@@ -996,7 +1012,7 @@ def pallas_probe(
     )
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # full (K, 3); row = pid(0)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # full (K, NUM_IPARAMS); row = pid(0)
         pl.BlockSpec(memory_space=pltpu.SMEM),
     ]
     inputs = [ip, fp]
@@ -1065,6 +1081,11 @@ def pallas_simulate_full(
         params, seed, working_months, retirement_years,
         block_offset=block_offset,
     )
+    if ip.shape[0] != 1:
+        raise ValueError(
+            f"pallas_simulate_full takes ONE working_months value, got "
+            f"{ip.shape[0]} rows; use pallas_probe for candidate batches"
+        )
     R = retirement_years
 
     kernel = _make_kernel(
@@ -1169,10 +1190,12 @@ def _pallas_scenario_grid_jit(
     seeding, so the whole grid shares shock draws (CRN across scenarios).
     All scenarios in a batch MUST share ``statics`` (same tax systems and
     stream structure) — the kernel bakes them into the executable, so a
-    mixed batch would silently simulate rows under the wrong tax system.
-    Use ``engine.scenario_batch.grid_statics(configs)``, which validates
-    and returns the shared value (``stack_params`` also rejects mixed
-    batches). Returns success probabilities in percent, shape
+    mixed batch would silently simulate rows under the wrong tax system or
+    stream-indexing structure. Use
+    ``engine.scenario_batch.grid_statics(configs)``, which validates and
+    returns the shared value; the concrete-value guard here
+    (``_check_grid_statics``) rejects mismatched rows as a second line of
+    defense. Returns success probabilities in percent, shape
     (n_scenarios,).
     """
     del t_scan
@@ -1199,7 +1222,7 @@ def _pallas_scenario_grid_jit(
     )
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # iparams (K, 3)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # iparams (K, NUM_IPARAMS)
         pl.BlockSpec(memory_space=pltpu.SMEM),  # fparams (K, NF)
     ]
     inputs = [ip, fp]

@@ -117,11 +117,11 @@ def net_liquidation_value(
 ) -> jnp.ndarray:
     """Cash obtained by fully liquidating an asset and paying gains tax.
 
-    This defines both withdrawal *capacity* and the ruin test.
+    This defines both withdrawal *capacity* and the ruin test; the value is
+    ``sale_tax_profile``'s capacity output, delegated so the definition is
+    single-sourced.
     """
-    taxable_gain = jnp.maximum(0.0, bal - basis)
-    tax = jnp.where(use_realized_tax, taxable_gain * tax_rate, 0.0)
-    return jnp.where(bal <= EPS, 0.0, jnp.maximum(0.0, bal - tax))
+    return sale_tax_profile(bal, basis, use_realized_tax, tax_rate)[1]
 
 
 def rebalance(

@@ -93,6 +93,43 @@ def test_stack_params_validates_pruned_stream_counts():
         stack_params([real, padded])
 
 
+def test_mixed_stream_structure_rejected_by_pallas_grid():
+    """The kernel branches on the STATIC stream flags (indexed/capped), not
+    the per-row data, so a batch whose rows disagree on stream structure
+    must be rejected before dispatch — a mismatched row would silently
+    simulate a frozen-nominal pension as CPI-indexed."""
+    import jax.numpy as jnp
+
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        pallas_scenario_grid,
+        statics_from_config,
+    )
+
+    def cfg_with(indexed):
+        return make_config(
+            retirement_years=2,
+            other_income_streams=[
+                {
+                    "name": "P",
+                    "monthly_amount_today": 500.0,
+                    "start_at_age": 60.0,
+                    "duration_years": None,
+                    "inflation_indexed": indexed,
+                    "tax_rate": 0.0,
+                }
+            ],
+        )
+
+    indexed, nominal = cfg_with(True), cfg_with(False)
+    batch = stack_params([indexed, nominal], dtype=jnp.float32)
+    with pytest.raises(ValueError, match="stream structure"):
+        pallas_scenario_grid(
+            batch, jnp.asarray([12, 12], jnp.int32), 0,
+            n_scenarios=2, n_paths=4096, retirement_years=2, n_streams=1,
+            statics=statics_from_config(indexed), interpret=True,
+        )
+
+
 def test_grid_entry_points_validate_months_row_count():
     """pallas_probe / pallas_scenario_grid grids index a months row per grid
     step; a short months vector must be rejected, not silently clamp or read
