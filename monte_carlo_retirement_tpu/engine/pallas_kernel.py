@@ -84,6 +84,11 @@ FAIL_RTOL = fail_rtol(jnp.float32)  # shared with the scan kernel
 BLOCK_ROWS = 32  # paths per block = 32 * 128 = 4096 (register-resident carry)
 BLOCK_PATHS = BLOCK_ROWS * 128
 FULL_BLOCK_ROWS = 32  # full mode: series buffers also fit VMEM at 32 rows
+# Full mode keeps two (traj_len, 32, 128) f32 series plus the WR buffer in
+# VMEM: 16 KiB per trajectory slot per series. 256 slots (~8.4 MiB for both)
+# leaves comfortable headroom; wider horizons fall back to the scan backend
+# (engine/runner.py) rather than risk a Mosaic VMEM failure.
+PALLAS_MAX_TRAJ_LEN = 256
 
 # fparams vector layout (float32, SMEM). The use_real/bill flags are NOT
 # here: the tax system is compile-time Statics, never a traced parameter —

@@ -330,7 +330,38 @@ class Engine:
             np.random.default_rng(self.main_seed).choice(n, size=k, replace=False),
             dtype=jnp.int32,
         )
+        from .pallas_kernel import PALLAS_MAX_TRAJ_LEN
+
         run_backend = self._resolve_run_backend(backend, n)
+        if run_backend in ("pallas", "pallas_sharded"):
+            # The Pallas month loops have dynamic bounds, so the only
+            # shape-bearing knob is the trajectory buffer width. Size it for
+            # the search cap (start + 70y) once per scenario: every
+            # working_months value — warmup, overrides, search results —
+            # then reuses ONE compiled executable. Overrides beyond the
+            # scenario cap bucket to 10-year steps so a sweep of large
+            # overrides compiles O(1) widths instead of one per value.
+            scenario_cap = (
+                int(self.config.starting_working_months_search)
+                + MAX_SEARCH_YEARS * MONTHS_PER_YEAR
+            )
+            if working_months > scenario_cap:
+                cap_w = -(-working_months // 120) * 120
+            else:
+                cap_w = scenario_cap
+            pallas_traj_len = 1 + self._t_scan(cap_w) // MONTHS_PER_YEAR
+            if pallas_traj_len > PALLAS_MAX_TRAJ_LEN:
+                # The series buffers would exceed the VMEM budget — degrade
+                # to the scan backend (no width constraint) instead of a
+                # Mosaic compile failure. The reference ran any horizon in
+                # linear time; so does this fallback.
+                log.warning(
+                    "horizon needs trajectory width %d > %d (VMEM budget); "
+                    "falling back to the scan backend for this run",
+                    pallas_traj_len,
+                    PALLAS_MAX_TRAJ_LEN,
+                )
+                run_backend = "scan"
         t_start = time.perf_counter()
         if run_backend in ("pallas", "pallas_sharded"):
             from .pallas_kernel import (
@@ -338,19 +369,7 @@ class Engine:
                 pallas_simulate_full_sharded,
             )
 
-            # The Pallas month loops have dynamic bounds, so the only
-            # shape-bearing knob is the trajectory buffer width. Size it for
-            # the search cap (start + 70y) once per scenario: every
-            # working_months value — warmup, overrides, search results —
-            # then reuses ONE compiled executable. Unused slots keep their
-            # init values and are trimmed to L below.
-            cap_w = max(
-                working_months,
-                int(self.config.starting_working_months_search)
-                + MAX_SEARCH_YEARS * MONTHS_PER_YEAR,
-            )
-            traj_len = 1 + self._t_scan(cap_w) // MONTHS_PER_YEAR
-
+            traj_len = pallas_traj_len
             if run_backend == "pallas_sharded":
                 full = pallas_simulate_full_sharded(
                     self.params,

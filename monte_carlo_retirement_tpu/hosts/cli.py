@@ -115,9 +115,10 @@ def main() -> None:
         required,
     )
     simulator.use_final_seeds()
-    summary_df, traj_pct_df, samples, _, _, _, _ = (
-        simulator.run_monte_carlo_simulations(required, config.num_simulations_main)
+    results = simulator.run_monte_carlo_simulations(
+        required, config.num_simulations_main
     )
+    summary_df, traj_pct_df, samples = results[0], results[1], results[2]
     if summary_df.empty:
         log.error("Final simulation yielded no results.")
         return
@@ -165,7 +166,16 @@ def main() -> None:
     if args.json_out:
         from .payload import build_result
 
-        payload = build_result(config, simulator, required,
+        class _Precomputed:
+            """Serve the final batch already in hand to build_result — the
+            deterministic 'final' stream would reproduce it bit-identically,
+            so re-running the most expensive phase would only add cost."""
+
+            @staticmethod
+            def run_monte_carlo_simulations(*_args, **_kwargs):
+                return results
+
+        payload = build_result(config, _Precomputed(), required,
                                search_curve=search_curve)
         with open(args.json_out, "w", encoding="utf-8") as fh:
             json.dump(payload, fh, indent=2, allow_nan=False)

@@ -47,6 +47,12 @@ DEFAULT_CONFIG_PATH = os.path.join(_PROJECT_ROOT, "config.json")
 # ---------------------------------------------------------------------------
 
 def _parse_request(body: dict) -> tuple[SimulationRequest, Config]:
+    if not isinstance(body, dict):
+        # Valid JSON that isn't an object ('[]', '"x"', '5') must be a 422
+        # like the reference server, not a TypeError-driven 500.
+        raise ValueError(
+            f"request body must be a JSON object, got {type(body).__name__}"
+        )
     request = SimulationRequest(**body)
     config = Config(**request.config)
     return request, config
@@ -88,8 +94,16 @@ async def health(_request: web.Request) -> web.Response:
 async def default_config(_request: web.Request) -> web.Response:
     if not os.path.exists(DEFAULT_CONFIG_PATH):
         raise web.HTTPNotFound(text="Default config.json not found.")
-    with open(DEFAULT_CONFIG_PATH, "r", encoding="utf-8") as fh:
-        return web.json_response(json.load(fh))
+    try:
+        with open(DEFAULT_CONFIG_PATH, "r", encoding="utf-8") as fh:
+            return web.json_response(json.load(fh))
+    except json.JSONDecodeError as exc:
+        # A corrupt SERVER-side file is a 500, not the middleware's 400
+        # "malformed request body".
+        log.error("Server default config.json is invalid JSON: %s", exc)
+        raise web.HTTPInternalServerError(
+            text="Server default config.json is invalid JSON."
+        )
 
 
 async def validate(request: web.Request) -> web.Response:
@@ -232,7 +246,7 @@ async def cors_middleware(request: web.Request, handler):
         try:
             response = await handler(request)
         except web.HTTPException as exc:
-            exc.headers.update(_cors_headers())
+            exc.headers.update(_cors_headers(request))
             raise
         except json.JSONDecodeError:
             # A malformed request body raises before the handler's own error
@@ -246,16 +260,22 @@ async def cors_middleware(request: web.Request, handler):
             response = web.json_response(
                 {"detail": "Internal server error."}, status=500
             )
-    response.headers.update(_cors_headers())
+    response.headers.update(_cors_headers(request))
     return response
 
 
-def _cors_headers() -> dict:
+def _cors_headers(request: web.Request) -> dict:
+    # Browsers reject the wildcard origin on credentialed requests, so
+    # reflect the caller's Origin when one is sent — the same behavior the
+    # reference gets from Starlette's CORSMiddleware with allow_origins=["*"]
+    # plus allow_credentials=True.
+    origin = request.headers.get("Origin", "*")
     return {
-        "Access-Control-Allow-Origin": "*",
+        "Access-Control-Allow-Origin": origin,
         "Access-Control-Allow-Methods": "*",
         "Access-Control-Allow-Headers": "*",
         "Access-Control-Allow-Credentials": "true",
+        "Vary": "Origin",
     }
 
 

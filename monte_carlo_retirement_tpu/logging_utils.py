@@ -35,6 +35,8 @@ def configure_logging(
     size-rotated file sink (10 MB per file, 3 backups)."""
     logger = logging.getLogger("mcrt")
     logger.setLevel(level)
+    for handler in logger.handlers:
+        handler.close()  # release old file descriptors before dropping
     logger.handlers.clear()
     stream = logging.StreamHandler(sys.stderr)
     stream.setFormatter(logging.Formatter(LOG_FORMAT, DATE_FORMAT))

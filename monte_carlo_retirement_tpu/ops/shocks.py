@@ -30,8 +30,12 @@ SQRT_MONTHS = MONTHS_PER_YEAR ** 0.5
 
 
 def stream_keys(main_seed: int) -> Tuple[jax.Array, jax.Array]:
-    """Derive the two independent root keys: (search, final)."""
-    root = jax.random.PRNGKey(main_seed)
+    """Derive the two independent root keys: (search, final).
+
+    Seeds beyond the PRNGKey range are reduced mod 2**63 — the reference's
+    SeedSequence accepts arbitrarily large ints, so configs carrying one
+    must keep working (deterministically) rather than overflow."""
+    root = jax.random.PRNGKey(int(main_seed) % (1 << 63))
     return jax.random.fold_in(root, 0), jax.random.fold_in(root, 1)
 
 

@@ -434,3 +434,70 @@ def test_malformed_json_body_gets_400_with_cors_headers():
             await client.close()
 
     _run(scenario())
+
+
+def test_non_object_json_body_gets_422():
+    """Valid JSON that is not an object ('[]', '5', '\"x\"') must be a 422
+    like the reference server, not a TypeError-driven 500."""
+
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            for path in ("/api/validate", "/api/simulate"):
+                for payload in (b"[]", b"5", b'"x"'):
+                    resp = await client.post(
+                        path, data=payload,
+                        headers={"Content-Type": "application/json"},
+                    )
+                    assert resp.status == 422, (path, payload, resp.status)
+        finally:
+            await client.close()
+
+    _run(scenario())
+
+
+def test_cors_reflects_origin_for_credentialed_clients():
+    """With an Origin header the server must reflect it (wildcard +
+    allow-credentials is spec-forbidden and browsers reject it), matching
+    the reference's Starlette CORSMiddleware behavior."""
+
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            resp = await client.get(
+                "/api/health", headers={"Origin": "http://localhost:3000"}
+            )
+            assert resp.status == 200
+            assert (
+                resp.headers.get("Access-Control-Allow-Origin")
+                == "http://localhost:3000"
+            )
+            assert resp.headers.get("Access-Control-Allow-Credentials") == "true"
+        finally:
+            await client.close()
+
+    _run(scenario())
+
+
+def test_corrupt_default_config_is_a_server_error(monkeypatch, tmp_path):
+    """A corrupt SERVER-side config.json is a 500 from /api/config/default,
+    not a 400 blaming the client's (nonexistent) request body."""
+    from monte_carlo_retirement_tpu.hosts import server as server_mod
+
+    bad = tmp_path / "config.json"
+    bad.write_text("{not json")
+    monkeypatch.setattr(server_mod, "DEFAULT_CONFIG_PATH", str(bad))
+
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            resp = await client.get("/api/config/default")
+            assert resp.status == 500
+            assert "default config" in (await resp.text()).lower()
+        finally:
+            await client.close()
+
+    _run(scenario())

@@ -143,7 +143,23 @@ def test_cli_json_out_and_override(tmp_path, monkeypatch):
         sys, "argv",
         ["cli", str(cfg_path), "--override", "13", "--json-out", str(out_path)],
     )
+    from monte_carlo_retirement_tpu.engine.simulator import (
+        RetirementMonteCarloSimulator,
+    )
+
+    calls = {"n": 0}
+    original = RetirementMonteCarloSimulator.run_monte_carlo_simulations
+
+    def counted(self, *a, **k):
+        calls["n"] += 1
+        return original(self, *a, **k)
+
+    monkeypatch.setattr(
+        RetirementMonteCarloSimulator, "run_monte_carlo_simulations", counted
+    )
     cli.main()
     payload = json.loads(out_path.read_text())
     parsed = SimulationResponse.model_validate(payload)
     assert parsed.summary.required_working_months == 13
+    # --json-out must reuse the final batch, not re-run it for the payload.
+    assert calls["n"] == 1

@@ -113,3 +113,27 @@ def test_probe_backend_resolution(monkeypatch):
     assert eng._resolve_probe_backend("scan") == "scan"
     monkeypatch.setenv("MCRT_RUN_BACKEND", "scan")
     assert eng._resolve_run_backend(None, 8) == "scan"
+
+
+def test_extreme_horizon_falls_back_to_scan(caplog):
+    """A working-months value whose trajectory width exceeds the Pallas
+    VMEM budget must degrade to the scan backend (linear time, like the
+    reference) instead of a Mosaic compile failure."""
+    import logging as _logging
+
+    import jax.numpy as _jnp
+    import numpy as _np
+
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        PALLAS_MAX_TRAJ_LEN,
+    )
+    from monte_carlo_retirement_tpu.engine.runner import Engine
+    from tests.conftest import make_config
+
+    eng = Engine(make_config(retirement_years=2), dtype=_jnp.float32)
+    months = (PALLAS_MAX_TRAJ_LEN + 10) * 12  # width over the VMEM budget
+    with caplog.at_level(_logging.WARNING, logger="mcrt.engine"):
+        outs = eng.run(months, 16, stream="final", backend="pallas")
+    assert _np.isfinite(_np.asarray(outs.final_balance)).all()
+    assert any("falling back to the scan backend" in r.message
+               for r in caplog.records)

@@ -118,6 +118,21 @@ def test_seed_reproducibility_and_stream_independence():
     assert not np.allclose(a.final_balance, c.final_balance)
 
 
+def test_seed_beyond_prngkey_range_is_accepted():
+    """The reference's SeedSequence accepts arbitrarily large ints, so a
+    config carrying one must work here too (reduced mod 2**63), not
+    overflow jax.random.PRNGKey."""
+    big = 2**63 + 12345
+    cfg = make_config(seed=big, retirement_years=2)
+    outs = Engine(cfg).run(0, 32, stream="final")
+    assert np.isfinite(np.asarray(outs.final_balance)).all()
+    # Deterministic: the same huge seed reproduces, a different one diverges.
+    outs2 = Engine(make_config(seed=big, retirement_years=2)).run(
+        0, 32, stream="final"
+    )
+    np.testing.assert_allclose(outs.final_balance, outs2.final_balance)
+
+
 def test_device_summaries_match_numpy_reference():
     """On-device percentile/summary reductions equal their NumPy/pandas
     counterparts on the same per-path outputs."""
