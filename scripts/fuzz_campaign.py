@@ -10,7 +10,9 @@ Wider than the CI test in: working months (up to 10 years), retirement years
 (up to 15), stream count (up to 4), parameter extremes (zero balances, zero
 expenses, +-1 correlation, 60% tax rates, negative means).
 
-Usage:  python scripts/fuzz_campaign.py [--trials N] [--seed S]
+Usage:  python scripts/fuzz_campaign.py [--trials N] [--seed S] [--long]
+        (--long swaps in multi-decade working-month horizons up to the
+        search cap region; slower per trial)
 Exit status 0 = every trial agreed; 1 = at least one mismatch (printed).
 
 Reference: /root/reference/backend/simulation.py:452-474 (shock draw),
@@ -51,6 +53,7 @@ REF_BACKEND = "/root/reference/backend"
 # Discrete W/R grids bound the number of distinct compiled shapes while the
 # traced SimParams leaves explore the continuous space freely.
 W_CHOICES = [0, 1, 5, 12, 13, 26, 40, 61, 90, 120]
+W_CHOICES_LONG = [180, 240, 360, 481, 600, 725, 840]  # search-cap region
 R_CHOICES = [1, 2, 4, 7, 11, 15]
 N_PATHS = 8
 
@@ -176,9 +179,9 @@ def compare_path(outs, p, theirs, L, msg):
     )
 
 
-def run_trial(ref_sim_mod, ref_cfg_mod, rng, trial):
+def run_trial(ref_sim_mod, ref_cfg_mod, rng, trial, w_choices=W_CHOICES):
     cfg = random_config_wide(rng)
-    working_months = int(rng.choice(W_CHOICES))
+    working_months = int(rng.choice(w_choices))
     R = cfg.retirement_years
     T = working_months + 12 * R
 
@@ -229,7 +232,9 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--trials", type=int, default=200)
     ap.add_argument("--seed", type=int, default=90_000)
+    ap.add_argument("--long", action="store_true")
     args = ap.parse_args()
+    w_choices = W_CHOICES_LONG if args.long else W_CHOICES
 
     ref_sim_mod, ref_cfg_mod = load_reference()
     rng = np.random.default_rng(args.seed)
@@ -237,7 +242,7 @@ def main() -> int:
     failures = 0
     for trial in range(args.trials):
         try:
-            run_trial(ref_sim_mod, ref_cfg_mod, rng, trial)
+            run_trial(ref_sim_mod, ref_cfg_mod, rng, trial, w_choices)
         except Exception as exc:  # keep fuzzing; report at the end
             failures += 1
             print(f"FAIL trial {trial}: {exc}", flush=True)
