@@ -85,7 +85,9 @@ export async function runSimulationStream(
       }
     }
   } catch (err) {
-    if (!sawTerminal) onError(`Stream failed: ${err.message}`);
+    if (sawTerminal) throw err; // a callback failed AFTER the terminal
+    // frame — that is the caller's bug to surface, not a stream error.
+    onError(`Stream failed: ${err.message}`);
     return;
   }
   if (!sawTerminal) onError("Stream ended without a result.");

@@ -105,8 +105,9 @@ const editor = new ConfigEditor(document.getElementById("config-editor"), {
     editor.setRunning(true);
     editor.showError("");
     showBanner("");
-    // Pre-flight: surface schema errors from /api/validate before starting
-    // a (potentially minutes-long) search stream.
+    // Pre-flight via /api/validate. The stream endpoint validates too, but
+    // failing here keeps the progress panel and elapsed timer untouched —
+    // the error lands in the editor before any "running" UI appears.
     try {
       await validateConfig(config);
     } catch (err) {

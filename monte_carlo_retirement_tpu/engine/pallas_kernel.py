@@ -197,9 +197,13 @@ def _check_grid_statics(params_batch: SimParams, statics: Statics) -> None:
         and bool(((~u2 & a2) == statics.bill2).all())
     )
     if ok and want_idx.size:
-        ok = bool(
-            (s_idx.reshape(-1, want_idx.size) == want_idx).all()
-        ) and bool((s_cap.reshape(-1, want_cap.size) == want_cap).all())
+        # Fail loudly on a stream-count mismatch — reshape would otherwise
+        # regroup rows and compare the wrong (row, stream) pairs.
+        ok = (
+            s_idx.shape[-1] == want_idx.size
+            and bool((s_idx.reshape(-1, want_idx.size) == want_idx).all())
+            and bool((s_cap.reshape(-1, want_cap.size) == want_cap).all())
+        )
     if not ok:
         raise ValueError(
             "scenario batch mixes tax-system/annual-bill/stream structure "

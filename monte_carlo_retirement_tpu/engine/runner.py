@@ -147,6 +147,45 @@ class Engine:
         horizon = max_working_months + self.retirement_years * MONTHS_PER_YEAR
         return _round_up(horizon, SCAN_BUCKET_MONTHS)
 
+    def _pallas_traj_len(self, working_months: int) -> Optional[int]:
+        """Trajectory-buffer width for a Pallas full-statistics run, or None
+        when the run must degrade to the scan backend.
+
+        The Pallas month loops have dynamic bounds, so the only shape-bearing
+        knob is this width. Size it for the search cap (start + 70y) once per
+        scenario — warmup, overrides and search results then reuse ONE
+        compiled executable. Overrides beyond the scenario cap bucket to
+        10-year steps so a sweep of large overrides compiles O(1) widths.
+        When the scenario-wide width busts the VMEM budget, retry with a
+        width sized for THIS run's months (a huge search cap must not force
+        tiny runs off the Pallas path); only when the run's own horizon
+        exceeds the budget does it fall back to the scan backend (which,
+        like the reference, handles any horizon in linear time)."""
+        from .pallas_kernel import PALLAS_MAX_TRAJ_LEN
+
+        bucket = 10 * MONTHS_PER_YEAR
+        scenario_cap = (
+            int(self.config.starting_working_months_search)
+            + MAX_SEARCH_YEARS * MONTHS_PER_YEAR
+        )
+        if working_months > scenario_cap:
+            cap_w = -(-working_months // bucket) * bucket
+        else:
+            cap_w = scenario_cap
+        traj_len = 1 + self._t_scan(cap_w) // MONTHS_PER_YEAR
+        if traj_len > PALLAS_MAX_TRAJ_LEN:
+            cap_w = -(-max(working_months, 1) // bucket) * bucket
+            traj_len = 1 + self._t_scan(cap_w) // MONTHS_PER_YEAR
+        if traj_len > PALLAS_MAX_TRAJ_LEN:
+            log.warning(
+                "horizon needs trajectory width %d > %d (VMEM budget); "
+                "falling back to the scan backend for this run",
+                traj_len,
+                PALLAS_MAX_TRAJ_LEN,
+            )
+            return None
+        return traj_len
+
     # ------------------------------------------------------------------
     # probe: batched success probabilities for the search
     # ------------------------------------------------------------------
@@ -330,37 +369,10 @@ class Engine:
             np.random.default_rng(self.main_seed).choice(n, size=k, replace=False),
             dtype=jnp.int32,
         )
-        from .pallas_kernel import PALLAS_MAX_TRAJ_LEN
-
         run_backend = self._resolve_run_backend(backend, n)
         if run_backend in ("pallas", "pallas_sharded"):
-            # The Pallas month loops have dynamic bounds, so the only
-            # shape-bearing knob is the trajectory buffer width. Size it for
-            # the search cap (start + 70y) once per scenario: every
-            # working_months value — warmup, overrides, search results —
-            # then reuses ONE compiled executable. Overrides beyond the
-            # scenario cap bucket to 10-year steps so a sweep of large
-            # overrides compiles O(1) widths instead of one per value.
-            scenario_cap = (
-                int(self.config.starting_working_months_search)
-                + MAX_SEARCH_YEARS * MONTHS_PER_YEAR
-            )
-            if working_months > scenario_cap:
-                cap_w = -(-working_months // 120) * 120
-            else:
-                cap_w = scenario_cap
-            pallas_traj_len = 1 + self._t_scan(cap_w) // MONTHS_PER_YEAR
-            if pallas_traj_len > PALLAS_MAX_TRAJ_LEN:
-                # The series buffers would exceed the VMEM budget — degrade
-                # to the scan backend (no width constraint) instead of a
-                # Mosaic compile failure. The reference ran any horizon in
-                # linear time; so does this fallback.
-                log.warning(
-                    "horizon needs trajectory width %d > %d (VMEM budget); "
-                    "falling back to the scan backend for this run",
-                    pallas_traj_len,
-                    PALLAS_MAX_TRAJ_LEN,
-                )
+            pallas_traj_len = self._pallas_traj_len(working_months)
+            if pallas_traj_len is None:
                 run_backend = "scan"
         t_start = time.perf_counter()
         if run_backend in ("pallas", "pallas_sharded"):

@@ -38,8 +38,14 @@ log = logging.getLogger("mcrt.server")
 
 _PACKAGE_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PROJECT_ROOT = os.path.dirname(_PACKAGE_ROOT)
-FRONTEND_DIR = os.path.join(_PROJECT_ROOT, "frontend")
-DEFAULT_CONFIG_PATH = os.path.join(_PROJECT_ROOT, "config.json")
+# Repo-checkout defaults; pip-installed deployments point these at their own
+# copies (the wheel ships the package only, not the dashboard assets).
+FRONTEND_DIR = os.environ.get(
+    "MCRT_FRONTEND_DIR", os.path.join(_PROJECT_ROOT, "frontend")
+)
+DEFAULT_CONFIG_PATH = os.environ.get(
+    "MCRT_DEFAULT_CONFIG", os.path.join(_PROJECT_ROOT, "config.json")
+)
 
 
 # ---------------------------------------------------------------------------
@@ -268,7 +274,9 @@ def _cors_headers(request: web.Request) -> dict:
     # Browsers reject the wildcard origin on credentialed requests, so
     # reflect the caller's Origin when one is sent — the same behavior the
     # reference gets from Starlette's CORSMiddleware with allow_origins=["*"]
-    # plus allow_credentials=True.
+    # plus allow_credentials=True. Reflect-any is a deliberate parity choice:
+    # this server carries no cookies or auth; a deployment that adds either
+    # must replace the reflection with an allowlist.
     origin = request.headers.get("Origin", "*")
     return {
         "Access-Control-Allow-Origin": origin,
@@ -329,6 +337,23 @@ def create_app() -> web.Application:
     if os.path.isdir(FRONTEND_DIR):
         app.router.add_get("/", index)
         app.router.add_static("/", FRONTEND_DIR)
+    else:
+
+        async def _no_frontend(_request: web.Request) -> web.Response:
+            return web.json_response(
+                {
+                    "detail": "Dashboard assets not found. The API is live; "
+                    "set MCRT_FRONTEND_DIR to a checkout's frontend/ "
+                    "directory to serve the SPA."
+                },
+                status=404,
+            )
+
+        app.router.add_get("/", _no_frontend)
+        log.warning(
+            "frontend directory %s not found — serving API only "
+            "(set MCRT_FRONTEND_DIR)", FRONTEND_DIR,
+        )
     app.on_startup.append(_start_warmup)
     return app
 

@@ -32,10 +32,17 @@ SQRT_MONTHS = MONTHS_PER_YEAR ** 0.5
 def stream_keys(main_seed: int) -> Tuple[jax.Array, jax.Array]:
     """Derive the two independent root keys: (search, final).
 
-    Seeds beyond the PRNGKey range are reduced mod 2**63 — the reference's
-    SeedSequence accepts arbitrarily large ints, so configs carrying one
-    must keep working (deterministically) rather than overflow."""
-    root = jax.random.PRNGKey(int(main_seed) % (1 << 63))
+    Seeds within the PRNGKey range pass through untouched (every pinned
+    expectation in tests and docs depends on that). Seeds beyond it — the
+    reference's SeedSequence accepts arbitrarily large ints — fold their
+    FULL entropy through numpy's SeedSequence rather than truncating, so
+    distinct huge seeds (e.g. s and s + 2**63) get distinct streams."""
+    s = int(main_seed)
+    if not 0 <= s < (1 << 63):
+        import numpy as _np
+
+        s = int(_np.random.SeedSequence(s).generate_state(1, _np.uint64)[0] >> 1)
+    root = jax.random.PRNGKey(s)
     return jax.random.fold_in(root, 0), jax.random.fold_in(root, 1)
 
 

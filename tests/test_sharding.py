@@ -137,3 +137,14 @@ def test_extreme_horizon_falls_back_to_scan(caplog):
     assert _np.isfinite(_np.asarray(outs.final_balance)).all()
     assert any("falling back to the scan backend" in r.message
                for r in caplog.records)
+
+    # A huge SEARCH CAP alone must not evict small runs from the Pallas
+    # path: the width retries with the run's own (bucketed) months.
+    eng2 = Engine(
+        make_config(retirement_years=2, starting_working_months_search=30_000),
+        dtype=_jnp.float32,
+    )
+    assert eng2._pallas_traj_len(12) is not None
+    assert eng2._pallas_traj_len((PALLAS_MAX_TRAJ_LEN + 10) * 12) is None
+    # Bucketing: overrides in the same 10-year step share one width.
+    assert eng2._pallas_traj_len(1_210) == eng2._pallas_traj_len(1_310)
