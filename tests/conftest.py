@@ -24,8 +24,6 @@ jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import pytest
-
 from monte_carlo_retirement_tpu.config import Config
 
 
@@ -68,11 +66,6 @@ def make_config(**overrides) -> Config:
     return Config(**base_config_dict(**overrides))
 
 
-@pytest.fixture
-def base_config():
-    return make_config
-
-
 # A zero-volatility, zero-tax override set for closed-form path tests.
 DETERMINISTIC = dict(
     inflation_rate_mean=0.0,
@@ -86,3 +79,32 @@ DETERMINISTIC = dict(
     inv2_use_realized_gains_tax_system=False,
     inv2_annual_tax_on_gains_rate=0.0,
 )
+
+
+def binomial_sigma_pct(p_pct: float, n: int) -> float:
+    """One-sigma Monte Carlo error (in percent) of a success probability
+    estimated from n Bernoulli paths."""
+    import math
+
+    p = min(max(p_pct / 100.0, 1e-6), 1 - 1e-6)
+    return math.sqrt(p * (1 - p) / n) * 100.0
+
+
+def fake_success_frame(success_count: int, num_simulations: int):
+    """The 7-tuple a fake engine seam returns: a summary DataFrame with the
+    first ``success_count`` paths succeeding. Shared by every search test
+    that injects a deterministic probability curve — the frame shape is the
+    contract both searches read."""
+    import pandas as pd
+
+    flags = [True] * success_count + [False] * (num_simulations - success_count)
+    df = pd.DataFrame(
+        {
+            "Start Balance": [100.0] * num_simulations,
+            "Final Balance": [1.0 if f else 0.0 for f in flags],
+            "Success": flags,
+            "First Year Gross Withdrawal": [1.0] * num_simulations,
+            "Inflation At Retirement": [1.0] * num_simulations,
+        }
+    )
+    return df, None, None, None, None, None, None

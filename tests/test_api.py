@@ -88,7 +88,7 @@ def _client_fixture():
 
 
 def _run(coro):
-    return asyncio.new_event_loop().run_until_complete(coro)
+    return asyncio.run(coro)  # closes the loop; new_event_loop leaked fds
 
 
 def test_health_validate_and_default_config_endpoints():

@@ -29,9 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_PATHS = 30_000
 
 
-def _sigma_pct(p_pct: float, n: int) -> float:
-    p = min(max(p_pct / 100.0, 1e-6), 1 - 1e-6)
-    return math.sqrt(p * (1 - p) / n) * 100.0
+from tests.conftest import binomial_sigma_pct as _sigma_pct  # noqa: E402
 
 
 @pytest.mark.parametrize("scenario,months", [("config.json", 233), ("jorge.json", 75)])

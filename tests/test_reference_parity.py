@@ -34,7 +34,12 @@ from monte_carlo_retirement_tpu.engine.simulator import (
     RetirementMonteCarloSimulator,
 )
 from monte_carlo_retirement_tpu.timing import trajectory_time_points
-from tests.conftest import DETERMINISTIC, make_config
+from tests.conftest import (
+    DETERMINISTIC,
+    binomial_sigma_pct as _binomial_sigma_pct,
+    fake_success_frame,
+    make_config,
+)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF_BACKEND = "/root/reference/backend"
@@ -69,11 +74,6 @@ def _scenario(name: str, **overrides) -> dict:
     data["num_processes"] = 1
     data.update(overrides)
     return data
-
-
-def _binomial_sigma_pct(p_pct: float, n: int) -> float:
-    p = min(max(p_pct / 100.0, 1e-6), 1 - 1e-6)
-    return math.sqrt(p * (1 - p) / n) * 100.0
 
 
 # ---------------------------------------------------------------------------
@@ -618,17 +618,7 @@ def test_search_answer_equals_reference_on_monotone_curves(ref, case):
 
     def fake_run(working_months, num_simulations):
         k = round(prob(working_months) * num_simulations / 100.0)
-        flags = [True] * k + [False] * (num_simulations - k)
-        df = pd.DataFrame(
-            {
-                "Start Balance": [100.0] * num_simulations,
-                "Final Balance": [1.0 if f else 0.0 for f in flags],
-                "Success": flags,
-                "First Year Gross Withdrawal": [1.0] * num_simulations,
-                "Inflation At Retirement": [1.0] * num_simulations,
-            }
-        )
-        return df, None, None, None, None, None, None
+        return fake_success_frame(k, num_simulations)
 
     theirs_sim.run_monte_carlo_simulations = fake_run
     m_ref, p_ref, _ = theirs_sim.find_minimum_working_months(verbose=False)
@@ -671,17 +661,7 @@ def test_search_unreachable_equals_reference(ref):
 
     def fake_run(working_months, num_simulations):
         k = round(prob(working_months) * num_simulations / 100.0)
-        flags = [True] * k + [False] * (num_simulations - k)
-        df = pd.DataFrame(
-            {
-                "Start Balance": [100.0] * num_simulations,
-                "Final Balance": [1.0 if f else 0.0 for f in flags],
-                "Success": flags,
-                "First Year Gross Withdrawal": [1.0] * num_simulations,
-                "Inflation At Retirement": [1.0] * num_simulations,
-            }
-        )
-        return df, None, None, None, None, None, None
+        return fake_success_frame(k, num_simulations)
 
     theirs_sim.run_monte_carlo_simulations = fake_run
     m_ref, p_ref, _ = theirs_sim.find_minimum_working_months(verbose=False)

@@ -25,9 +25,10 @@ from monte_carlo_retirement_tpu.engine.pallas_kernel import (
 SQRT2 = np.sqrt(2.0)
 
 
-def _sampler_f32(r: np.ndarray) -> np.ndarray:
+def _sampler_f32(r: np.ndarray) -> tuple:
     """The kernel's exact mapping (pallas_kernel._normal) in numpy float32:
-    23-bit integer r -> uniform x -> polynomial quantile z."""
+    23-bit integer r -> uniform x -> polynomial quantile z.
+    Returns (z, x) — callers need the uniform too for the truth value."""
     f32 = np.float32
     x = r.astype(f32) * f32(_INV_2_22) + f32(_X_OFFSET)
     s = np.sqrt(-np.log1p(-(x * x), dtype=f32), dtype=f32)

@@ -116,8 +116,6 @@ def test_search_emits_progress_events():
 def test_facade_search_uses_fake_engine_seam():
     """Monkeypatching run_monte_carlo_simulations reroutes the search probes
     (the reference's fake-engine test seam, preserved)."""
-    import pandas as pd
-
     threshold = 37
     cfg = make_config(
         target_probability=90.0,
@@ -127,18 +125,11 @@ def test_facade_search_uses_fake_engine_seam():
     )
     sim = RetirementMonteCarloSimulator(cfg)
 
+    from tests.conftest import fake_success_frame
+
     def fake_run(working_months: int, num_simulations: int):
         ok = working_months >= threshold
-        df = pd.DataFrame(
-            {
-                "Start Balance": [100.0] * num_simulations,
-                "Final Balance": [1.0 if ok else 0.0] * num_simulations,
-                "Success": [ok] * num_simulations,
-                "First Year Gross Withdrawal": [1.0] * num_simulations,
-                "Inflation At Retirement": [1.0] * num_simulations,
-            }
-        )
-        return df, None, None, None, None, None, None
+        return fake_success_frame(num_simulations if ok else 0, num_simulations)
 
     sim.run_monte_carlo_simulations = fake_run  # type: ignore[method-assign]
     months, prob, curve = sim.find_minimum_working_months(verbose=False)

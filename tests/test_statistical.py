@@ -72,7 +72,14 @@ def test_shocks_are_crn_stable_across_batch_sizes():
 
 
 def test_success_probability_non_decreasing_in_working_months():
-    """More working months must not reduce success probability under CRN."""
+    """More working months must not reduce success probability under CRN.
+
+    Mirrors the reference's own monotonicity test
+    (tests/test_simulation_correctness.py:55-81). Strictly, per-path
+    monotonicity is not a theorem — extending work shifts the retirement
+    window onto fresh absolute-month shocks — so this doubles as a pin on
+    the RNG stream layout: if a deliberate layout change flips one ladder
+    comparison here, re-seat the seed rather than weaken the assertion."""
     cfg = make_config(
         initial_balance=100_000.0,
         monthly_contribution=3_000.0,
@@ -120,8 +127,10 @@ def test_seed_reproducibility_and_stream_independence():
 
 def test_seed_beyond_prngkey_range_is_accepted():
     """The reference's SeedSequence accepts arbitrarily large ints, so a
-    config carrying one must work here too (reduced mod 2**63), not
-    overflow jax.random.PRNGKey."""
+    config carrying one must work here too — stream_keys folds the FULL
+    seed entropy through numpy's SeedSequence (it does NOT truncate mod
+    2**63, which would collide s with s + 2**63) instead of overflowing
+    jax.random.PRNGKey."""
     big = 2**63 + 12345
     cfg = make_config(seed=big, retirement_years=2)
     outs = Engine(cfg).run(0, 32, stream="final")
@@ -173,6 +182,9 @@ def test_device_summaries_match_numpy_reference():
     wr_df = pd.DataFrame(wr.T)
     expected = wr_df.quantile([0.05, 0.25, 0.5, 0.75, 0.95], axis=1).to_numpy()
     got = np.asarray(summary.wr_percentiles)
+    # NaN structure must match exactly (a finite garbage value for an empty
+    # year would otherwise slip through the masked comparison below).
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(expected))
     mask = ~np.isnan(expected)
     np.testing.assert_allclose(got[mask], expected[mask], rtol=1e-12)
     np.testing.assert_array_equal(

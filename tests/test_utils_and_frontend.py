@@ -96,13 +96,27 @@ def test_frontend_css_class_contract():
         used.add(m.group(1))
     for m in re.finditer(r'class="([^"${]+)"', html):
         used.update(m.group(1).split())
-    defined = set(re.findall(r"\.([a-zA-Z][\w-]*)", css))
+    # Only SELECTOR text counts as "defined": strip comments and rule
+    # bodies first, so a dot-word inside a comment, url(x.png) or property
+    # value cannot satisfy the contract.
+    css_no_comments = re.sub(r"/\*.*?\*/", "", css, flags=re.S)
+    selector_text = "\n".join(
+        re.findall(r"(?:^|})([^{}]*)\{", css_no_comments, flags=re.S)
+    )
+    defined = set(re.findall(r"\.([a-zA-Z][\w-]*)", selector_text))
     missing = sorted(c for c in used if c not in defined)
     assert not missing, f"classes styled nowhere: {missing}"
 
     vars_used = set(re.findall(r'cssVar\(\s*"--([\w-]+)"', js))
     light = css.split("[data-theme")[0]
-    dark = css.split('[data-theme="dark"]', 1)[1].split("}", 200)[0:1][0] if '[data-theme="dark"]' in css else ""
+    # Concatenate EVERY [data-theme="dark"] block body (there may be more
+    # than one; each body ends at its first closing brace).
+    dark = "\n".join(
+        m.group(1)
+        for m in re.finditer(
+            r'\[data-theme="dark"\][^{]*\{([^}]*)\}', css_no_comments
+        )
+    )
     for v in vars_used:
         assert f"--{v}:" in light, f"--{v} missing from light theme"
         assert f"--{v}:" in dark, f"--{v} missing from dark theme"
