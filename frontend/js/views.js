@@ -25,6 +25,28 @@ function pct(v, digits = 1) {
   return v === null || v === undefined ? "—" : `${v.toFixed(digits)}%`;
 }
 
+// Loop-based extrema: Math.min(...arr) throws RangeError past the engine's
+// argument limit (~65k), and per-path arrays can exceed it when
+// MCRT_MAX_RAW_PATHS is raised.
+function arrMin(arr) {
+  let m = Infinity;
+  for (const v of arr) if (v < m) m = v;
+  return m;
+}
+function arrMax(arr) {
+  let m = -Infinity;
+  for (const v of arr) if (v > m) m = v;
+  return m;
+}
+
+// Escape user-controlled text (income-stream names) before HTML
+// interpolation: a name like "Pension <Joint>" must render literally.
+function esc(text) {
+  const d = document.createElement("div");
+  d.textContent = String(text);
+  return d.innerHTML;
+}
+
 // ---------------------------------------------------------------- summary
 export function summaryCard(result) {
   const s = result.summary;
@@ -96,11 +118,15 @@ export function searchCurveCard(sc) {
 }
 
 // ------------------------------------------------------------- trajectory
+// Survives re-renders (theme toggles rebuild the card): a user who picked
+// "Real (today's $)" must not be flipped back to nominal silently.
+let trajMode = "nominal";
+
 export function trajectoryCard(result) {
   const hasReal = !!result.trajectory_real;
   const div = card("Portfolio trajectory",
     "Percentile fan over all paths; grey lines are individual sample paths");
-  let mode = "nominal";
+  let mode = hasReal ? trajMode : "nominal";
   const toggles = document.createElement("div");
   toggles.className = "toggle-row";
   const chartHolder = document.createElement("div");
@@ -127,7 +153,13 @@ export function trajectoryCard(result) {
       drawLine(plot, xs, sample, x, y, { stroke: cssVar("--sample"), width: 0.8 });
     }
     if (p.p50) drawLine(plot, xs, p.p50, x, y, { width: 2.2 });
-    (result.reference_lines || []).forEach((ref, i) => {
+    // Like the reference chart: only markers inside the plotted horizon,
+    // numbered in year order.
+    const maxYear = xs[xs.length - 1] || 0;
+    const refLines = (result.reference_lines || [])
+      .filter((ref) => ref.year <= maxYear)
+      .sort((a, b) => a.year - b.year);
+    refLines.forEach((ref, i) => {
       drawMarker(plot, ref.year, x, i + 1, {});
     });
     attachHover(plot, xs, x, (i) => {
@@ -141,8 +173,8 @@ export function trajectoryCard(result) {
       `<span><span class="key" style="background:${cssVar("--band-outer")}"></span>P5–P95</span>` +
       `<span><span class="key" style="background:${cssVar("--band-inner")}"></span>P25–P75</span>` +
       `<span><span class="key" style="background:${cssVar("--accent")}"></span>Median</span>` +
-      (result.reference_lines || [])
-        .map((ref, i) => `<span class="ref-chip"><span class="n">${i + 1}</span>${ref.name} (${ref.year.toFixed(1)}y)</span>`)
+      refLines
+        .map((ref, i) => `<span class="ref-chip"><span class="n">${i + 1}</span>${esc(ref.name)} (${ref.year.toFixed(1)}y)</span>`)
         .join("");
   };
 
@@ -153,6 +185,7 @@ export function trajectoryCard(result) {
       if (m === mode) b.className = "active";
       b.onclick = () => {
         mode = m;
+        trajMode = m;
         toggles.querySelectorAll("button").forEach((x) => x.classList.remove("active"));
         b.classList.add("active");
         render();
@@ -216,7 +249,7 @@ export function ruinCard(rh) {
     // Server pre-binned (large runs serve bounded payloads).
     bins = rh.year_counts.map((c, b) => ({ x0: b, x1: b + 1, count: c }));
   } else {
-    const maxYear = Math.ceil(Math.max(...rh.years_to_ruin, 1));
+    const maxYear = Math.ceil(Math.max(arrMax(rh.years_to_ruin), 1));
     bins = [];
     for (let b = 0; b < maxYear; b++) bins.push({ x0: b, x1: b + 1, count: 0 });
     for (const v of rh.years_to_ruin) {
@@ -261,7 +294,7 @@ export function histogramCard(h) {
     lo = e[0]; hi = e[e.length - 1];
     median = preBinned.median;
   } else {
-    lo = Math.min(...successFinals); hi = Math.max(...successFinals);
+    lo = arrMin(successFinals); hi = arrMax(successFinals);
     const nbins = 60;
     const width = (hi - lo) / nbins || 1;
     bins = Array.from({ length: nbins }, (_, i) => ({

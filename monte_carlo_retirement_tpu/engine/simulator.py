@@ -28,6 +28,17 @@ from .runner import Engine, RunResult
 log = logging.getLogger("mcrt.simulator")
 
 
+def success_mask(summary_df: pd.DataFrame) -> pd.Series:
+    """Per-path success flags, with the reference's documented fallback:
+    when the Success column is absent, a path counts as successful iff its
+    final balance exceeds epsilon (reference backend/simulation.py:1130-1136).
+    The single definition shared by the facade, the payload assembly, the
+    CLI report and the plots."""
+    if "Success" in summary_df.columns:
+        return summary_df["Success"].astype(bool)
+    return summary_df["Final Balance"] > SMALL_EPSILON
+
+
 def median_first_year_withdrawal_rate(summary_df: pd.DataFrame) -> float:
     """Median per-path first-year real gross withdrawal / start balance (%).
 
@@ -145,11 +156,7 @@ class RetirementMonteCarloSimulator:
         """Share of paths that funded all retirement spending (percent)."""
         if summary_df.empty:
             return 0.0
-        if "Success" in summary_df.columns:
-            return float(summary_df["Success"].astype(bool).mean() * 100.0)
-        return float(
-            (summary_df["Final Balance"] > SMALL_EPSILON).mean() * 100.0
-        )
+        return float(success_mask(summary_df).mean() * 100.0)
 
     # -- search -----------------------------------------------------------
     def _probe_batch(self, months: Sequence[int], sim_count: int) -> List[float]:

@@ -27,6 +27,7 @@ from ..constants import MONTHS_PER_YEAR
 from ..engine.simulator import (
     RetirementMonteCarloSimulator,
     median_first_year_withdrawal_rate,
+    success_mask,
 )
 from ..logging_utils import (
     configure_logging,
@@ -123,9 +124,9 @@ def main() -> None:
         log.error("Final simulation yielded no results.")
         return
 
-    success_mask = summary_df["Success"].astype(bool)
-    success_prob = float(success_mask.mean() * 100.0)
-    successful = summary_df.loc[success_mask, "Final Balance"]
+    successes = success_mask(summary_df)
+    success_prob = float(successes.mean() * 100.0)
+    successful = summary_df.loc[successes, "Final Balance"]
     median_final = float(successful.median()) if not successful.empty else 0.0
     median_start = float(summary_df["Start Balance"].median())
     swr = median_first_year_withdrawal_rate(summary_df)

@@ -15,7 +15,7 @@ import numpy as np
 
 from ..config import Config
 from ..constants import MONTHS_PER_YEAR, SMALL_EPSILON
-from ..engine.simulator import median_first_year_withdrawal_rate
+from ..engine.simulator import median_first_year_withdrawal_rate, success_mask
 from ..timing import (
     retirement_age,
     stream_payment_start_month_index,
@@ -127,13 +127,10 @@ def build_result(
     if summary_df.empty:
         raise ValueError(f"Simulation for '{config.Nickname}' yielded no results.")
 
-    if "Success" in summary_df.columns:
-        success_mask = summary_df["Success"].astype(bool)
-    else:
-        success_mask = summary_df["Final Balance"] > SMALL_EPSILON
-    success_prob = float(success_mask.mean() * 100.0)
+    successes = success_mask(summary_df)
+    success_prob = float(successes.mean() * 100.0)
 
-    successful_finals = summary_df.loc[success_mask, "Final Balance"]
+    successful_finals = summary_df.loc[successes, "Final Balance"]
     median_final = float(successful_finals.median()) if not successful_finals.empty else 0.0
     median_start = float(summary_df["Start Balance"].median())
     swr = median_first_year_withdrawal_rate(summary_df)
@@ -194,7 +191,7 @@ def build_result(
 
     ruin_histogram = None
     if "YearsToRuin" in summary_df.columns:
-        failed = summary_df.loc[~success_mask, "YearsToRuin"].dropna()
+        failed = summary_df.loc[~successes, "YearsToRuin"].dropna()
         ruin_histogram = {
             "years_to_ruin": (
                 [] if capped else [round(float(v), 1) for v in failed]
@@ -234,7 +231,7 @@ def build_result(
                 "success_flags": [],
                 "binned": bin_successful_finals(
                     summary_df["Final Balance"].to_numpy(),
-                    success_mask.to_numpy(),
+                    successes.to_numpy(),
                 ),
             }
             if capped
@@ -245,7 +242,7 @@ def build_result(
                 "start_balances": [
                     round(float(v), 2) for v in summary_df["Start Balance"]
                 ],
-                "success_flags": [bool(v) for v in success_mask],
+                "success_flags": [bool(v) for v in successes],
             }
         ),
         "reference_lines": reference_lines,

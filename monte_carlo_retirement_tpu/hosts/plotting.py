@@ -9,6 +9,7 @@ portfolio trajectories with retirement / income-stream markers.
 from __future__ import annotations
 
 import logging
+import os
 from typing import Any, Dict, List, Optional
 
 import matplotlib
@@ -21,6 +22,7 @@ import pandas as pd
 from matplotlib.ticker import FuncFormatter
 
 from ..config import Config
+from ..engine.simulator import success_mask
 from ..constants import (
     MONTHS_PER_YEAR,
     SMALL_EPSILON,
@@ -80,6 +82,23 @@ def _results_text(summary: Dict[str, Any]) -> str:
     )
 
 
+def _save_figure(fig, filename: str, dpi: int, label: str) -> None:
+    """Write a figure, creating the target directory and degrading
+    gracefully on IO errors (log-and-continue, like the reference
+    backend/plotting.py) — a full disk or bad path must not abort the CLI
+    before it writes its remaining artifacts. Always closes the figure."""
+    try:
+        directory = os.path.dirname(filename)
+        if directory:
+            os.makedirs(directory, exist_ok=True)
+        fig.savefig(filename, dpi=dpi)
+        log.info("Saved %s plot: %s", label, filename)
+    except OSError as exc:
+        log.error("Could not save %s plot to %s: %s", label, filename, exc)
+    finally:
+        plt.close(fig)
+
+
 def plot_simulation_results(
     results_df: pd.DataFrame,
     input_config: Config,
@@ -89,10 +108,7 @@ def plot_simulation_results(
     """Histogram of successful-path final balances with input/result boxes."""
     fig, ax = plt.subplots(figsize=(12, 7.5))
 
-    if "Success" in results_df.columns:
-        cohort = results_df[results_df["Success"].astype(bool)]
-    else:
-        cohort = results_df[results_df["Final Balance"] > SMALL_EPSILON]
+    cohort = results_df[success_mask(results_df)]
     rate = (len(cohort) / len(results_df) * 100.0) if len(results_df) else 0.0
     balances_m = cohort["Final Balance"].to_numpy(dtype=float) / 1e6
 
@@ -152,9 +168,7 @@ def plot_simulation_results(
     ax.set_ylabel("Simulations")
     ax.legend(loc="upper right")
     fig.tight_layout()
-    fig.savefig(filename, dpi=150)
-    plt.close(fig)
-    log.info("Saved histogram plot: %s", filename)
+    _save_figure(fig, filename, dpi=150, label="histogram")
 
 
 def plot_portfolio_trajectories(
@@ -246,6 +260,4 @@ def plot_portfolio_trajectories(
     ax.set_ylabel("Portfolio balance (nominal)")
     ax.legend(loc="upper left", fontsize=8)
     fig.tight_layout()
-    fig.savefig(filename, dpi=dpi_setting)
-    plt.close(fig)
-    log.info("Saved trajectory plot: %s", filename)
+    _save_figure(fig, filename, dpi=dpi_setting, label="trajectory")

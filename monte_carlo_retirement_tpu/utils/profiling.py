@@ -23,21 +23,38 @@ _PHASE_TOTALS: Dict[str, float] = {}
 _PHASE_COUNTS: Dict[str, int] = {}
 
 
-@contextlib.contextmanager
-def device_timer(phase: str, result=None) -> Iterator[None]:
-    """Time a device-bound phase (blocks on ``result`` if given).
+class _PhaseHandle:
+    """Mutable handle yielded by ``device_timer``: assign the block's output
+    to ``handle.result`` so the timer can block on it at exit — a value
+    passed at context ENTRY could only ever be an input, which returns from
+    block_until_ready immediately and under-reports device time."""
 
-    Logs the elapsed wall time and accumulates per-phase totals retrievable
-    with ``phase_timings()``. The first occurrence of a phase usually includes
+    result = None
+
+
+@contextlib.contextmanager
+def device_timer(phase: str, result=None) -> Iterator[_PhaseHandle]:
+    """Time a device-bound phase.
+
+    Usage::
+
+        with device_timer("final_run") as t:
+            t.result = engine_step(...)   # timer blocks on this at exit
+
+    ``result`` may also be passed at entry for pre-existing arrays. Logs the
+    elapsed wall time and accumulates per-phase totals retrievable with
+    ``phase_timings()``. The first occurrence of a phase usually includes
     XLA compilation; the log flags it.
     """
     first = phase not in _PHASE_TOTALS
+    handle = _PhaseHandle()
+    handle.result = result
     t0 = time.perf_counter()
     try:
-        yield
+        yield handle
     finally:
-        if result is not None:
-            jax.block_until_ready(result)
+        if handle.result is not None:
+            jax.block_until_ready(handle.result)
         dt = time.perf_counter() - t0
         _PHASE_TOTALS[phase] = _PHASE_TOTALS.get(phase, 0.0) + dt
         _PHASE_COUNTS[phase] = _PHASE_COUNTS.get(phase, 0) + 1

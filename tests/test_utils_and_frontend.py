@@ -23,10 +23,12 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_device_timer_accumulates_phases():
     x = jnp.ones((64,))
-    with device_timer("unit-phase", result=x):
-        y = x * 2
-    with device_timer("unit-phase", result=y):
-        _ = y + 1
+    # Canonical pattern: assign the block's OUTPUT to the handle so the
+    # timer blocks on the timed computation, not an input.
+    with device_timer("unit-phase") as t:
+        t.result = x * 2
+    with device_timer("unit-phase") as t:
+        t.result = x + 1
     stats = phase_timings()["unit-phase"]
     assert stats["calls"] >= 2
     assert stats["total_s"] >= 0.0
