@@ -5,6 +5,13 @@
 
 const BASE = "";
 
+// Single definition of "an override was supplied" — app.js uses it to pick
+// the initial progress phase and this module uses it to build the request;
+// the two must never disagree.
+export function hasOverride(value) {
+  return value !== null && value !== undefined && value !== "";
+}
+
 export async function getDefaultConfig() {
   const resp = await fetch(`${BASE}/api/config/default`);
   if (!resp.ok) throw new Error(`default config: HTTP ${resp.status}`);
@@ -29,8 +36,7 @@ export async function runSimulationStream(
   { onProgress, onResult, onError },
 ) {
   const body = { config };
-  if (workingMonthsOverride !== null && workingMonthsOverride !== undefined
-      && workingMonthsOverride !== "") {
+  if (hasOverride(workingMonthsOverride)) {
     const v = Number(workingMonthsOverride);
     if (!Number.isInteger(v) || v < 0) {
       onError("Working-months override must be a nonnegative integer.");
@@ -50,17 +56,28 @@ export async function runSimulationStream(
     return;
   }
   if (!resp.ok) {
-    onError(await resp.text());
+    let detail;
+    try {
+      detail = await resp.text();
+    } catch {
+      detail = `HTTP ${resp.status}`;
+    }
+    onError(detail);
     return;
   }
 
   // Everything past the headers must route failures through onError: a
   // dropped connection mid-stream or a truncated frame would otherwise
   // reject out of this function and strand the caller's running state.
+  // Exceptions raised by the caller's OWN callbacks are re-thrown — those
+  // are caller bugs to surface, not stream errors. `inCallback` is how the
+  // two are told apart (a transport failure after the terminal frame is
+  // neither: the result was already delivered, so it is ignored).
   const reader = resp.body.getReader();
   const decoder = new TextDecoder();
   let buffer = "";
   let sawTerminal = false;
+  let inCallback = false;
   try {
     for (;;) {
       const { value, done } = await reader.read();
@@ -73,6 +90,7 @@ export async function runSimulationStream(
         const line = frame.trim();
         if (!line.startsWith("data: ")) continue;
         const event = JSON.parse(line.slice(6));
+        inCallback = true;
         if (event.type === "result") {
           sawTerminal = true;
           onResult(event.data);
@@ -82,12 +100,15 @@ export async function runSimulationStream(
         } else {
           onProgress(event);
         }
+        inCallback = false;
       }
     }
   } catch (err) {
-    if (sawTerminal) throw err; // a callback failed AFTER the terminal
-    // frame — that is the caller's bug to surface, not a stream error.
-    onError(`Stream failed: ${err.message}`);
+    // Release the connection: the server may keep computing for minutes,
+    // and orphaned streams count against the browser's per-host cap.
+    try { reader.cancel(); } catch { /* already closed */ }
+    if (inCallback) throw err;
+    if (!sawTerminal) onError(`Stream failed: ${err.message}`);
     return;
   }
   if (!sawTerminal) onError("Stream ended without a result.");

@@ -1,6 +1,8 @@
 // App shell: theme, SSE orchestration, progress panel, result rendering.
 
-import { getDefaultConfig, runSimulationStream, validateConfig } from "./api.js";
+import {
+  getDefaultConfig, hasOverride, runSimulationStream, validateConfig,
+} from "./api.js";
 import { ConfigEditor } from "./editor.js";
 import {
   histogramCard, ruinCard, searchCurveCard, summaryCard, trajectoryCard,
@@ -10,13 +12,23 @@ import {
 // ---------------------------------------------------------------- theme
 const THEME_KEY = "mc-retirement-theme";
 
+// localStorage throws SecurityError when storage is blocked (embedded
+// webviews, "block all cookies"); the theme preference is optional, the app
+// booting is not.
+function storageGet(key) {
+  try { return localStorage.getItem(key); } catch { return null; }
+}
+function storageSet(key, value) {
+  try { localStorage.setItem(key, value); } catch { /* preference lost */ }
+}
+
 function applyTheme(theme) {
   document.documentElement.setAttribute("data-theme", theme);
-  localStorage.setItem(THEME_KEY, theme);
+  storageSet(THEME_KEY, theme);
 }
 
 function initTheme() {
-  const saved = localStorage.getItem(THEME_KEY);
+  const saved = storageGet(THEME_KEY);
   const prefersDark = window.matchMedia("(prefers-color-scheme: dark)").matches;
   applyTheme(saved || (prefersDark ? "dark" : "light"));
   document.getElementById("theme-toggle").onclick = () => {
@@ -33,17 +45,32 @@ let phase = null;
 let startedAt = null;
 let timer = null;
 
+function elapsedText() {
+  return startedAt ? ((Date.now() - startedAt) / 1000).toFixed(1) : "0.0";
+}
+
+// The 500 ms timer only refreshes the elapsed counter — rebuilding the
+// whole panel each tick restarted the spinner animation mid-cycle and reset
+// the iteration table's scroll position.
+function tickProgress() {
+  const span = document.getElementById("progress-elapsed");
+  if (span) span.textContent = `${elapsedText()}s elapsed`;
+  else renderProgress();
+}
+
 function renderProgress() {
   if (!phase) { progressPanel.classList.add("hidden"); return; }
   progressPanel.classList.remove("hidden");
-  const elapsed = startedAt ? ((Date.now() - startedAt) / 1000).toFixed(1) : "0.0";
   const last = iterations[iterations.length - 1];
   const headline = phase === "search"
     ? "Searching for the minimum working period…"
     : "Running final simulations…";
   let bar = "";
   if (last) {
-    const frac = Math.min(100, (last.probability / (last.target || 100)) * 100);
+    // target 0 is legal and always met — show a full bar, not prob/100.
+    const frac = last.target === 0
+      ? 100
+      : Math.min(100, (last.probability / last.target) * 100);
     bar = `
       <div class="progress-bar-track">
         <div class="progress-bar-fill" style="width:${frac}%"></div>
@@ -59,7 +86,7 @@ function renderProgress() {
     <div class="card">
       <div class="progress-head">
         <h3><span class="spinner" aria-hidden="true"></span>${headline}</h3>
-        <span class="sub">${elapsed}s elapsed</span>
+        <span class="sub" id="progress-elapsed">${elapsedText()}s elapsed</span>
       </div>
       ${bar}
       ${iterations.length ? `
@@ -117,11 +144,10 @@ const editor = new ConfigEditor(document.getElementById("config-editor"), {
     }
     iterations = [];
     // An override of 0 is valid (skip search, retire immediately).
-    phase = (override !== null && override !== undefined && override !== "")
-      ? "final_sim" : "search";
+    phase = hasOverride(override) ? "final_sim" : "search";
     startedAt = Date.now();
     renderProgress();
-    timer = setInterval(renderProgress, 500);
+    timer = setInterval(tickProgress, 500);
 
     try {
       await runSimulationStream(config, override, {

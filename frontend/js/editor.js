@@ -190,7 +190,14 @@ export class ConfigEditor {
       }
       lastDisplay = input.value;
       if (spec.type === "percent") return onChange(num / 100);
-      if (spec.type.startsWith("int")) return onChange(Math.round(num));
+      if (spec.type.startsWith("int")) {
+        // Show the value actually committed: 10.7 rounds to 11 in config,
+        // so the input must not keep displaying 10.7.
+        const rounded = Math.round(num);
+        input.value = String(rounded);
+        lastDisplay = input.value;
+        return onChange(rounded);
+      }
       onChange(num);
     };
     wrap.appendChild(input);
@@ -226,7 +233,10 @@ export class ConfigEditor {
       cardDiv.className = "stream-card";
       const head = document.createElement("div");
       head.className = "head";
-      head.innerHTML = `<b>${stream.name || `Stream ${idx + 1}`}</b>`;
+      // textContent, never innerHTML: the name comes from user-loaded JSON.
+      const title = document.createElement("b");
+      title.textContent = stream.name || `Stream ${idx + 1}`;
+      head.appendChild(title);
       const rm = document.createElement("button");
       rm.className = "btn small danger";
       rm.textContent = "Remove";
@@ -238,7 +248,11 @@ export class ConfigEditor {
       cardDiv.appendChild(head);
       for (const [key, spec] of Object.entries(STREAM_FIELDS)) {
         cardDiv.appendChild(
-          this._field(key, spec, stream[key], (v) => { stream[key] = v; })
+          this._field(key, spec, stream[key], (v) => {
+            stream[key] = v;
+            // Keep the card header in sync with the Name field.
+            if (key === "name") title.textContent = v || `Stream ${idx + 1}`;
+          })
         );
       }
       body.appendChild(cardDiv);
@@ -292,10 +306,17 @@ export class ConfigEditor {
       root.appendChild(ta);
       this._jsonArea = ta;
     } else {
+      // Open/closed state survives re-renders (stream add/remove, Reset,
+      // tab switches) so the section being edited never snaps shut.
+      this._openSections ||= new Set(["Scenario", "Finances"]);
       for (const section of SECTIONS) {
         const details = document.createElement("details");
         details.className = "section";
-        details.open = ["Scenario", "Finances"].includes(section);
+        details.open = this._openSections.has(section);
+        details.addEventListener("toggle", () => {
+          if (details.open) this._openSections.add(section);
+          else this._openSections.delete(section);
+        });
         const summary = document.createElement("summary");
         summary.textContent = section;
         details.appendChild(summary);
@@ -346,6 +367,10 @@ export class ConfigEditor {
     ovInput.min = "0";
     ovInput.step = "1";
     ovInput.id = "override-input";
+    // The typed override must survive re-renders — losing it silently
+    // downgrades the next Run to a full search.
+    ovInput.value = this._overrideValue || "";
+    ovInput.oninput = () => { this._overrideValue = ovInput.value; };
     override.appendChild(ovInput);
     const run = document.createElement("button");
     run.className = "btn";
@@ -370,13 +395,23 @@ export class ConfigEditor {
 
   _syncFromJson() {
     try {
-      this.config = JSON.parse(this._jsonArea.value);
+      this.config = ConfigEditor._parseConfigObject(this._jsonArea.value);
       this.showError("");
       return true;
     } catch (err) {
       this.showError(`Invalid JSON: ${err.message}`);
       return false;
     }
+  }
+
+  // Valid JSON whose root is not a plain object (null, [], "x", 5) would
+  // brick the form renderer; reject it with a clear message instead.
+  static _parseConfigObject(text) {
+    const parsed = JSON.parse(text);
+    if (parsed === null || typeof parsed !== "object" || Array.isArray(parsed)) {
+      throw new Error("configuration root must be a JSON object");
+    }
+    return parsed;
   }
 
   _saveFile() {
@@ -398,7 +433,7 @@ export class ConfigEditor {
       const file = input.files[0];
       if (!file) return;
       try {
-        this.config = JSON.parse(await file.text());
+        this.config = ConfigEditor._parseConfigObject(await file.text());
         this.showError("");
         this.render();
       } catch (err) {

@@ -64,8 +64,9 @@ def test_frontend_dom_contract():
     for src in sources.values():
         declared |= set(re.findall(r'\.id\s*=\s*"([\w-]+)"', src))
     missing = {i for i in queried if i not in declared}
-    # ids created by the editor's template strings are exempt
-    dynamic = {"run-btn", "override-input", "json-editor"}
+    # ids created inside template strings (editor controls, the progress
+    # panel's elapsed counter) are exempt
+    dynamic = {"run-btn", "override-input", "json-editor", "progress-elapsed"}
     assert not (missing - dynamic), f"JS queries unknown ids: {missing - dynamic}"
 
     for src in sources.values():
