@@ -6,8 +6,9 @@ Prints ONE JSON line:
 North-star target (BASELINE.md): < 50 ms per run on a single TPU chip;
 ``vs_baseline`` > 1 means the target is beaten.
 
-Workload: the default two-stream scenario (realized-gains taxation, monthly
-tax-aware rebalance, correlated inflation, income-stream waterfall) at
+Workload: the default scenario (realized-gains taxation, monthly tax-aware
+rebalance, correlated inflation, one effective income stream in the
+waterfall — the config's second, zero-amount stream is pruned) at
 working_months=0 with retirement_years=50 — exactly 600 simulated months per
 path — sized so paths survive the whole horizon (no early-ruin shortcut
 flatters the number). Runs on the Pallas VMEM-resident kernel, includes the

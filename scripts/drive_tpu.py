@@ -10,7 +10,8 @@ import monte_carlo_retirement_tpu as mcrt
 
 print("devices:", jax.devices())
 
-cfg_path = sys.argv[1] if len(sys.argv) > 1 else "config.json"
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+cfg_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(_REPO, "config.json")
 raw = mcrt.load_config_from_json(cfg_path)
 config = mcrt.Config(**raw)
 print("scenario:", config.Nickname)
@@ -20,6 +21,10 @@ sim = mcrt.RetirementMonteCarloSimulator(config, main_seed_override=2026)
 t0 = time.time()
 months, prob, curve = sim.find_minimum_working_months(verbose=False)
 t1 = time.time()
+if months == -1:
+    print(f"search: target {config.target_probability}% NOT reachable within "
+          f"the cap; best {prob:.2f}% [{len(curve)} probes, {t1-t0:.1f}s]")
+    sys.exit(1)
 print(f"search: {months} months ({months/12:.1f} yrs) @ {prob:.2f}% "
       f"[{len(curve)} probes, {t1-t0:.1f}s]")
 

@@ -41,6 +41,9 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp  # noqa: E402
 
 from monte_carlo_retirement_tpu.engine.kernel import simulate_paths  # noqa: E402
+from monte_carlo_retirement_tpu.engine.runner import (  # noqa: E402
+    enable_persistent_compilation_cache,
+)
 from monte_carlo_retirement_tpu.models.retirement import SimParams  # noqa: E402
 from monte_carlo_retirement_tpu.ops.shocks import stream_keys  # noqa: E402
 from monte_carlo_retirement_tpu.timing import (  # noqa: E402
@@ -236,6 +239,9 @@ def main() -> int:
     args = ap.parse_args()
     w_choices = W_CHOICES_LONG if args.long else W_CHOICES
 
+    # Without this, the periodic jax.clear_caches() below would force full
+    # recompiles instead of seconds-long persistent-cache loads.
+    enable_persistent_compilation_cache()
     ref_sim_mod, ref_cfg_mod = load_reference()
     rng = np.random.default_rng(args.seed)
     t0 = time.time()

@@ -80,9 +80,11 @@ def make_variant_kernel(opts):
 
     def kernel(iparams, fparams, s_amount, s_from_t0, s_duration, s_indexed,
                s_tax, out_success, out_final):
-        fv = [fparams[i] for i in range(19)]
+        # Current production fparams layout (17 slots since the use_real
+        # flags moved to compile-time Statics — engine/pallas_kernel.py).
+        fv = [fparams[i] for i in range(17)]
         (mu1, s1, mui, si, mup, sp, rho, rho_c, alloc1, init_bal, _c0, _g,
-         expenses0, _u1, r_real1, _a1, _u2, r_real2, _a2) = fv
+         expenses0, r_real1, _a1, r_real2, _a2) = fv
         sv = {
             id(arr): [arr[s] for s in range(2)]
             for arr in (s_amount, s_from_t0, s_duration, s_indexed, s_tax)
@@ -471,7 +473,30 @@ def run_variant(params, seed, optkey):
         kernel, grid=(n_blocks,), in_specs=in_specs, out_specs=out_specs,
         out_shape=out_shape,
     )(*inputs)
-    return jnp.mean(succ[: N_PATHS // 128 * 128]) * 100.0, jnp.sum(final)
+    # Same slicing as the production path: first N_PATHS of the flattened
+    # (path, lane) vector — row-slicing by a path count was a no-op.
+    return jnp.mean(succ.reshape(-1)[:N_PATHS]) * 100.0, jnp.sum(final)
+
+
+def pad_streams_to(params, n):
+    """Pad the stream arrays to ``n`` entries with never-active zero-amount
+    slots. The variant kernel hardcodes a 2-stream carry layout (it predates
+    stream pruning); the bundled config prunes to one effective stream, so
+    without padding the kernel would read past the SMEM stream tables."""
+    k = params.n_streams
+    if k >= n:
+        return params
+    pad = n - k
+    cat = lambda arr, fill: jnp.concatenate(
+        [arr, jnp.full((pad,), fill, arr.dtype)]
+    )
+    return params._replace(
+        stream_amount=cat(params.stream_amount, 0.0),
+        stream_months_from_t0=cat(params.stream_months_from_t0, 1e9),
+        stream_duration_months=cat(params.stream_duration_months, 0.0),
+        stream_indexed=cat(params.stream_indexed, True),
+        stream_tax=cat(params.stream_tax, 0.0),
+    )
 
 
 def time_variant(params, name, **opts):
@@ -480,7 +505,8 @@ def time_variant(params, name, **opts):
     times = []
     for rep in range(REPEATS):
         t0 = time.perf_counter()
-        jax.block_until_ready(run_variant(params, rep + 1, optkey))
+        r, f = run_variant(params, rep + 1, optkey)
+        _ = (float(r), float(f))  # tunnel rule: FETCH, don't just block
         times.append((time.perf_counter() - t0) * 1000.0)
     print(f"{name:28s} {min(times):8.1f} ms   success={rate:6.2f}%", flush=True)
     return min(times)
@@ -496,6 +522,9 @@ def main():
     raw["monthly_expenses"] = 4_000.0
     config = Config(**raw)
     params = SimParams.from_config(config, dtype=jnp.float32)
+    # The variant kernel's carry hardcodes 2 stream slots; pad the pruned
+    # stream tables so its SMEM reads stay in bounds (padding never pays).
+    vparams = pad_streams_to(params, 2)
 
     # Reference: the production kernel through its own entry point.
     @jax.jit
@@ -514,77 +543,76 @@ def main():
         times.append((time.perf_counter() - t0) * 1000.0)
     print(f"{'PRODUCTION pallas_simulate':28s} {min(times):8.1f} ms", flush=True)
 
-    import sys as _sys
-    if len(_sys.argv) > 1 and _sys.argv[1] == "pipe":
-        time_variant(params, "opt+cerf+recip rows=32", rows=32, opt_body=True,
+    if len(sys.argv) > 1 and sys.argv[1] == "pipe":
+        time_variant(vparams, "opt+cerf+recip rows=32", rows=32, opt_body=True,
                      custom_erfinv=True, recip=True)
-        time_variant(params, "  + pipelined rng", rows=32, opt_body=True,
+        time_variant(vparams, "  + pipelined rng", rows=32, opt_body=True,
                      custom_erfinv=True, recip=True, pipe_rng=True)
         return
-    if len(_sys.argv) > 1 and _sys.argv[1] == "recip":
-        time_variant(params, "opt+cerf rows=32", rows=32, opt_body=True,
+    if len(sys.argv) > 1 and sys.argv[1] == "recip":
+        time_variant(vparams, "opt+cerf rows=32", rows=32, opt_body=True,
                      custom_erfinv=True)
-        time_variant(params, "opt+cerf+recip rows=32", rows=32, opt_body=True,
+        time_variant(vparams, "opt+cerf+recip rows=32", rows=32, opt_body=True,
                      custom_erfinv=True, recip=True)
         return
-    if len(_sys.argv) > 1 and _sys.argv[1] == "hand":
+    if len(sys.argv) > 1 and sys.argv[1] == "hand":
         for u in (2, 4, 6, 12):
-            time_variant(params, f"opt+cerf rows=32 hu{u}", rows=32,
+            time_variant(vparams, f"opt+cerf rows=32 hu{u}", rows=32,
                          opt_body=True, custom_erfinv=True, hand_unroll=u)
-        time_variant(params, "opt+cerf rows=16 hu12", rows=16,
+        time_variant(vparams, "opt+cerf rows=16 hu12", rows=16,
                      opt_body=True, custom_erfinv=True, hand_unroll=12)
-        time_variant(params, "opt+cerf rows=64 hu6", rows=64,
+        time_variant(vparams, "opt+cerf rows=64 hu6", rows=64,
                      opt_body=True, custom_erfinv=True, hand_unroll=6)
         return
-    if len(_sys.argv) > 1 and _sys.argv[1] == "unroll":
-        time_variant(params, "empty body rows=32", rows=32, empty_body=True)
-        time_variant(params, "opt+cerf rows=32 u1", rows=32, opt_body=True,
+    if len(sys.argv) > 1 and sys.argv[1] == "unroll":
+        time_variant(vparams, "empty body rows=32", rows=32, empty_body=True)
+        time_variant(vparams, "opt+cerf rows=32 u1", rows=32, opt_body=True,
                      custom_erfinv=True)
         for u in (2, 4, 8):
-            time_variant(params, f"opt+cerf rows=32 u{u}", rows=32,
+            time_variant(vparams, f"opt+cerf rows=32 u{u}", rows=32,
                          opt_body=True, custom_erfinv=True, unroll=u)
-        time_variant(params, "opt+cerf rows=16 u4", rows=16, opt_body=True,
+        time_variant(vparams, "opt+cerf rows=16 u4", rows=16, opt_body=True,
                      custom_erfinv=True, unroll=4)
-        time_variant(params, "opt+cerf rows=64 u4", rows=64, opt_body=True,
+        time_variant(vparams, "opt+cerf rows=64 u4", rows=64, opt_body=True,
                      custom_erfinv=True, unroll=4)
         return
-    if len(_sys.argv) > 1 and _sys.argv[1] == "opt":
+    if len(sys.argv) > 1 and sys.argv[1] == "opt":
         for rows in (24, 32, 48):
-            time_variant(params, f"opt+cerf rows={rows}", rows=rows,
+            time_variant(vparams, f"opt+cerf rows={rows}", rows=rows,
                          opt_body=True, custom_erfinv=True)
-        time_variant(params, "opt rows=32 (xla erfinv)", rows=32, opt_body=True)
-        time_variant(params, "opt+cerf+fusedexp rows=32", rows=32,
+        time_variant(vparams, "opt rows=32 (xla erfinv)", rows=32, opt_body=True)
+        time_variant(vparams, "opt+cerf+fusedexp rows=32", rows=32,
                      opt_body=True, custom_erfinv=True, fused_prem_exp=True)
-        time_variant(params, "opt+cerf rows=32 no_streams", rows=32,
+        time_variant(vparams, "opt+cerf rows=32 no_streams", rows=32,
                      opt_body=True, custom_erfinv=True, no_streams=True)
-        time_variant(params, "opt+cerf rows=32 no_exp", rows=32,
+        time_variant(vparams, "opt+cerf rows=32 no_exp", rows=32,
                      opt_body=True, custom_erfinv=True, no_exp=True)
         return
-    if len(_sys.argv) > 1 and _sys.argv[1] == "dyn":
-        time_variant(params, "base rows=32", rows=32)
-        time_variant(params, "dyn-bounds rows=32", rows=32, dyn_bounds=True)
-        time_variant(params, "dyn-bounds rows=64", rows=64, dyn_bounds=True)
+    if len(sys.argv) > 1 and sys.argv[1] == "dyn":
+        time_variant(vparams, "base rows=32", rows=32)
+        time_variant(vparams, "dyn-bounds rows=32", rows=32, dyn_bounds=True)
+        time_variant(vparams, "dyn-bounds rows=64", rows=64, dyn_bounds=True)
         return
-    if len(_sys.argv) > 1 and _sys.argv[1] == "rows":
+    if len(sys.argv) > 1 and sys.argv[1] == "rows":
         for rows in (8, 16, 32, 64, 128, 256, 512):
-            time_variant(params, f"base rows={rows}", rows=rows)
-            time_variant(params, f"minimal rows={rows}", rows=rows,
+            time_variant(vparams, f"base rows={rows}", rows=rows)
+            time_variant(vparams, f"minimal rows={rows}", rows=rows,
                          no_rng=True, no_tax_chain=True, no_rebalance=True,
                          no_streams=True, no_boundary=True, no_gacc=True)
         return
-    time_variant(params, "variant-base (no W-cond)")
-    time_variant(params, "  + guard cond", guard_cond=True)
-    time_variant(params, "no boundary reb", no_boundary=True)
-    time_variant(params, "no streams", no_streams=True)
-    time_variant(params, "no gain accumulators", no_gacc=True)
-    time_variant(params, "no rebalance", no_rebalance=True)
-    time_variant(params, "no tax chain", no_tax_chain=True)
-    time_variant(params, "no erfinv", no_erfinv=True)
-    time_variant(params, "one rng call", one_rng_call=True)
-    time_variant(params, "no exp", no_exp=True)
-    time_variant(params, "fused premium exp", fused_prem_exp=True)
-    time_variant(params, "no rng at all", no_rng=True)
-    time_variant(params, "minimal (no rng+tax+reb+str)", no_rng=True,
+    time_variant(vparams, "variant-base (no W-cond)")
+    time_variant(vparams, "  + guard cond", guard_cond=True)
+    time_variant(vparams, "no boundary reb", no_boundary=True)
+    time_variant(vparams, "no streams", no_streams=True)
+    time_variant(vparams, "no gain accumulators", no_gacc=True)
+    time_variant(vparams, "no rebalance", no_rebalance=True)
+    time_variant(vparams, "no tax chain", no_tax_chain=True)
+    time_variant(vparams, "no erfinv", no_erfinv=True)
+    time_variant(vparams, "one rng call", one_rng_call=True)
+    time_variant(vparams, "no exp", no_exp=True)
+    time_variant(vparams, "fused premium exp", fused_prem_exp=True)
+    time_variant(vparams, "no rng at all", no_rng=True)
+    time_variant(vparams, "minimal (no rng+tax+reb+str)", no_rng=True,
                  no_tax_chain=True, no_rebalance=True, no_streams=True,
                  no_boundary=True, no_gacc=True)
 
