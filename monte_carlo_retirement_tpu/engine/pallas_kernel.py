@@ -455,9 +455,14 @@ def _make_kernel(
             tol = EPS + FAIL_RTOL * (total_due + tnc)
             do_pay = (tnc > EPS) & (payment > 0)
             pay_f = jnp.where(do_pay, 1.0, 0.0)
-            frac_t = jnp.where(
+            # _rdiv carries ~1.5e-5 relative error, so just below the
+            # capacity boundary the fraction could exceed 1 and transiently
+            # drive balances negative; the minimum makes 0 <= frac <= 1 hold
+            # by construction (free on the VPU) instead of relying on the
+            # downstream <= EPS zeroing clamp.
+            frac_t = jnp.minimum(1.0, jnp.where(
                 total_due >= tnc, 1.0, _rdiv(total_due, jnp.maximum(tnc, EPS))
-            ) * pay_f
+            )) * pay_f
             keep_t = 1.0 - frac_t
             ok1 = nc1 > 0
             ok2 = nc2 > 0
@@ -686,9 +691,10 @@ def _make_kernel(
             eff2, nf2, nc2 = profile(b2, c2, st_.use_real2, r2)
             tnc = nc1 + nc2
             ftol = EPS + FAIL_RTOL * (need + total1)
-            frac_w = jnp.where(
+            # minimum: see frac_t — _rdiv error must not push frac above 1.
+            frac_w = jnp.minimum(1.0, jnp.where(
                 need >= tnc, 1.0, _rdiv(need, jnp.maximum(tnc, EPS))
-            ) * wmask_f
+            )) * wmask_f
             keep_w = 1.0 - frac_w
             ok1 = nc1 > 0
             ok2 = nc2 > 0

@@ -170,10 +170,22 @@ def main() -> None:
         class _Precomputed:
             """Serve the final batch already in hand to build_result — the
             deterministic 'final' stream would reproduce it bit-identically,
-            so re-running the most expensive phase would only add cost."""
+            so re-running the most expensive phase would only add cost.
+            Guard: the cached batch is only valid for the exact arguments it
+            was computed with; a mismatch must fail loudly, not silently
+            embed stale results in the JSON payload."""
 
             @staticmethod
-            def run_monte_carlo_simulations(*_args, **_kwargs):
+            def run_monte_carlo_simulations(working_months, num_simulations):
+                if (
+                    working_months != required
+                    or num_simulations != config.num_simulations_main
+                ):
+                    raise AssertionError(
+                        "precomputed batch mismatch: cached "
+                        f"({required}, {config.num_simulations_main}), "
+                        f"requested ({working_months}, {num_simulations})"
+                    )
                 return results
 
         payload = build_result(config, _Precomputed(), required,

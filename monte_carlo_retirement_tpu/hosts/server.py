@@ -274,17 +274,25 @@ def _cors_headers(request: web.Request) -> dict:
     # Browsers reject the wildcard origin on credentialed requests, so
     # reflect the caller's Origin when one is sent — the same behavior the
     # reference gets from Starlette's CORSMiddleware with allow_origins=["*"]
-    # plus allow_credentials=True. Reflect-any is a deliberate parity choice:
+    # plus allow_credentials=True. Reflect-any is the parity default because
     # this server carries no cookies or auth; a deployment that adds either
-    # must replace the reflection with an allowlist.
+    # must set MCRT_ALLOWED_ORIGINS to a comma-separated allowlist — origins
+    # outside it get the wildcard WITHOUT Allow-Credentials, so a cross-site
+    # page can never make a credentialed read.
     origin = request.headers.get("Origin", "*")
-    return {
-        "Access-Control-Allow-Origin": origin,
+    allowlist = os.environ.get("MCRT_ALLOWED_ORIGINS", "").strip()
+    allowed = allowlist == "" or origin in {
+        o.strip() for o in allowlist.split(",") if o.strip()
+    }
+    headers = {
+        "Access-Control-Allow-Origin": origin if allowed else "*",
         "Access-Control-Allow-Methods": "*",
         "Access-Control-Allow-Headers": "*",
-        "Access-Control-Allow-Credentials": "true",
         "Vary": "Origin",
     }
+    if allowed:
+        headers["Access-Control-Allow-Credentials"] = "true"
+    return headers
 
 
 async def index(_request: web.Request) -> web.Response:

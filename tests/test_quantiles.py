@@ -1,0 +1,130 @@
+"""The sort-free quantile engine must agree exactly with numpy.
+
+These pin ops/quantiles.py — the machinery that replaced every percentile
+sort in the serving path — against np.percentile / np.nanpercentile on
+adversarial data: duplicates, negatives, signed zeros, infinities, all-NaN
+columns, single elements, and both float widths.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from monte_carlo_retirement_tpu.ops.quantiles import (
+    exact_quantiles,
+    masked_median,
+    order_statistics,
+    upper_median,
+)
+
+QS = np.asarray([0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99])
+
+
+def _check_against_numpy(x_np, qs=QS, dtype=jnp.float64):
+    got = np.asarray(exact_quantiles(jnp.asarray(x_np, dtype=dtype), qs))
+    want = np.percentile(np.asarray(x_np, dtype=np.dtype(dtype)), qs * 100.0,
+                         axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=0.0)
+
+
+def test_matches_numpy_random_f64():
+    rng = np.random.default_rng(0)
+    _check_against_numpy(rng.normal(size=(997, 13)) * 1e6)
+
+
+def test_matches_numpy_random_f32():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(512, 7)).astype(np.float32) * 1e5
+    got = np.asarray(exact_quantiles(jnp.asarray(x, dtype=jnp.float32), QS))
+    want = np.percentile(x, QS * 100.0, axis=0).astype(np.float32)
+    # Order statistics are exact; only the final interpolation arithmetic
+    # differs (f32 on device vs f64 in numpy).
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_duplicates_and_constants():
+    x = np.concatenate(
+        [np.zeros((40, 3)), np.ones((40, 3)), np.full((17, 3), -5.0)]
+    )
+    _check_against_numpy(x)
+    _check_against_numpy(np.full((33, 2), 7.25))
+
+
+def test_negatives_and_signed_zero():
+    x = np.asarray([[-1.5, -0.0], [0.0, -0.0], [2.5, -0.0], [-3.25, 0.0]])
+    _check_against_numpy(x, qs=np.asarray([0.0, 0.5, 1.0]))
+
+
+def test_single_element_and_extremes():
+    _check_against_numpy(np.asarray([[42.0]]), qs=np.asarray([0.0, 0.37, 1.0]))
+    x = np.asarray([[np.inf], [-np.inf], [1.0], [2.0]])
+    _check_against_numpy(x, qs=np.asarray([0.0, 0.5, 1.0]))
+
+
+def test_nan_aware_matches_nanpercentile():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=(301, 9)) * 1e4
+    x[rng.random(size=x.shape) < 0.3] = np.nan
+    x[:, 4] = np.nan  # one all-NaN column
+    valid = ~np.isnan(x)
+    got = np.asarray(
+        exact_quantiles(jnp.asarray(x), QS, valid=jnp.asarray(valid))
+    )
+    with np.errstate(invalid="ignore"):
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = np.nanpercentile(x, QS * 100.0, axis=0)
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(want))
+    mask = ~np.isnan(want)
+    np.testing.assert_allclose(got[mask], want[mask], rtol=1e-12)
+
+
+def test_order_statistics_exact_ranks():
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(100, 4))
+    ranks = np.asarray([[0, 1, 49, 99]] * 4, dtype=np.int32)
+    got = np.asarray(order_statistics(jnp.asarray(x), jnp.asarray(ranks)))
+    want = np.sort(x, axis=0)[[0, 1, 49, 99], :].T
+    np.testing.assert_array_equal(got, want)
+
+
+def test_out_of_range_rank_is_nan():
+    x = jnp.asarray([[1.0], [2.0]])
+    valid = jnp.asarray([[True], [False]])
+    got = np.asarray(
+        order_statistics(x, jnp.asarray([[0, 1]], dtype=jnp.int32), valid=valid)
+    )
+    assert got[0, 0] == 1.0 and np.isnan(got[0, 1])
+
+
+def test_masked_median_and_upper_median():
+    x = np.asarray([5.0, 1.0, 9.0, 3.0, 7.0, 100.0])
+    valid = np.asarray([True, True, True, True, True, False])
+    assert float(
+        masked_median(jnp.asarray(x), valid=jnp.asarray(valid))
+    ) == np.median(x[:5])
+    # upper median: sorted[n//2] with n=5 -> index 2 -> 5.0
+    assert float(upper_median(jnp.asarray(x), jnp.asarray(valid))) == 5.0
+    # even count: [5,1,3,7] -> sorted [1,3,5,7], n=4 -> index 2 -> 5.0
+    valid2 = np.asarray([True, True, False, True, True, False])
+    assert float(upper_median(jnp.asarray(x), jnp.asarray(valid2))) == 5.0
+
+
+def test_shape_validation():
+    with pytest.raises(ValueError):
+        order_statistics(
+            jnp.zeros((4, 3)), jnp.zeros((2, 2), dtype=jnp.int32)
+        )
+
+
+def test_works_under_jit_and_grad_free_path():
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(64, 5))
+    fn = jax.jit(lambda a: exact_quantiles(a, jnp.asarray([0.25, 0.5, 0.75])))
+    got = np.asarray(fn(jnp.asarray(x)))
+    want = np.percentile(x, [25, 50, 75], axis=0)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
