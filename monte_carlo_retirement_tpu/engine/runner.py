@@ -31,7 +31,7 @@ from ..constants import MAX_SEARCH_YEARS, MONTHS_PER_YEAR, NUM_SAMPLE_PATHS
 from ..logging_utils import generate_seed_from_timestamp
 from ..models.retirement import SimParams
 from ..ops.shocks import stream_keys
-from ..ops.stats import summarize
+from ..ops.stats import serving_bins, summarize
 from ..timing import expected_trajectory_length
 from .kernel import PathOutputs, simulate_paths
 
@@ -60,19 +60,39 @@ def enable_persistent_compilation_cache() -> None:
 
 
 @dataclass
+class HostBins:
+    """Device-reduced dashboard aggregates (numpy on the host) — the payload
+    builder's capped path needs nothing else (see ops/stats.ServingBins)."""
+
+    success_count: int
+    finals_min_successful: float
+    finals_max_successful: float
+    finals_hist_counts: np.ndarray  # (60,)
+    finals_median_successful: float
+    ruin_counts: np.ndarray  # (R+1,)
+    ruin_max: float
+    failure_count: int
+
+
+@dataclass
 class RunResult:
-    """Host-side results of one full simulation batch."""
+    """Host-side results of one full simulation batch.
+
+    In reduced mode (``Engine.run(reduced=True)``) the per-path arrays are
+    None — only the reduced tables and ``bins`` cross the host link, so a
+    1M-path serving run fetches kilobytes instead of ~28 MB.
+    """
 
     working_months: int
     num_simulations: int
-    # Per-path arrays (numpy)
-    success: np.ndarray
-    final_balance: np.ndarray
-    start_balance: np.ndarray
-    years_to_ruin: np.ndarray
-    first_year_gross: np.ndarray
-    first_year_real_gross: np.ndarray
-    inflation_at_retirement: np.ndarray
+    # Per-path arrays (numpy; None in reduced mode)
+    success: Optional[np.ndarray]
+    final_balance: Optional[np.ndarray]
+    start_balance: Optional[np.ndarray]
+    years_to_ruin: Optional[np.ndarray]
+    first_year_gross: Optional[np.ndarray]
+    first_year_real_gross: Optional[np.ndarray]
+    inflation_at_retirement: Optional[np.ndarray]
     # Reduced tables (numpy), trajectory tables trimmed to the exact length
     success_probability: float
     median_start_balance: float
@@ -85,6 +105,8 @@ class RunResult:
     sample_real_trajectories: np.ndarray  # (k, L)
     wr_percentiles: np.ndarray  # (5, R)
     wr_observation_counts: np.ndarray  # (R,)
+    # Device-binned dashboard aggregates (reduced mode only)
+    bins: Optional[HostBins] = None
 
 
 def _round_up(value: int, multiple: int) -> int:
@@ -357,7 +379,16 @@ class Engine:
         num_simulations: int,
         stream: str = "final",
         backend: Optional[str] = None,
+        reduced: bool = False,
     ) -> RunResult:
+        """One full-statistics batch.
+
+        ``reduced=True`` keeps the per-path arrays on device and additionally
+        reduces the dashboard's histogram payloads there (ops/stats.
+        serving_bins); the host fetches only percentile tables and bin
+        counts. This is the serving fast path at north-star scale — the
+        response needs nothing per-path.
+        """
         working_months = int(working_months)
         if working_months < 0:
             raise ValueError(f"working_months must be >= 0, got {working_months}")
@@ -375,7 +406,23 @@ class Engine:
             if pallas_traj_len is None:
                 run_backend = "scan"
         t_start = time.perf_counter()
-        if run_backend in ("pallas", "pallas_sharded"):
+        if run_backend == "pallas" and reduced:
+            # Serving fast path: kernel + every reduction in ONE device
+            # program — a single dispatch, kilobytes fetched.
+            traj_len = pallas_traj_len
+            outs = None
+            summary, dev_bins = _pallas_full_reduced_jit(
+                self.params,
+                jnp.asarray(working_months, dtype=jnp.int32),
+                self._stream_seed(stream),
+                sample_idx,
+                n_paths=n,
+                retirement_years=self.retirement_years,
+                n_streams=self.params.n_streams,
+                statics=self.statics,
+                traj_len=traj_len,
+            )
+        elif run_backend in ("pallas", "pallas_sharded"):
             from .pallas_kernel import (
                 pallas_simulate_full,
                 pallas_simulate_full_sharded,
@@ -417,7 +464,10 @@ class Engine:
                 price_levels=full["price_levels"][:n],
                 withdrawal_rates=full["withdrawal_rates"][:n],
             )
-            summary = _summarize_jit(outs, sample_idx)
+            if reduced:
+                summary, dev_bins = _summarize_serving_jit(outs, sample_idx)
+            else:
+                summary = _summarize_jit(outs, sample_idx)
         else:
             outs, summary = _run_jit(
                 self.params,
@@ -431,26 +481,50 @@ class Engine:
                 dtype=self.dtype,
                 mesh=self.mesh,
             )
+            if reduced:
+                dev_bins = _serving_bins_jit(outs)
         jax.block_until_ready(summary.success_probability)
         log.info(
-            "phase=final_run backend=%s paths=%d months=%d t_scan=%d: %.3f s",
+            "phase=final_run backend=%s paths=%d months=%d t_scan=%d "
+            "reduced=%s: %.3f s",
             run_backend,
             n,
             working_months,
             t_scan,
+            reduced,
             time.perf_counter() - t_start,
         )
         L = expected_trajectory_length(working_months, self.retirement_years)
+        bins = None
+        if reduced:
+            bins = HostBins(
+                success_count=int(dev_bins.success_count),
+                finals_min_successful=float(dev_bins.finals_min_successful),
+                finals_max_successful=float(dev_bins.finals_max_successful),
+                finals_hist_counts=np.asarray(dev_bins.finals_hist_counts),
+                finals_median_successful=float(
+                    dev_bins.finals_median_successful
+                ),
+                ruin_counts=np.asarray(dev_bins.ruin_counts),
+                ruin_max=float(dev_bins.ruin_max),
+                failure_count=int(dev_bins.failure_count),
+            )
+        fetch = None if reduced else np.asarray
         return RunResult(
             working_months=working_months,
             num_simulations=n,
-            success=np.asarray(outs.success),
-            final_balance=np.asarray(outs.final_balance),
-            start_balance=np.asarray(outs.start_balance),
-            years_to_ruin=np.asarray(outs.years_to_ruin),
-            first_year_gross=np.asarray(outs.first_year_gross),
-            first_year_real_gross=np.asarray(outs.first_year_real_gross),
-            inflation_at_retirement=np.asarray(outs.inflation_at_retirement),
+            success=fetch(outs.success) if fetch else None,
+            final_balance=fetch(outs.final_balance) if fetch else None,
+            start_balance=fetch(outs.start_balance) if fetch else None,
+            years_to_ruin=fetch(outs.years_to_ruin) if fetch else None,
+            first_year_gross=fetch(outs.first_year_gross) if fetch else None,
+            first_year_real_gross=(
+                fetch(outs.first_year_real_gross) if fetch else None
+            ),
+            inflation_at_retirement=(
+                fetch(outs.inflation_at_retirement) if fetch else None
+            ),
+            bins=bins,
             success_probability=float(summary.success_probability),
             median_start_balance=float(summary.median_start_balance),
             median_final_successful=float(summary.median_final_successful),
@@ -554,3 +628,47 @@ _run_jit = jax.jit(
 )
 
 _summarize_jit = jax.jit(summarize)
+_serving_bins_jit = jax.jit(serving_bins)
+_summarize_serving_jit = jax.jit(
+    lambda outs, sample_idx: (summarize(outs, sample_idx), serving_bins(outs))
+)
+
+
+def _pallas_full_reduced_impl(
+    params, w, seed, sample_idx, *, n_paths, retirement_years, n_streams,
+    statics, traj_len,
+):
+    """Single-chip serving program: Pallas full kernel + summarize +
+    serving_bins traced into one executable (one dispatch, KB outputs)."""
+    from .pallas_kernel import pallas_simulate_full
+
+    full = pallas_simulate_full(
+        params, w, seed,
+        n_paths=n_paths,
+        retirement_years=retirement_years,
+        n_streams=n_streams,
+        statics=statics,
+        traj_len=traj_len,
+    )
+    n = n_paths
+    outs = PathOutputs(
+        success=full["success"][:n] > 0.5,
+        final_balance=full["final_balance"][:n],
+        start_balance=full["start_balance"][:n],
+        years_to_ruin=full["years_to_ruin"][:n],
+        first_year_gross=full["first_year_gross"][:n],
+        first_year_real_gross=full["first_year_real_gross"][:n],
+        inflation_at_retirement=full["inflation_at_retirement"][:n],
+        trajectory=full["trajectory"][:n],
+        price_levels=full["price_levels"][:n],
+        withdrawal_rates=full["withdrawal_rates"][:n],
+    )
+    return summarize(outs, sample_idx), serving_bins(outs)
+
+
+_pallas_full_reduced_jit = jax.jit(
+    _pallas_full_reduced_impl,
+    static_argnames=(
+        "n_paths", "retirement_years", "n_streams", "statics", "traj_len",
+    ),
+)

@@ -113,6 +113,18 @@ class RetirementMonteCarloSimulator:
             working_months, num_simulations, stream=self._stream_name
         )
 
+    def run_result_reduced(
+        self, working_months: int, num_simulations: int
+    ) -> RunResult:
+        """Device-reduced result: per-path arrays stay on device; the host
+        gets percentile tables plus the dashboard's pre-binned aggregates
+        (``RunResult.bins``). The serving path uses this above the raw-path
+        cap so a 1M-path response fetches kilobytes."""
+        return self.engine.run(
+            working_months, num_simulations, stream=self._stream_name,
+            reduced=True,
+        )
+
     @staticmethod
     def _package(res: RunResult):
         summary_df = pd.DataFrame(

@@ -3,6 +3,18 @@
 Behavioral contract follows the reference's response builder
 (reference: backend/server.py:190-228, 416-565): same keys, same rounding,
 same NaN handling, same reference-line and cohort rules.
+
+Two assembly paths produce identical wire output:
+
+* **Pandas path** — runs ``run_monte_carlo_simulations`` (the reference
+  7-tuple) and reduces per-path arrays on the host. Used below the raw-path
+  cap (the response embeds the arrays anyway), when the caller forces raw
+  arrays (``include_raw=True``), and for simulators without the reduced
+  seam (the reference's fake-simulator test pattern).
+* **Reduced path** — ``run_result_reduced``: every percentile and histogram
+  is reduced on device (ops/stats.py); the host only applies the
+  data-dependent trims of the wire format. At 1M paths this fetches
+  kilobytes instead of ~28 MB of per-path arrays.
 """
 
 from __future__ import annotations
@@ -14,9 +26,15 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from ..config import Config
-from ..constants import MONTHS_PER_YEAR, SMALL_EPSILON
+from ..constants import (
+    MONTHS_PER_YEAR,
+    SMALL_EPSILON,
+    TRAJECTORY_PERCENTILES,
+    WITHDRAWAL_RATE_PERCENTILES,
+)
 from ..engine.simulator import median_first_year_withdrawal_rate, success_mask
 from ..timing import (
+    expected_trajectory_length,
     retirement_age,
     stream_payment_start_month_index,
     trajectory_time_points,
@@ -101,17 +119,122 @@ def _trajectory_payload(pct_df, sample_paths, years: List[float]) -> Optional[di
     return {"years": years, "percentiles": percentiles, "sample_paths": samples}
 
 
+def _trajectory_payload_arrays(
+    pct_table: np.ndarray, sample_paths: np.ndarray, years: List[float]
+) -> Optional[dict]:
+    """The reduced-path twin of ``_trajectory_payload``: a (7, L) percentile
+    table + (k, L) samples instead of pandas frames."""
+    if pct_table is None or pct_table.size == 0:
+        return None
+    if len(years) != pct_table.shape[1]:
+        raise ValueError(
+            "Trajectory time-point count does not match trajectory data "
+            f"({len(years)} != {pct_table.shape[1]})."
+        )
+    percentiles = {
+        f"p{int(frac * 100)}": [round(float(v), 2) for v in row]
+        for frac, row in zip(TRAJECTORY_PERCENTILES, pct_table)
+    }
+    samples = [[round(float(v), 2) for v in path] for path in sample_paths]
+    return {"years": years, "percentiles": percentiles, "sample_paths": samples}
+
+
+def _summary_block(
+    config: Config,
+    required_w_months: int,
+    success_prob: float,
+    median_start: float,
+    median_final: float,
+    swr: float,
+    balance_percentiles: Dict[str, float],
+    search_curve: Optional[List[dict]],
+) -> dict:
+    return {
+        "required_working_months": required_w_months,
+        "required_working_years": round(required_w_months / MONTHS_PER_YEAR, 1),
+        "working_period_is_estimate": bool(search_curve),
+        "retirement_age": round(
+            retirement_age(config.current_age, required_w_months), 1
+        ),
+        "success_probability": round(success_prob, 2),
+        "target_probability": config.target_probability,
+        "median_start_balance": round(median_start, 2),
+        "median_final_balance_successful": round(median_final, 2),
+        "swr": safe_float(swr),
+        "final_balance_percentiles": balance_percentiles,
+    }
+
+
+def _reference_lines(config: Config, required_w_months: int) -> List[dict]:
+    """Retirement start + every materially nonzero income stream."""
+    retirement_year = required_w_months / MONTHS_PER_YEAR
+    lines = [{"name": "Retirement Starts", "year": retirement_year}]
+    for stream in config.other_income_streams or []:
+        if stream.monthly_amount_today <= SMALL_EPSILON or stream.duration_years == 0:
+            continue
+        pay_start = stream_payment_start_month_index(
+            config.current_age, required_w_months, stream.start_at_age
+        )
+        lines.append(
+            {
+                "name": stream.name,
+                "year": round(retirement_year + pay_start / MONTHS_PER_YEAR, 3),
+            }
+        )
+    return lines
+
+
+def _search_curve_block(
+    config: Config, required_w_months: int, search_curve: Optional[List[dict]]
+) -> Optional[dict]:
+    if not search_curve:
+        return None
+    return {
+        "points": dedupe_search_curve(search_curve),
+        "target_probability": config.target_probability,
+        "selected_working_months": required_w_months,
+    }
+
+
 def build_result(
     config: Config,
     simulator,
     required_w_months: int,
     search_curve: Optional[List[dict]] = None,
+    include_raw: Optional[bool] = None,
 ) -> dict:
     """Run the final simulation batch and assemble the full response dict.
 
     ``simulator`` needs only ``run_monte_carlo_simulations`` (the facade's
-    pandas 7-tuple), preserving the reference's fake-simulator test seam.
+    pandas 7-tuple), preserving the reference's fake-simulator test seam;
+    when it also provides ``run_result_reduced`` and the response would be
+    capped anyway, the device-reduced path serves it without fetching
+    per-path arrays.
+
+    ``include_raw``: ``True`` forces raw per-path arrays (reference wire
+    format) regardless of the cap, ``False`` forces the binned form,
+    ``None`` lets ``MCRT_MAX_RAW_PATHS`` decide.
     """
+    if include_raw is None:
+        capped = config.num_simulations_main > max_raw_paths()
+    else:
+        capped = not include_raw
+    if capped and hasattr(simulator, "run_result_reduced"):
+        return _build_result_reduced(
+            config, simulator, required_w_months, search_curve
+        )
+    return _build_result_pandas(
+        config, simulator, required_w_months, search_curve, capped
+    )
+
+
+def _build_result_pandas(
+    config: Config,
+    simulator,
+    required_w_months: int,
+    search_curve: Optional[List[dict]],
+    capped: bool,
+) -> dict:
     (
         summary_df,
         traj_pct_df,
@@ -146,21 +269,6 @@ def build_result(
     years = trajectory_time_points(required_w_months, config.retirement_years)
     retirement_year = required_w_months / MONTHS_PER_YEAR
 
-    # Reference markers: retirement start + every materially nonzero stream.
-    reference_lines = [{"name": "Retirement Starts", "year": retirement_year}]
-    for stream in config.other_income_streams or []:
-        if stream.monthly_amount_today <= SMALL_EPSILON or stream.duration_years == 0:
-            continue
-        pay_start = stream_payment_start_month_index(
-            config.current_age, required_w_months, stream.start_at_age
-        )
-        reference_lines.append(
-            {
-                "name": stream.name,
-                "year": round(retirement_year + pay_start / MONTHS_PER_YEAR, 3),
-            }
-        )
-
     withdrawal_rate = None
     if wr_pct_df is not None and not wr_pct_df.empty:
         wr_percentiles: Dict[str, List[Optional[float]]] = {}
@@ -179,16 +287,6 @@ def build_result(
             "total_paths": int(len(summary_df)),
         }
 
-    search_curve_data = None
-    if search_curve:
-        search_curve_data = {
-            "points": dedupe_search_curve(search_curve),
-            "target_probability": config.target_probability,
-            "selected_working_months": required_w_months,
-        }
-
-    capped = len(summary_df) > max_raw_paths()
-
     ruin_histogram = None
     if "YearsToRuin" in summary_df.columns:
         failed = summary_df.loc[~successes, "YearsToRuin"].dropna()
@@ -205,24 +303,16 @@ def build_result(
 
     return {
         "scenario": config.Nickname,
-        "summary": {
-            "required_working_months": required_w_months,
-            "required_working_years": round(retirement_year, 1),
-            "working_period_is_estimate": bool(search_curve),
-            "retirement_age": round(
-                retirement_age(config.current_age, required_w_months), 1
-            ),
-            "success_probability": round(success_prob, 2),
-            "target_probability": config.target_probability,
-            "median_start_balance": round(median_start, 2),
-            "median_final_balance_successful": round(median_final, 2),
-            "swr": safe_float(swr),
-            "final_balance_percentiles": balance_percentiles,
-        },
+        "summary": _summary_block(
+            config, required_w_months, success_prob, median_start,
+            median_final, swr, balance_percentiles, search_curve,
+        ),
         "trajectory": _trajectory_payload(traj_pct_df, sample_paths, years),
         "trajectory_real": _trajectory_payload(real_pct_df, real_sample_paths, years),
         "withdrawal_rate": withdrawal_rate,
-        "search_curve": search_curve_data,
+        "search_curve": _search_curve_block(
+            config, required_w_months, search_curve
+        ),
         "ruin_histogram": ruin_histogram,
         "histogram": (
             {
@@ -245,5 +335,119 @@ def build_result(
                 "success_flags": [bool(v) for v in successes],
             }
         ),
-        "reference_lines": reference_lines,
+        "reference_lines": _reference_lines(config, required_w_months),
+    }
+
+
+def _binned_finals_from_device(bins, total_paths: int) -> Optional[dict]:
+    """Assemble the ``HistogramBins`` dict from device-reduced aggregates —
+    same wire values as ``bin_successful_finals`` on the raw arrays."""
+    if bins.success_count == 0:
+        return None
+    lo, hi = bins.finals_min_successful, bins.finals_max_successful
+    nbins = len(bins.finals_hist_counts)
+    width = (hi - lo) / nbins or 1.0
+    return {
+        "bin_edges": [round(lo + i * width, 2) for i in range(nbins + 1)],
+        "counts": [int(c) for c in bins.finals_hist_counts],
+        "median": round(float(bins.finals_median_successful), 2),
+        "success_count": int(bins.success_count),
+        "total_paths": int(total_paths),
+    }
+
+
+def _ruin_counts_from_device(bins) -> List[int]:
+    """``bin_years_to_ruin`` from device integer-year counts: collapse the
+    bins at/above ceil(max) into the last kept bin, trim trailing zeros."""
+    if bins.failure_count == 0:
+        return []
+    max_year = int(math.ceil(max(float(bins.ruin_max), 1.0)))
+    device = [int(c) for c in bins.ruin_counts]
+    counts = device[:max_year]
+    counts[max_year - 1] += sum(device[max_year:])
+    while counts and counts[-1] == 0:
+        counts.pop()
+    return counts
+
+
+def _build_result_reduced(
+    config: Config,
+    simulator,
+    required_w_months: int,
+    search_curve: Optional[List[dict]],
+) -> dict:
+    res = simulator.run_result_reduced(
+        required_w_months, config.num_simulations_main
+    )
+    n = int(res.num_simulations)
+    if n == 0:
+        raise ValueError(f"Simulation for '{config.Nickname}' yielded no results.")
+    bins = res.bins
+
+    median_final = res.median_final_successful
+    if math.isnan(median_final):  # no successful paths
+        median_final = 0.0
+
+    balance_percentiles = {
+        f"p{int(q * 100)}": round(max(0.0, float(v)), 2)
+        for q, v in zip(
+            (0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99),
+            res.final_balance_percentiles,
+        )
+    }
+
+    years = trajectory_time_points(required_w_months, config.retirement_years)
+    retirement_year = required_w_months / MONTHS_PER_YEAR
+    L = expected_trajectory_length(required_w_months, config.retirement_years)
+    assert res.trajectory_percentiles.shape[1] == L
+
+    wr_table = res.wr_percentiles
+    withdrawal_rate = None
+    if wr_table is not None and wr_table.size:
+        wr_percentiles = {
+            f"p{int(frac * 100)}": [
+                None if math.isnan(float(v)) else round(float(v), 3)
+                for v in row
+            ]
+            for frac, row in zip(WITHDRAWAL_RATE_PERCENTILES, wr_table)
+        }
+        withdrawal_rate = {
+            "years": [retirement_year + i for i in range(wr_table.shape[1])],
+            "percentiles": wr_percentiles,
+            "observation_counts": [int(v) for v in res.wr_observation_counts],
+            "total_paths": n,
+        }
+
+    ruin_histogram = {
+        "years_to_ruin": [],
+        "failure_count": int(bins.failure_count),
+        "total_paths": n,
+        "year_counts": _ruin_counts_from_device(bins),
+    }
+
+    return {
+        "scenario": config.Nickname,
+        "summary": _summary_block(
+            config, required_w_months, res.success_probability,
+            res.median_start_balance, median_final, res.swr,
+            balance_percentiles, search_curve,
+        ),
+        "trajectory": _trajectory_payload_arrays(
+            res.trajectory_percentiles, res.sample_trajectories, years
+        ),
+        "trajectory_real": _trajectory_payload_arrays(
+            res.real_trajectory_percentiles, res.sample_real_trajectories, years
+        ),
+        "withdrawal_rate": withdrawal_rate,
+        "search_curve": _search_curve_block(
+            config, required_w_months, search_curve
+        ),
+        "ruin_histogram": ruin_histogram,
+        "histogram": {
+            "final_balances": [],
+            "start_balances": [],
+            "success_flags": [],
+            "binned": _binned_finals_from_device(bins, n),
+        },
+        "reference_lines": _reference_lines(config, required_w_months),
     }

@@ -118,3 +118,13 @@ class SimulationRequest(BaseModel):
         ge=0,
         description="Skip the search and run the final simulation directly.",
     )
+    include_raw_paths: Optional[bool] = Field(
+        None,
+        description=(
+            "Histogram wire format: true forces raw per-path arrays (the "
+            "reference's format) regardless of the MCRT_MAX_RAW_PATHS cap; "
+            "false forces the bounded pre-binned form; unset (default) lets "
+            "the cap decide. Clients built against the reference server "
+            "should send true when running above the cap."
+        ),
+    )

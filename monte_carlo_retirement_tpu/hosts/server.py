@@ -64,7 +64,11 @@ def _parse_request(body: dict) -> tuple[SimulationRequest, Config]:
     return request, config
 
 
-def _run_simulation(config: Config, working_months_override: Optional[int]) -> dict:
+def _run_simulation(
+    config: Config,
+    working_months_override: Optional[int],
+    include_raw: Optional[bool] = None,
+) -> dict:
     """Heavy synchronous work — executed on a worker thread."""
     simulator = RetirementMonteCarloSimulator(config)
     search_curve: List[dict] = []
@@ -86,7 +90,10 @@ def _run_simulation(config: Config, working_months_override: Optional[int]) -> d
                 f"not be met. Highest achieved: {achieved:.2f}%"
             )
     simulator.use_final_seeds()
-    return build_result(config, simulator, required, search_curve=search_curve)
+    return build_result(
+        config, simulator, required, search_curve=search_curve,
+        include_raw=include_raw,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -131,7 +138,8 @@ async def simulate(request: web.Request) -> web.Response:
     log.info("Received simulation request for scenario '%s'", config.Nickname)
     try:
         result = await asyncio.to_thread(
-            _run_simulation, config, req.working_months_override
+            _run_simulation, config, req.working_months_override,
+            req.include_raw_paths,
         )
     except ValueError as exc:
         raise web.HTTPBadRequest(text=str(exc))
@@ -217,7 +225,8 @@ async def simulate_stream(request: web.Request) -> web.StreamResponse:
             })
             simulator.use_final_seeds()
             result = build_result(
-                config, simulator, required, search_curve=search_curve
+                config, simulator, required, search_curve=search_curve,
+                include_raw=req.include_raw_paths,
             )
             validated = SimulationResponse.model_validate(result).model_dump(
                 mode="json"

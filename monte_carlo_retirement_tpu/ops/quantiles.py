@@ -8,51 +8,139 @@ the sorts with *rank selection by binary search over the value space*:
 
   * The IEEE-754 bit pattern of a float, XOR-folded so that sign ordering
     becomes unsigned-integer ordering, is a monotone image of the float
-    order. The k-th order statistic is therefore the smallest unsigned key
-    ``v`` with ``count(keys <= v) >= k + 1``.
+    order. The k-th order statistic is therefore the smallest key ``v``
+    with ``count(x <= value(v)) >= k + 1``.
   * That predicate is monotone in ``v``, so each of the 32 (f32) or 64
     (f64) result bits is decided high-to-low with one fused
     compare-and-count pass over the data — a pure VPU reduction that XLA
     fuses without materialising the broadcast, and that lowers to a psum
     when the path axis is sharded over a mesh.
+  * Only the *floor* rank of each quantile is searched; the adjacent
+    *ceil* order statistic comes from a single extra pass (count-at plus
+    masked next-larger-min), halving the search work.
+  * Candidate thresholds are converted to floats per step (a (C, K)-sized
+    operation), so the n-sized compares run in the native float domain at
+    full VPU rate — the data array itself is never bit-cast.
 
-Cost: ``bits`` streaming passes of n x C x K compares instead of C sorts of
-n rows — ~10x less device time at the 1M-path serving scale, with results
-exactly equal (same order statistics, same linear interpolation) to
-``np.percentile`` / ``np.nanpercentile``.
+Cost: ``bits`` streaming passes of n x C x Q compares instead of C sorts
+of n rows — an order of magnitude less device time at the 1M-path serving
+scale, with results exactly equal (same order statistics, same linear
+interpolation) to ``np.percentile`` / ``np.nanpercentile``.
+
+Caveat: masked entries sort as +inf, so *valid data must be finite* (the
+engine's money/rate columns are); a valid +inf would tie with the mask
+sentinel at the extreme top rank.
 """
 
 from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
+
 import jax.numpy as jnp
 from jax import lax
 
-_F32_SIGN = jnp.uint32(0x80000000)
-_F64_SIGN = jnp.uint64(0x8000000000000000)
+# numpy scalars, NOT jnp: building a jnp.uint64 at import time would fail
+# on runtimes without x64 (the TPU serving process); the f64 branch is only
+# ever traced where x64 is enabled.
+_F32_SIGN = np.uint32(0x80000000)
+_F64_SIGN = np.uint64(0x8000000000000000)
 
 
-def _ordered_bits(x: jnp.ndarray) -> jnp.ndarray:
-    """Monotone map from floats to unsigned ints (totally ordered; NaNs map
-    above +inf). key = bits ^ sign_mask for positives, ~bits for negatives."""
-    if x.dtype == jnp.float32:
-        sign, uint = _F32_SIGN, jnp.uint32
-    elif x.dtype == jnp.float64:
-        sign, uint = _F64_SIGN, jnp.uint64
-    else:
-        raise TypeError(f"quantiles support f32/f64 arrays, got {x.dtype}")
-    bits = lax.bitcast_convert_type(x, uint)
-    neg = (bits & sign) != 0
-    return jnp.where(neg, ~bits, bits ^ sign)
+def _uint_info(dtype):
+    if dtype == jnp.dtype(jnp.float32):
+        return _F32_SIGN, jnp.uint32, 32
+    if dtype == jnp.dtype(jnp.float64):
+        return _F64_SIGN, jnp.uint64, 64
+    raise TypeError(f"quantiles support f32/f64 arrays, got {dtype}")
 
 
 def _from_ordered_bits(keys: jnp.ndarray, dtype) -> jnp.ndarray:
-    """Inverse of :func:`_ordered_bits`."""
-    sign = _F32_SIGN if dtype == jnp.dtype(jnp.float32) else _F64_SIGN
+    """Ordered-key space -> float: inverse of the XOR fold (small arrays
+    only — candidates, never the data)."""
+    sign, _, _ = _uint_info(dtype)
     was_neg = (keys & sign) == 0
     bits = jnp.where(was_neg, ~keys, keys ^ sign)
     return lax.bitcast_convert_type(bits, dtype)
+
+
+def _snap_zero_band(out: jnp.ndarray) -> jnp.ndarray:
+    """Collapse subnormal-magnitude results (and -0.0) to +0.0.
+
+    XLA runtimes run compares with DAZ/FTZ (subnormal operands read as
+    zero), so every key in the subnormal band is count-indistinguishable
+    from 0.0 and the bisection may land anywhere inside it; under those
+    same semantics the exact answer for the band IS zero."""
+    tiny = np.finfo(np.dtype(out.dtype)).tiny
+    return jnp.where(jnp.abs(out) < tiny, jnp.zeros((), out.dtype), out)
+
+
+def _count_dtype(n: int):
+    # f32 adds run at full VPU rate and count integers exactly below 2**24;
+    # larger batches fall back to exact i32 accumulation.
+    return jnp.float32 if n < 2**24 else jnp.int32
+
+
+def _search_floor_values(
+    xf: jnp.ndarray, need: jnp.ndarray
+) -> jnp.ndarray:
+    """Smallest value v (as a float) with count(xf <= v) >= need, per
+    (column, rank). xf: (n, C) with masked entries already +inf; need:
+    (C, K) int32. Returns (C, K) floats (+inf when need > #finite)."""
+    n = xf.shape[0]
+    _, uint, nbits = _uint_info(xf.dtype)
+    cdt = _count_dtype(n)
+    need_c = need.astype(cdt)
+    one = jnp.asarray(1, dtype=uint)
+
+    def body(i, res):
+        bit = jnp.asarray(nbits - 1 - i, dtype=uint)
+        # Candidate: current prefix, this bit 0, all lower bits 1. If
+        # enough entries lie at or below its float value, the bit stays 0.
+        test = _from_ordered_bits(res | ((one << bit) - one), xf.dtype)
+        # Candidate keys outside the float range decode to NaN. Keys above
+        # +inf (positive-NaN space) have every real key below them: clamp
+        # to +inf so the compare counts everything (keeps an exact +inf
+        # answer reachable). Keys below -inf (negative-NaN space, sign bit
+        # set) have nothing below: leave them NaN — x <= NaN is false.
+        test = jnp.where(
+            jnp.isnan(test) & ~jnp.signbit(test),
+            jnp.asarray(jnp.inf, xf.dtype), test,
+        )
+        cnt = jnp.sum(
+            (xf[:, :, None] <= test[None, :, :]).astype(cdt), axis=0
+        )
+        return jnp.where(cnt >= need_c, res, res | (one << bit))
+
+    res = lax.fori_loop(
+        0, nbits, body, jnp.zeros(need.shape, dtype=uint)
+    )
+    return _from_ordered_bits(res, xf.dtype)
+
+
+def _ceil_values(xf: jnp.ndarray, v_lo: jnp.ndarray, lo_ranks: jnp.ndarray):
+    """The (lo+1)-th order statistic given the lo-th, in ONE pass: it is
+    v_lo itself when duplicates extend past rank lo+1, else the smallest
+    entry strictly above v_lo."""
+    n = xf.shape[0]
+    cdt = _count_dtype(n)
+    # Written as two independent broadcast-reductions so XLA fuses each into
+    # its own pass instead of materialising an (n, C, K) intermediate.
+    cnt_le = jnp.sum(
+        (xf[:, :, None] <= v_lo[None, :, :]).astype(cdt), axis=0
+    )
+    pos_inf = jnp.asarray(jnp.inf, xf.dtype)
+    gt_min = jnp.min(
+        jnp.where(xf[:, :, None] <= v_lo[None, :, :], pos_inf, xf[:, :, None]),
+        axis=0,
+    )
+    dup = cnt_le >= (lo_ranks + 2).astype(cdt)
+    # For in-range fractional ranks gt_min is always a real entry (a rank
+    # lo+1 exists and is not a duplicate precisely when something lies above
+    # v_lo); the +inf no-entry case only surfaces where the caller's
+    # interpolation weight is zero and discards it.
+    return jnp.where(dup, v_lo, gt_min)
 
 
 def order_statistics(
@@ -63,38 +151,34 @@ def order_statistics(
     """Exact order statistics along axis 0, one search per (column, rank).
 
     Args:
-      x: ``(n, C)`` float32/float64 values.
+      x: ``(n, C)`` float32/float64 values (finite where valid).
       ranks: ``(C, K)`` int32 0-indexed ranks within each column's *valid*
         entries (rank 0 = smallest). Ranks at or beyond the valid count
-        resolve to the invalid sentinel and return NaN.
+        return NaN.
       valid: optional ``(n, C)`` bool; invalid entries sort last and are
-        never selected by in-range ranks.
+        never selected by in-range ranks. NaNs in ``x`` must be masked
+        invalid.
 
     Returns:
-      ``(C, K)`` values of ``x``'s dtype; NaN where the rank is out of range
-      (e.g. an all-invalid column).
+      ``(C, K)`` values of ``x``'s dtype; NaN where the rank is out of
+      range (e.g. an all-invalid column).
     """
     if x.ndim != 2 or ranks.ndim != 2 or x.shape[1] != ranks.shape[0]:
         raise ValueError(
             f"expected x (n, C) and ranks (C, K); got {x.shape} / {ranks.shape}"
         )
-    keys = _ordered_bits(x)
-    if valid is not None:
-        sentinel = jnp.asarray(jnp.iinfo(keys.dtype).max, dtype=keys.dtype)
-        keys = jnp.where(valid, keys, sentinel)
-    nbits = 32 if keys.dtype == jnp.uint32 else 64
-    need = ranks.astype(jnp.int32) + 1  # (C, K) required count(keys <= v)
-    res = jnp.zeros(ranks.shape, dtype=keys.dtype)
-    one = jnp.asarray(1, dtype=keys.dtype)
-    for bit in range(nbits - 1, -1, -1):
-        # Candidate: current prefix, this bit 0, all lower bits 1. If enough
-        # keys lie at or below it the answer's bit is 0, else it is 1.
-        test = res | ((one << bit) - one)
-        cnt = jnp.sum(
-            (keys[:, :, None] <= test[None, :, :]).astype(jnp.int32), axis=0
-        )
-        res = jnp.where(cnt >= need, res, res | (one << bit))
-    return _from_ordered_bits(res, x.dtype)
+    n = x.shape[0]
+    if valid is None:
+        xf = x
+        n_valid = jnp.full((x.shape[1],), n, dtype=jnp.int32)
+    else:
+        xf = jnp.where(valid, x, jnp.asarray(jnp.inf, x.dtype))
+        n_valid = jnp.sum(valid.astype(jnp.int32), axis=0)
+    vals = _search_floor_values(xf, ranks.astype(jnp.int32) + 1)
+    out = jnp.where(
+        ranks < n_valid[:, None], vals, jnp.asarray(jnp.nan, x.dtype)
+    )
+    return _snap_zero_band(out)
 
 
 def exact_quantiles(
@@ -105,7 +189,8 @@ def exact_quantiles(
     """``np.percentile(x, qs*100, axis=0)`` / ``nanpercentile`` without sorts.
 
     Args:
-      x: ``(n, C)`` values; quantiles reduce over axis 0.
+      x: ``(n, C)`` values; quantiles reduce over axis 0. Valid entries
+        must be finite.
       qs: ``(Q,)`` quantile fractions in [0, 1].
       valid: optional ``(n, C)`` bool mask — the NaN-aware/masked form.
         Columns with zero valid entries return NaN (nanpercentile
@@ -118,22 +203,22 @@ def exact_quantiles(
     n, c = x.shape
     qs = jnp.asarray(qs, dtype=x.dtype)
     if valid is None:
+        xf = x
         n_valid = jnp.full((c,), n, dtype=jnp.int32)
     else:
+        xf = jnp.where(valid, x, jnp.asarray(jnp.inf, x.dtype))
         n_valid = jnp.sum(valid.astype(jnp.int32), axis=0)
     # Interpolation position h = q * (n_valid - 1) per (column, quantile).
     h = qs[None, :] * jnp.maximum(n_valid[:, None] - 1, 0).astype(x.dtype)
     lo = jnp.floor(h).astype(jnp.int32)
-    hi = jnp.minimum(lo + 1, jnp.maximum(n_valid[:, None] - 1, 0))
     frac = h - lo.astype(x.dtype)
-    ranks = jnp.concatenate([lo, hi], axis=1)  # (C, 2Q)
-    vals = order_statistics(x, ranks, valid=valid)  # (C, 2Q)
-    q = qs.shape[0]
-    v_lo, v_hi = vals[:, :q], vals[:, q:]
-    out = v_lo + frac * (v_hi - v_lo)
-    # frac == 0 must return v_lo exactly even when v_hi is inf/NaN-free but
-    # huge; the line above already does. All-invalid columns: v_lo is NaN.
-    return jnp.transpose(out)
+    v_lo = _search_floor_values(xf, lo + 1)
+    v_hi = _ceil_values(xf, v_lo, lo)
+    out = jnp.where(frac == 0, v_lo, v_lo + frac * (v_hi - v_lo))
+    out = jnp.where(
+        n_valid[:, None] > 0, out, jnp.asarray(jnp.nan, x.dtype)
+    )
+    return jnp.transpose(_snap_zero_band(out))
 
 
 def masked_median(x: jnp.ndarray, valid: Optional[jnp.ndarray] = None):

@@ -4,6 +4,14 @@ Where the reference hauled every path back to the host and reduced with
 pandas (backend/simulation.py:1012-1118), these reductions run inside the
 same XLA program as the simulation: under a sharded paths axis they lower to
 ICI collectives, and only the small percentile tables cross back to the host.
+
+Every percentile is computed with the sort-free selection engine
+(ops/quantiles.py) — exact np.percentile/nanpercentile semantics at a
+fraction of the device time of per-column sorts — and the serving summary
+additionally reduces the dashboard's histogram payloads (60-bin successful
+final balances, integer-year ruin bins) on device, so a 1M-path serving
+response fetches kilobytes instead of the per-path arrays
+(reference response builder: backend/server.py:416-565).
 """
 
 from __future__ import annotations
@@ -18,8 +26,13 @@ from ..constants import (
     TRAJECTORY_PERCENTILES,
     WITHDRAWAL_RATE_PERCENTILES,
 )
+from .quantiles import exact_quantiles, masked_median, upper_median
 
 EPS = SMALL_EPSILON
+
+# Bin count of the dashboard's successful-final-balance histogram
+# (reference frontend HistogramChart.jsx computes 60 client-side).
+FINAL_HIST_BINS = 60
 
 
 class RunSummary(NamedTuple):
@@ -38,6 +51,24 @@ class RunSummary(NamedTuple):
     wr_observation_counts: jnp.ndarray  # (R,)
 
 
+class ServingBins(NamedTuple):
+    """Pre-binned dashboard aggregates, reduced on device.
+
+    Semantics mirror hosts/payload.py's numpy binning exactly (same
+    truncation, clamping and width rules), so the capped serving path can
+    skip fetching per-path arrays entirely.
+    """
+
+    success_count: jnp.ndarray  # scalar int
+    finals_min_successful: jnp.ndarray  # scalar (+inf if no successes)
+    finals_max_successful: jnp.ndarray  # scalar (-inf if no successes)
+    finals_hist_counts: jnp.ndarray  # (FINAL_HIST_BINS,) int
+    finals_median_successful: jnp.ndarray  # scalar, sorted[n//2] (NaN if none)
+    ruin_counts: jnp.ndarray  # (R+1,) int — integer-year bins incl. == R
+    ruin_max: jnp.ndarray  # scalar (-inf if no failures)
+    failure_count: jnp.ndarray  # scalar int — failed paths with finite ruin
+
+
 def summarize(outs, sample_idx: jnp.ndarray) -> RunSummary:
     """Reduce a PathOutputs batch to percentile tables and headline scalars."""
     success = outs.success
@@ -46,35 +77,33 @@ def summarize(outs, sample_idx: jnp.ndarray) -> RunSummary:
 
     success_prob = jnp.mean(success.astype(jnp.float32)) * 100.0
 
-    median_start = jnp.percentile(start, 50.0)
-    final_successful = jnp.where(success, final, jnp.nan)
-    median_final_successful = jnp.nanpercentile(final_successful, 50.0)
+    median_start = masked_median(start)
+    median_final_successful = masked_median(final, valid=success)
 
-    rates = jnp.where(
-        start > EPS,
-        outs.first_year_real_gross / jnp.maximum(start, EPS) * 100.0,
-        jnp.nan,
-    )
-    swr = jnp.nanpercentile(rates, 50.0)
+    start_ok = start > EPS
+    rates = outs.first_year_real_gross / jnp.maximum(start, EPS) * 100.0
+    swr = masked_median(rates, valid=start_ok)
 
-    final_pcts = jnp.percentile(
-        final, jnp.asarray(FINAL_BALANCE_PERCENTILES) * 100.0
-    )
+    final_pcts = exact_quantiles(
+        final[:, None], jnp.asarray(FINAL_BALANCE_PERCENTILES)
+    )[:, 0]
 
     traj = outs.trajectory
     price = outs.price_levels
     real = jnp.where(price > EPS, traj / jnp.maximum(price, EPS), 0.0)
-    traj_q = jnp.asarray(TRAJECTORY_PERCENTILES) * 100.0
-    traj_pcts = jnp.percentile(traj, traj_q, axis=0)
-    real_pcts = jnp.percentile(real, traj_q, axis=0)
+    traj_q = jnp.asarray(TRAJECTORY_PERCENTILES)
+    traj_pcts = exact_quantiles(traj, traj_q)
+    real_pcts = exact_quantiles(real, traj_q)
 
     samples = traj[sample_idx]
     samples_real = real[sample_idx]
 
     wr = outs.withdrawal_rates
-    wr_q = jnp.asarray(WITHDRAWAL_RATE_PERCENTILES) * 100.0
-    wr_pcts = jnp.nanpercentile(wr, wr_q, axis=0)
-    wr_counts = jnp.sum(~jnp.isnan(wr), axis=0)
+    wr_valid = ~jnp.isnan(wr)
+    wr_pcts = exact_quantiles(
+        wr, jnp.asarray(WITHDRAWAL_RATE_PERCENTILES), valid=wr_valid
+    )
+    wr_counts = jnp.sum(wr_valid, axis=0)
 
     return RunSummary(
         success_probability=success_prob,
@@ -88,4 +117,58 @@ def summarize(outs, sample_idx: jnp.ndarray) -> RunSummary:
         sample_real_trajectories=samples_real,
         wr_percentiles=wr_pcts,
         wr_observation_counts=wr_counts,
+    )
+
+
+def serving_bins(outs) -> ServingBins:
+    """Reduce the dashboard's histogram payloads on device.
+
+    Replicates hosts/payload.bin_successful_finals and bin_years_to_ruin
+    bit-for-bit (same width rule, truncation-toward-zero indexing, last-bin
+    clamp); the host only applies the data-dependent trims the wire format
+    asks for (trailing-zero removal, ceil(max)-length ruin bins).
+    """
+    success = outs.success
+    final = outs.final_balance
+    dtype = final.dtype
+
+    succ_count = jnp.sum(success.astype(jnp.int32))
+    pos_inf = jnp.asarray(jnp.inf, dtype)
+    lo = jnp.min(jnp.where(success, final, pos_inf))
+    hi = jnp.max(jnp.where(success, final, -pos_inf))
+    width0 = (hi - lo) / FINAL_HIST_BINS
+    width = jnp.where(width0 == 0.0, jnp.asarray(1.0, dtype), width0)
+    idx = jnp.minimum(
+        FINAL_HIST_BINS - 1, jnp.floor((final - lo) / width).astype(jnp.int32)
+    )
+    onehot = (
+        idx[:, None] == jnp.arange(FINAL_HIST_BINS, dtype=jnp.int32)[None, :]
+    )
+    hist = jnp.sum(
+        jnp.where(success[:, None], onehot, False).astype(jnp.int32), axis=0
+    )
+    hist_median = upper_median(final, success)
+
+    ytr = outs.years_to_ruin
+    # R from the withdrawal-rate table width (static); ruin years lie in
+    # [0, R], so R+1 integer bins cover every value incl. an exact == R.
+    r_years = outs.withdrawal_rates.shape[1]
+    failed = (~success) & ~jnp.isnan(ytr)
+    ridx = jnp.minimum(r_years, jnp.floor(ytr).astype(jnp.int32))
+    r_onehot = ridx[:, None] == jnp.arange(r_years + 1, dtype=jnp.int32)[None, :]
+    ruin_counts = jnp.sum(
+        jnp.where(failed[:, None], r_onehot, False).astype(jnp.int32), axis=0
+    )
+    ruin_max = jnp.max(jnp.where(failed, ytr, -pos_inf))
+    failure_count = jnp.sum(failed.astype(jnp.int32))
+
+    return ServingBins(
+        success_count=succ_count,
+        finals_min_successful=lo,
+        finals_max_successful=hi,
+        finals_hist_counts=hist,
+        finals_median_successful=hist_median,
+        ruin_counts=ruin_counts,
+        ruin_max=ruin_max,
+        failure_count=failure_count,
     )

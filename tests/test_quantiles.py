@@ -60,7 +60,13 @@ def test_negatives_and_signed_zero():
 def test_single_element_and_extremes():
     _check_against_numpy(np.asarray([[42.0]]), qs=np.asarray([0.0, 0.37, 1.0]))
     x = np.asarray([[np.inf], [-np.inf], [1.0], [2.0]])
-    _check_against_numpy(x, qs=np.asarray([0.0, 0.5, 1.0]))
+    got = np.asarray(
+        exact_quantiles(jnp.asarray(x), np.asarray([0.0, 0.5, 1.0]))
+    ).ravel()
+    # Interior quantiles match numpy; at the extremes numpy's lerp computes
+    # inf - inf = NaN while the zero-weight short-circuit here returns the
+    # exact order statistic (a deliberate, strictly-more-defined answer).
+    assert got[0] == -np.inf and got[1] == 1.5 and got[2] == np.inf
 
 
 def test_nan_aware_matches_nanpercentile():
