@@ -33,20 +33,32 @@ export async function validateConfig(config) {
 export async function runSimulationStream(
   config,
   workingMonthsOverride,
-  { onProgress, onResult, onError },
+  handlers,
 ) {
   const body = { config };
   if (hasOverride(workingMonthsOverride)) {
     const v = Number(workingMonthsOverride);
     if (!Number.isInteger(v) || v < 0) {
-      onError("Working-months override must be a nonnegative integer.");
+      handlers.onError("Working-months override must be a nonnegative integer.");
       return;
     }
     body.working_months_override = v;
   }
+  return streamPost(`${BASE}/api/simulate/stream`, body, handlers);
+}
+
+// Run a scenario grid over SSE: body = {config, variants, working_months,
+// num_paths?, chunk_size?}; progress events are grid_chunk {done, total}.
+export async function runGridStream(body, handlers) {
+  return streamPost(`${BASE}/api/grid/stream`, body, handlers);
+}
+
+// Shared SSE-over-POST transport: frames "data: {json}\n\n", terminal event
+// type result|error; every transport failure routes through onError.
+async function streamPost(url, body, { onProgress, onResult, onError }) {
   let resp;
   try {
-    resp = await fetch(`${BASE}/api/simulate/stream`, {
+    resp = await fetch(url, {
       method: "POST",
       headers: { "content-type": "application/json" },
       body: JSON.stringify(body),

@@ -1,12 +1,13 @@
 // App shell: theme, SSE orchestration, progress panel, result rendering.
 
 import {
-  getDefaultConfig, hasOverride, runSimulationStream, validateConfig,
+  getDefaultConfig, hasOverride, runGridStream, runSimulationStream,
+  validateConfig,
 } from "./api.js";
 import { ConfigEditor } from "./editor.js";
 import {
-  histogramCard, ruinCard, searchCurveCard, summaryCard, trajectoryCard,
-  withdrawalRateCard,
+  gridCard, histogramCard, ruinCard, searchCurveCard, summaryCard,
+  trajectoryCard, withdrawalRateCard,
 } from "./views.js";
 
 // ---------------------------------------------------------------- theme
@@ -34,7 +35,7 @@ function initTheme() {
   document.getElementById("theme-toggle").onclick = () => {
     const current = document.documentElement.getAttribute("data-theme");
     applyTheme(current === "dark" ? "light" : "dark");
-    if (lastResult) renderResult(lastResult);  // re-pick CSS colors
+    if (lastRenderFn) lastRenderFn();  // re-pick CSS colors
   };
 }
 
@@ -44,6 +45,7 @@ let iterations = [];
 let phase = null;
 let startedAt = null;
 let timer = null;
+let gridProgress = null; // {done, total} while a grid sweep runs
 
 function elapsedText() {
   return startedAt ? ((Date.now() - startedAt) / 1000).toFixed(1) : "0.0";
@@ -64,9 +66,20 @@ function renderProgress() {
   const last = iterations[iterations.length - 1];
   const headline = phase === "search"
     ? "Searching for the minimum working period…"
-    : "Running final simulations…";
+    : phase === "grid"
+      ? "Running scenario grid…"
+      : "Running final simulations…";
   let bar = "";
-  if (last) {
+  if (phase === "grid" && gridProgress) {
+    const frac = gridProgress.total
+      ? (gridProgress.done / gridProgress.total) * 100
+      : 0;
+    bar = `
+      <div class="progress-bar-track">
+        <div class="progress-bar-fill" style="width:${frac}%"></div>
+      </div>
+      <div class="sub">${gridProgress.done} / ${gridProgress.total} variants</div>`;
+  } else if (last) {
     // target 0 is legal and always met — show a full bar, not prob/100.
     const frac = last.target === 0
       ? 100
@@ -101,6 +114,7 @@ function renderProgress() {
 const resultsDiv = document.getElementById("results");
 const emptyState = document.getElementById("empty-state");
 let lastResult = null;
+let lastRenderFn = null; // re-invoked on theme flips to re-pick CSS colors
 
 function showBanner(message) {
   let banner = document.getElementById("error-banner");
@@ -116,6 +130,7 @@ function showBanner(message) {
 
 function renderResult(result) {
   lastResult = result;
+  lastRenderFn = () => renderResult(result);
   emptyState.classList.add("hidden");
   resultsDiv.innerHTML = "";
   resultsDiv.appendChild(summaryCard(result));
@@ -124,6 +139,13 @@ function renderResult(result) {
   if (result.withdrawal_rate) resultsDiv.appendChild(withdrawalRateCard(result.withdrawal_rate));
   if (result.ruin_histogram) resultsDiv.appendChild(ruinCard(result.ruin_histogram));
   if (result.histogram) resultsDiv.appendChild(histogramCard(result.histogram));
+}
+
+function renderGridResult(grid) {
+  lastRenderFn = () => renderGridResult(grid);
+  emptyState.classList.add("hidden");
+  resultsDiv.innerHTML = "";
+  resultsDiv.appendChild(gridCard(grid));
 }
 
 // ------------------------------------------------------------------ run
@@ -176,7 +198,112 @@ const editor = new ConfigEditor(document.getElementById("config-editor"), {
   },
 });
 
+// ----------------------------------------------------------- scenario grid
+// Sweep many config variants in one batched device run (POST
+// /api/grid/stream). The base scenario is whatever the editor holds; each
+// variant is {"name": ..., "overrides": {field: value}}.
+const GRID_EXAMPLE = [
+  { name: "base", overrides: {} },
+  { name: "spend +20%", overrides: { monthly_expenses: 6000 } },
+  { name: "equity 6%", overrides: { inv1_returns_mean: 0.06 } },
+];
+
+function initGridPanel() {
+  const holder = document.getElementById("grid-panel");
+  if (!holder) return;
+  holder.innerHTML = `
+    <details class="grid-setup">
+      <summary>Scenario grid</summary>
+      <div class="sub">One batched sweep over config variants — each entry
+        is {"name": …, "overrides": {field: value}} applied to the current
+        scenario.</div>
+      <textarea id="grid-variants" rows="8" spellcheck="false"></textarea>
+      <div class="grid-run-row">
+        <label class="field">Working months
+          <input id="grid-months" type="number" min="0" step="1" value="240" />
+        </label>
+        <label class="field">Paths
+          <input id="grid-paths" type="number" min="1" step="1"
+            placeholder="(main sims)" />
+        </label>
+        <button id="grid-run" class="btn">Run grid</button>
+      </div>
+      <div id="grid-error" class="error-box hidden"></div>
+    </details>`;
+  document.getElementById("grid-variants").value =
+    JSON.stringify(GRID_EXAMPLE, null, 1);
+  const errBox = document.getElementById("grid-error");
+  const showGridError = (message) => {
+    errBox.textContent = message || "";
+    errBox.classList.toggle("hidden", !message);
+  };
+  const runBtn = document.getElementById("grid-run");
+  runBtn.onclick = async () => {
+    showGridError("");
+    showBanner("");
+    const config = editor.getConfig();
+    if (!config) { showGridError("Load a scenario first."); return; }
+    let variants;
+    try {
+      variants = JSON.parse(document.getElementById("grid-variants").value);
+      if (!Array.isArray(variants) || !variants.length) {
+        throw new Error("expected a non-empty JSON array");
+      }
+    } catch (err) {
+      showGridError(`Variants: ${err.message}`);
+      return;
+    }
+    const months = Number(document.getElementById("grid-months").value);
+    if (!Number.isInteger(months) || months < 0) {
+      showGridError("Working months must be a nonnegative integer.");
+      return;
+    }
+    const body = { config, variants, working_months: months };
+    const paths = document.getElementById("grid-paths").value;
+    if (paths !== "") {
+      const n = Number(paths);
+      if (!Number.isInteger(n) || n < 1) {
+        showGridError("Paths must be a positive integer.");
+        return;
+      }
+      body.num_paths = n;
+    }
+    runBtn.disabled = true;
+    iterations = [];
+    gridProgress = { done: 0, total: variants.length };
+    phase = "grid";
+    startedAt = Date.now();
+    renderProgress();
+    timer = setInterval(tickProgress, 500);
+    try {
+      await runGridStream(body, {
+        onProgress: (event) => {
+          if (event.type === "grid_chunk") {
+            gridProgress = { done: event.done, total: event.total };
+          }
+          renderProgress();
+        },
+        onResult: (data) => renderGridResult(data),
+        onError: (message) => {
+          showGridError(message);
+          showBanner(message);
+        },
+      });
+    } catch (err) {
+      showGridError(String(err));
+      showBanner(String(err));
+    } finally {
+      clearInterval(timer);
+      phase = null;
+      gridProgress = null;
+      renderProgress();
+      runBtn.disabled = false;
+    }
+  };
+}
+
 initTheme();
+initGridPanel();
 getDefaultConfig()
   .then((config) => editor.setDefault(config))
   .catch((err) => {

@@ -125,6 +125,12 @@ export class ConfigEditor {
     this.running = false;
   }
 
+  // Deep copy of the scenario currently in the editor (form or JSON mode)
+  // — the grid panel builds its base config from this.
+  getConfig() {
+    return this.config ? JSON.parse(JSON.stringify(this.config)) : null;
+  }
+
   setDefault(config) {
     this.defaultConfig = JSON.parse(JSON.stringify(config));
     this.config = JSON.parse(JSON.stringify(config));

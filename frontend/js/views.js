@@ -319,3 +319,41 @@ export function histogramCard(h) {
   ]);
   return div;
 }
+
+// -------------------------------------------------------------- grid table
+// Scenario-grid results: one row per config variant with success ± MC
+// error, median/mean finals and the p5–p95 band. A success-colored inline
+// bar makes the sweep's shape readable without a chart.
+export function gridCard(grid) {
+  const div = card(
+    "Scenario grid",
+    `${grid.total_scenarios} variants × ${grid.num_paths.toLocaleString()} paths · base: ${grid.scenario}`,
+  );
+  const wrap = document.createElement("div");
+  wrap.className = "grid-scroll";
+  const table = document.createElement("table");
+  table.className = "grid-table";
+  const header = `<tr><th>variant</th><th>months</th><th>success</th>
+    <th class="grid-bar-col"></th><th>p5</th><th>p25</th><th>median</th>
+    <th>p75</th><th>p95</th><th>mean</th></tr>`;
+  const rows = grid.rows.map((r) => {
+    const p = r.final_balance_percentiles;
+    const good = r.success_probability >= 90;
+    const barW = Math.max(1, Math.min(100, r.success_probability));
+    return `<tr>
+      <td class="grid-name">${esc(r.name)}</td>
+      <td>${r.working_months}</td>
+      <td class="${good ? "good" : "bad"}">${r.success_probability.toFixed(2)}%
+        <span class="sub">±${r.success_sigma.toFixed(2)}</span></td>
+      <td class="grid-bar-col"><div class="grid-bar ${good ? "grid-bar-good" : "grid-bar-bad"}"
+        style="width:${barW}%"></div></td>
+      <td>${fmtMoney(p.p5)}</td><td>${fmtMoney(p.p25)}</td>
+      <td>${fmtMoney(p.p50)}</td><td>${fmtMoney(p.p75)}</td>
+      <td>${fmtMoney(p.p95)}</td><td>${fmtMoney(r.mean_final_balance)}</td>
+    </tr>`;
+  }).join("");
+  table.innerHTML = header + rows;
+  wrap.appendChild(table);
+  div.appendChild(wrap);
+  return div;
+}

@@ -1177,12 +1177,20 @@ def pallas_scenario_grid(
     return _pallas_scenario_grid_jit(params_batch, months, seed, **kwargs)
 
 
-@partial(
-    jax.jit,
-    static_argnames=("n_scenarios", "n_paths", "retirement_years",
-                     "n_streams", "statics", "t_scan", "interpret"),
-)
-def _pallas_scenario_grid_jit(
+def pallas_scenario_grid_raw(
+    params_batch: SimParams,
+    months,
+    seed,
+    **kwargs,
+):
+    """Scenario grid returning the raw per-path outputs: (success, final)
+    of shape (n_scenarios, n_padded) f32, caller slices [:, :n_paths].
+    Same validation, grid layout and CRN seeding as pallas_scenario_grid."""
+    _check_grid_statics(params_batch, kwargs["statics"])
+    return _pallas_scenario_grid_raw_jit(params_batch, months, seed, **kwargs)
+
+
+def _scenario_grid_call(
     params_batch: SimParams,
     months,
     seed,
@@ -1192,12 +1200,11 @@ def _pallas_scenario_grid_jit(
     retirement_years: int,
     n_streams: int,
     statics: Statics,
-    t_scan: int = 0,  # accepted for API compatibility
     interpret: bool = False,
     block_offset=0,
 ):
-    """Scenario-grid probe: every (config, working_months) pair in one
-    dispatch on the Pallas kernel.
+    """Shared tracer for the scenario-grid dispatch: every (config,
+    working_months) pair in one Pallas call.
 
     ``params_batch`` is a struct-of-arrays SimParams (leading scenario axis,
     see engine.scenario_batch.stack_params); the kernel grid is
@@ -1208,12 +1215,11 @@ def _pallas_scenario_grid_jit(
     mixed batch would silently simulate rows under the wrong tax system or
     stream-indexing structure. Use
     ``engine.scenario_batch.grid_statics(configs)``, which validates and
-    returns the shared value; the concrete-value guard here
-    (``_check_grid_statics``) rejects mismatched rows as a second line of
-    defense. Returns success probabilities in percent, shape
-    (n_scenarios,).
+    returns the shared value; the concrete-value guard in the public
+    entries (``_check_grid_statics``) rejects mismatched rows as a second
+    line of defense. Returns (success, final) of shape
+    (n_scenarios, n_padded) f32.
     """
-    del t_scan
     # Batched SimParams carry streams as (K, S); n_streams is the last axis.
     assert n_streams == int(params_batch.stream_amount.shape[-1])
     n_blocks = max(1, -(-n_paths // BLOCK_PATHS))
@@ -1257,7 +1263,7 @@ def _pallas_scenario_grid_jit(
         pl.BlockSpec((1, BLOCK_ROWS, 128), lambda c, b: (c, b, 0),
                      memory_space=pltpu.VMEM),
     ]
-    success, _final = pl.pallas_call(
+    success, final = pl.pallas_call(
         kernel,
         grid=(n_scenarios, n_blocks),
         in_specs=in_specs,
@@ -1265,8 +1271,71 @@ def _pallas_scenario_grid_jit(
         out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
-    flat = success.reshape(n_scenarios, -1)[:, :n_paths]
-    return jnp.mean(flat, axis=1) * 100.0
+    return (
+        success.reshape(n_scenarios, -1),
+        final.reshape(n_scenarios, -1),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_scenarios", "n_paths", "retirement_years",
+                     "n_streams", "statics", "t_scan", "interpret"),
+)
+def _pallas_scenario_grid_jit(
+    params_batch: SimParams,
+    months,
+    seed,
+    *,
+    n_scenarios: int,
+    n_paths: int,
+    retirement_years: int,
+    n_streams: int,
+    statics: Statics,
+    t_scan: int = 0,  # accepted for API compatibility
+    interpret: bool = False,
+    block_offset=0,
+):
+    """Scenario-grid probe (see ``_scenario_grid_call``): returns success
+    probabilities in percent, shape (n_scenarios,)."""
+    del t_scan
+    success, _final = _scenario_grid_call(
+        params_batch, months, seed,
+        n_scenarios=n_scenarios, n_paths=n_paths,
+        retirement_years=retirement_years, n_streams=n_streams,
+        statics=statics, interpret=interpret, block_offset=block_offset,
+    )
+    return jnp.mean(success[:, :n_paths], axis=1) * 100.0
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_scenarios", "n_paths", "retirement_years",
+                     "n_streams", "statics", "t_scan", "interpret"),
+)
+def _pallas_scenario_grid_raw_jit(
+    params_batch: SimParams,
+    months,
+    seed,
+    *,
+    n_scenarios: int,
+    n_paths: int,
+    retirement_years: int,
+    n_streams: int,
+    statics: Statics,
+    t_scan: int = 0,  # accepted for API compatibility
+    interpret: bool = False,
+    block_offset=0,
+):
+    """Scenario grid returning raw (success, final) per-path arrays of
+    shape (n_scenarios, n_padded); see ``_scenario_grid_call``."""
+    del t_scan
+    return _scenario_grid_call(
+        params_batch, months, seed,
+        n_scenarios=n_scenarios, n_paths=n_paths,
+        retirement_years=retirement_years, n_streams=n_streams,
+        statics=statics, interpret=interpret, block_offset=block_offset,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1464,6 +1533,73 @@ def pallas_scenario_grid_sharded(
                 mesh=mesh,
                 in_specs=(P(), P(), P()),
                 out_specs=P(),
+                check_vma=False,
+            )
+        )
+        _SHARDED_CACHE[key] = fn
+    return fn(
+        params_batch,
+        jnp.asarray(months, jnp.int32),
+        jnp.asarray(seed, jnp.int32),
+    )
+
+
+def pallas_scenario_grid_raw_sharded(
+    params_batch: SimParams,
+    months,
+    seed,
+    *,
+    mesh,
+    n_scenarios: int,
+    n_paths: int,
+    retirement_years: int,
+    n_streams: int,
+    statics: Statics,
+    interpret: bool = False,
+):
+    """Scenario grid over a 'paths' mesh returning raw per-path arrays:
+    (success, final) of shape (n_scenarios, n_dev * local_pad) sharded on
+    the path axis. Downstream reductions (means, the selection-based
+    percentiles) run under jit with sharding propagation, so their path-axis
+    sums lower to ICI psums — no host gather. Global-block PRNG seeding
+    keeps the grid's CRN and makes an n-device run reproduce 1-device."""
+    from jax.sharding import PartitionSpec as P
+
+    _check_grid_statics(params_batch, statics)
+    axis = mesh.axis_names[0]
+    n_dev = int(mesh.shape[axis])
+    local_blocks = _local_blocks(n_paths, n_dev, BLOCK_PATHS)
+    local_pad = local_blocks * BLOCK_PATHS
+
+    key = (
+        "grid_raw", mesh, n_scenarios, local_blocks, retirement_years,
+        n_streams, statics, interpret,
+    )
+    fn = _SHARDED_CACHE.get(key)
+    if fn is None:
+
+        def shard_fn(params_batch, months, seed):
+            offset = (
+                jax.lax.axis_index(axis).astype(jnp.int32)
+                * jnp.int32(local_blocks)
+            )
+            return _pallas_scenario_grid_raw_jit(
+                params_batch, months, seed,
+                n_scenarios=n_scenarios,
+                n_paths=local_pad,
+                retirement_years=retirement_years,
+                n_streams=n_streams,
+                statics=statics,
+                interpret=interpret,
+                block_offset=offset,
+            )
+
+        fn = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=mesh,
+                in_specs=(P(), P(), P()),
+                out_specs=(P(None, axis), P(None, axis)),
                 check_vma=False,
             )
         )

@@ -17,7 +17,10 @@ the same count of streams that can actually pay).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Sequence
+import logging
+import os
+import time
+from typing import Callable, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -25,14 +28,27 @@ import numpy as np
 
 from ..config import Config
 from ..models.retirement import SimParams
+from ..ops.quantiles import exact_quantiles
 from ..ops.shocks import stream_keys
 from .kernel import simulate_paths
+
+log = logging.getLogger("mcrt.grid")
+
+# Decision-grade per-scenario final-balance bands (grid serving payload).
+GRID_FINAL_PERCENTILES = (0.05, 0.25, 0.50, 0.75, 0.95)
 
 
 class ScenarioBatchResult(NamedTuple):
     success_probability: np.ndarray  # (k,) percent
     median_final_balance: np.ndarray  # (k,)
     mean_final_balance: np.ndarray  # (k,)
+    success_sigma: np.ndarray  # (k,) one-sigma binomial MC error, percent
+    final_balance_percentiles: np.ndarray  # (k, 5) at GRID_FINAL_PERCENTILES
+
+    def concat(self, other: "ScenarioBatchResult") -> "ScenarioBatchResult":
+        return ScenarioBatchResult(
+            *(np.concatenate([a, b]) for a, b in zip(self, other))
+        )
 
 
 def grid_statics(configs: Sequence[Config]):
@@ -102,7 +118,7 @@ def run_scenario_batch(
         raise ValueError("t_scan below the longest scenario horizon")
     _, final_key = stream_keys(seed)
 
-    succ, final = _batch_jit(
+    stats = _batch_jit(
         params,
         w_vec,
         final_key,
@@ -111,10 +127,29 @@ def run_scenario_batch(
         retirement_years=R,
         dtype=dtype,
     )
-    return ScenarioBatchResult(
-        success_probability=np.asarray(succ),
-        median_final_balance=np.asarray(final[0]),
-        mean_final_balance=np.asarray(final[1]),
+    return ScenarioBatchResult(*(np.asarray(v) for v in stats))
+
+
+def _grid_stats(success_f32, final, n_paths: int):
+    """Per-scenario decision-grade reductions on (k, n) device arrays:
+    success% + binomial sigma, mean, and the GRID_FINAL_PERCENTILES bands
+    via the sort-free selection engine. Under a sharded path axis the sums
+    inside lower to ICI psums."""
+    succ = success_f32[:, :n_paths]
+    fin = final[:, :n_paths]
+    p = jnp.mean(succ, axis=1) * 100.0
+    frac = p / 100.0
+    sigma = jnp.sqrt(jnp.clip(frac * (1.0 - frac), 0.0) / n_paths) * 100.0
+    mean_final = jnp.mean(fin, axis=1)
+    pcts = exact_quantiles(
+        jnp.transpose(fin), jnp.asarray(GRID_FINAL_PERCENTILES, fin.dtype)
+    )  # (5, k)
+    return (
+        p,
+        pcts[2],
+        mean_final,
+        sigma,
+        jnp.transpose(pcts),
     )
 
 
@@ -130,18 +165,129 @@ def _batch_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype):
             traj_len=0,
             dtype=dtype,
         )
-        return (
-            jnp.mean(outs.success.astype(jnp.float32)) * 100.0,
-            (
-                jnp.percentile(outs.final_balance, 50.0),
-                jnp.mean(outs.final_balance),
-            ),
-        )
+        return outs.success.astype(jnp.float32), outs.final_balance
 
-    return jax.vmap(one, in_axes=(0, 0))(params, w_vec)
+    succ, final = jax.vmap(one, in_axes=(0, 0))(params, w_vec)
+    return _grid_stats(succ, final, n_paths)
 
 
 _batch_jit = jax.jit(
     _batch_impl,
     static_argnames=("n_paths", "t_scan", "retirement_years", "dtype"),
 )
+
+_grid_stats_jit = jax.jit(_grid_stats, static_argnames=("n_paths",))
+
+
+def _grid_stream_seed(seed: int) -> int:
+    """Stable 31-bit Pallas PRNG seed for the grid's 'final' stream —
+    the same derivation as Engine._stream_seed(stream='final')."""
+    state = np.random.SeedSequence([int(seed), 1]).generate_state(1)
+    return int(state[0] % (2**31))
+
+
+def run_scenario_grid(
+    configs: Sequence[Config],
+    working_months: Sequence[int],
+    num_simulations: int,
+    seed: int = 0,
+    chunk_size: Optional[int] = None,
+    backend: Optional[str] = None,
+    mesh=None,
+    progress_callback: Optional[Callable[[dict], None]] = None,
+) -> ScenarioBatchResult:
+    """Serve a whole scenario grid: chunked device dispatches + progress.
+
+    The serving entry behind POST /api/grid (BASELINE stretch config 5:
+    256 variants x 1M paths on one chip). Chunks of ``chunk_size``
+    scenarios dispatch on the Pallas (scenario, path-block) grid kernel on
+    TPU — or the vmapped XLA scan elsewhere — and ``progress_callback``
+    receives a ``grid_chunk`` event after each (mirroring the reference's
+    SSE progress pattern, backend/server.py:322-413). Shocks are shared
+    across the WHOLE grid (chunking preserves CRN: draws depend only on
+    (stream, block, month)).
+    """
+    configs = list(configs)
+    working_months = [int(m) for m in working_months]
+    if len(working_months) != len(configs):
+        raise ValueError("working_months must align with configs")
+    if not configs:
+        raise ValueError("scenario grid needs at least one config")
+    if any(m < 0 for m in working_months):
+        raise ValueError("working_months must be >= 0")
+    statics = grid_statics(configs)  # raises on mixed structure
+    R = configs[0].retirement_years
+    n = int(num_simulations)
+    if chunk_size is None:
+        chunk_size = int(os.environ.get("MCRT_GRID_CHUNK", "16"))
+    chunk_size = max(1, int(chunk_size))
+
+    if backend is None:
+        backend = os.environ.get("MCRT_GRID_BACKEND", "auto")
+    if backend == "auto":
+        backend = (
+            "pallas" if jax.default_backend() != "cpu" and mesh is None
+            else ("pallas_sharded" if mesh is not None
+                  and jax.default_backend() != "cpu" else "scan")
+        )
+    if backend not in ("scan", "pallas", "pallas_sharded"):
+        raise ValueError(f"unknown grid backend {backend!r}")
+
+    # One shared horizon so every chunk reuses one executable (scan path).
+    horizon = max(working_months) + 12 * R
+    total = len(configs)
+    done = 0
+    t0 = time.perf_counter()
+    out: Optional[ScenarioBatchResult] = None
+    for i in range(0, total, chunk_size):
+        chunk_cfgs = configs[i : i + chunk_size]
+        chunk_months = working_months[i : i + chunk_size]
+        k = len(chunk_cfgs)
+        if backend in ("pallas", "pallas_sharded"):
+            from .pallas_kernel import (
+                pallas_scenario_grid_raw,
+                pallas_scenario_grid_raw_sharded,
+            )
+
+            params = stack_params(chunk_cfgs, dtype=jnp.float32)
+            months = jnp.asarray(chunk_months, dtype=jnp.int32)
+            kwargs = dict(
+                n_scenarios=k,
+                n_paths=n,
+                retirement_years=R,
+                n_streams=int(params.stream_amount.shape[-1]),
+                statics=statics,
+            )
+            if backend == "pallas_sharded":
+                succ, fin = pallas_scenario_grid_raw_sharded(
+                    params, months, _grid_stream_seed(seed), mesh=mesh,
+                    **kwargs,
+                )
+            else:
+                succ, fin = pallas_scenario_grid_raw(
+                    params, months, _grid_stream_seed(seed), **kwargs
+                )
+            stats = _grid_stats_jit(succ, fin, n_paths=n)
+            chunk_res = ScenarioBatchResult(
+                *(np.asarray(v) for v in stats)
+            )
+        else:
+            chunk_res = run_scenario_batch(
+                chunk_cfgs, chunk_months, n, seed=seed, t_scan=horizon
+            )
+        out = chunk_res if out is None else out.concat(chunk_res)
+        done += k
+        if progress_callback is not None:
+            progress_callback(
+                {
+                    "type": "grid_chunk",
+                    "done": done,
+                    "total": total,
+                    "elapsed_s": round(time.perf_counter() - t0, 3),
+                }
+            )
+        log.info(
+            "phase=grid backend=%s scenarios=%d/%d paths=%d: %.3f s",
+            backend, done, total, n, time.perf_counter() - t0,
+        )
+    return out

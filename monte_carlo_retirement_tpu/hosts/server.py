@@ -31,6 +31,7 @@ from ..config import Config
 from ..constants import MAX_SEARCH_YEARS, MONTHS_PER_YEAR
 from ..engine.simulator import RetirementMonteCarloSimulator
 from ..logging_utils import configure_logging
+from .grid import GridRequest, GridResponse, prepare_grid, run_prepared_grid
 from .payload import build_result
 from .schemas import SimulationRequest, SimulationResponse
 
@@ -249,6 +250,103 @@ async def simulate_stream(request: web.Request) -> web.StreamResponse:
     return response
 
 
+async def grid(request: web.Request) -> web.Response:
+    """POST /api/grid — a scenario grid (config deltas x working months) in
+    chunked batched device dispatches; the non-streaming variant."""
+    body = await request.json()
+    try:
+        if not isinstance(body, dict):
+            raise ValueError(
+                f"request body must be a JSON object, got {type(body).__name__}"
+            )
+        req = GridRequest(**body)
+        prepared = prepare_grid(req)  # malformed variants are 422s
+    except (ValidationError, ValueError) as exc:
+        raise web.HTTPUnprocessableEntity(text=f"Invalid grid request: {exc}")
+
+    log.info(
+        "Received grid request: %d variants", len(req.variants)
+    )
+    try:
+        result = await asyncio.to_thread(
+            run_prepared_grid, prepared, req.chunk_size
+        )
+    except ValueError as exc:
+        # Valid request the engine cannot serve (mixed statics, bad months).
+        raise web.HTTPBadRequest(text=str(exc))
+    except Exception as exc:  # pragma: no cover - unexpected engine failure
+        log.exception("Grid simulation failed")
+        raise web.HTTPInternalServerError(text=f"Grid error: {exc}")
+
+    validated = GridResponse.model_validate(result).model_dump(mode="json")
+    log.info("Grid complete: %d rows", len(validated["rows"]))
+    return web.json_response(validated)
+
+
+async def grid_stream(request: web.Request) -> web.StreamResponse:
+    """POST /api/grid/stream — the SSE variant: ``phase`` / ``grid_chunk``
+    per device dispatch / ``result`` / ``error`` events (the reference's
+    stream protocol shape, backend/server.py:322-413)."""
+    body = await request.json()
+    try:
+        if not isinstance(body, dict):
+            raise ValueError(
+                f"request body must be a JSON object, got {type(body).__name__}"
+            )
+        req = GridRequest(**body)
+        prepared = prepare_grid(req)  # malformed variants are 422s
+    except (ValidationError, ValueError) as exc:
+        raise web.HTTPUnprocessableEntity(text=f"Invalid grid request: {exc}")
+
+    response = web.StreamResponse(
+        status=200,
+        headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        },
+    )
+    await response.prepare(request)
+
+    loop = asyncio.get_event_loop()
+    queue: asyncio.Queue = asyncio.Queue()
+
+    def emit(event: Optional[dict]) -> None:
+        loop.call_soon_threadsafe(queue.put_nowait, event)
+
+    def worker() -> None:
+        try:
+            emit({
+                "type": "phase",
+                "phase": "grid",
+                "message": (
+                    f"Running {len(req.variants)} scenario variants…"
+                ),
+            })
+            result = run_prepared_grid(
+                prepared, req.chunk_size, progress_callback=emit
+            )
+            validated = GridResponse.model_validate(result).model_dump(
+                mode="json"
+            )
+            emit({"type": "result", "data": validated})
+        except Exception as exc:
+            emit({"type": "error", "message": str(exc)})
+        finally:
+            emit(None)
+
+    loop.run_in_executor(None, worker)
+
+    while True:
+        event = await queue.get()
+        if event is None:
+            break
+        frame = f"data: {json.dumps(event, allow_nan=False)}\n\n"
+        await response.write(frame.encode("utf-8"))
+    await response.write_eof()
+    return response
+
+
 # ---------------------------------------------------------------------------
 # App assembly
 # ---------------------------------------------------------------------------
@@ -331,8 +429,14 @@ def _warmup() -> None:
         # Warm the REAL serving shapes: the full-stats executable is keyed
         # by path count (and scenario-static trajectory width), so warming a
         # tiny batch would leave the first user request paying the compile.
+        # Mirror build_result's raw/reduced choice — above the raw-path cap
+        # serving runs the fused reduced program.
+        from .payload import max_raw_paths
+
         simulator.engine.run(
-            config.starting_working_months_search, config.num_simulations_main
+            config.starting_working_months_search,
+            config.num_simulations_main,
+            reduced=config.num_simulations_main > max_raw_paths(),
         )
         log.info("Warmup complete: default-scenario executables compiled.")
     except Exception:  # pragma: no cover - warmup is best-effort
@@ -351,6 +455,8 @@ def create_app() -> web.Application:
     app.router.add_post("/api/validate", validate)
     app.router.add_post("/api/simulate", simulate)
     app.router.add_post("/api/simulate/stream", simulate_stream)
+    app.router.add_post("/api/grid", grid)
+    app.router.add_post("/api/grid/stream", grid_stream)
     if os.path.isdir(FRONTEND_DIR):
         app.router.add_get("/", index)
         app.router.add_static("/", FRONTEND_DIR)

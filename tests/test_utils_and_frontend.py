@@ -60,14 +60,13 @@ def test_frontend_dom_contract():
     for src in sources.values():
         queried |= set(re.findall(r'getElementById\("([\w-]+)"\)', src))
     declared = set(re.findall(r'id="([\w-]+)"', html))
-    # ids assigned dynamically in JS (el.id = "...") count as declared
     for src in sources.values():
+        # ids assigned dynamically (el.id = "...") or created inside JS
+        # template strings (id="..." in innerHTML markup) count as declared.
         declared |= set(re.findall(r'\.id\s*=\s*"([\w-]+)"', src))
+        declared |= set(re.findall(r'id="([\w-]+)"', src))
     missing = {i for i in queried if i not in declared}
-    # ids created inside template strings (editor controls, the progress
-    # panel's elapsed counter) are exempt
-    dynamic = {"run-btn", "override-input", "json-editor", "progress-elapsed"}
-    assert not (missing - dynamic), f"JS queries unknown ids: {missing - dynamic}"
+    assert not missing, f"JS queries unknown ids: {missing}"
 
     for src in sources.values():
         for mod in re.findall(r'from "\./(\w+)\.js"', src):
