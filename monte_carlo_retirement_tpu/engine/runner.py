@@ -46,6 +46,31 @@ SCAN_BUCKET_MONTHS = 60
 PROBE_WIDTH = 16
 
 
+def max_device_paths() -> int:
+    """Full-statistics path budget per device dispatch. Beyond it a run is
+    split into chunks (SURVEY §5's OOM guard): the full-mode kernel writes
+    ~(2L + R) * 4 bytes of yearly series per path to HBM, so 4M paths keep
+    a 70-year scenario's series under ~4 GB with comfortable headroom on a
+    16 GB chip."""
+    return int(os.environ.get("MCRT_MAX_DEVICE_PATHS", str(4 * 2**20)))
+
+
+def max_probe_paths() -> int:
+    """Probe-mode budget per dispatch (success/final vectors only — a few
+    bytes per path); chunked above it, merged as a weighted mean."""
+    return int(os.environ.get("MCRT_MAX_PROBE_PATHS", str(16 * 2**20)))
+
+
+def chunk_subsample_paths() -> int:
+    """Path count of the iid subsample that feeds the per-year band tables
+    (trajectory / real / withdrawal-rate percentiles) on a CHUNKED run.
+    Vector statistics (success, finals, histograms, ruin bins, counts) stay
+    exact over every path; the band tables of a >4M-path run are computed
+    from this many stratified paths — the same Monte Carlo band noise a
+    1M-path run already carries, at none of the multi-pass merge cost."""
+    return int(os.environ.get("MCRT_CHUNK_SUBSAMPLE", str(2**20)))
+
+
 def enable_persistent_compilation_cache() -> None:
     """Cache compiled executables on disk so fresh processes skip XLA compiles."""
     try:
@@ -322,18 +347,32 @@ class Engine:
             chunk = months[i : i + PROBE_WIDTH]
             padded = chunk + [chunk[-1]] * (PROBE_WIDTH - len(chunk))
             if probe_backend == "pallas":
-                from .pallas_kernel import pallas_probe
+                from .pallas_kernel import BLOCK_PATHS, pallas_probe
 
-                probs = pallas_probe(
-                    self.params,
-                    jnp.asarray(padded, dtype=jnp.int32),
-                    self._stream_seed(stream),
-                    n_candidates=PROBE_WIDTH,
-                    n_paths=int(num_simulations),
-                    retirement_years=self.retirement_years,
-                    n_streams=self.params.n_streams,
-                    statics=self.statics,
-                )
+                n_total = int(num_simulations)
+                budget = max(BLOCK_PATHS,
+                             (max_probe_paths() // BLOCK_PATHS) * BLOCK_PATHS)
+                # Beyond the per-dispatch budget, chunk over global path
+                # blocks (CRN/seeding identical to one dispatch) and merge
+                # as a path-count-weighted mean.
+                acc = None
+                offset = 0
+                for start in range(0, n_total, budget):
+                    cn = min(budget, n_total - start)
+                    part = pallas_probe(
+                        self.params,
+                        jnp.asarray(padded, dtype=jnp.int32),
+                        self._stream_seed(stream),
+                        n_candidates=PROBE_WIDTH,
+                        n_paths=cn,
+                        retirement_years=self.retirement_years,
+                        n_streams=self.params.n_streams,
+                        statics=self.statics,
+                        block_offset=jnp.asarray(offset, jnp.int32),
+                    ) * (cn / n_total)
+                    acc = part if acc is None else _add_jit(acc, part)
+                    offset += -(-cn // BLOCK_PATHS)
+                probs = acc
             elif probe_backend == "pallas_sharded":
                 from .pallas_kernel import pallas_probe_sharded
 
@@ -405,6 +444,11 @@ class Engine:
             pallas_traj_len = self._pallas_traj_len(working_months)
             if pallas_traj_len is None:
                 run_backend = "scan"
+        if run_backend == "pallas" and n > max_device_paths():
+            return self._run_chunked(
+                working_months, n, stream, reduced, pallas_traj_len,
+                sample_idx,
+            )
         t_start = time.perf_counter()
         if run_backend == "pallas" and reduced:
             # Serving fast path: kernel + every reduction in ONE device
@@ -543,6 +587,162 @@ class Engine:
         )
 
     # ------------------------------------------------------------------
+    # chunked full-statistics run (beyond the per-dispatch HBM budget)
+    # ------------------------------------------------------------------
+    def _run_chunked(
+        self, working_months, n, stream, reduced, traj_len, sample_idx,
+        interpret: bool = False,
+    ) -> RunResult:
+        """Split a full-statistics run into device-sized chunks and merge.
+
+        Chunk c simulates global path blocks [c*B, (c+1)*B) via the Pallas
+        kernel's global-block PRNG offsets (the same mechanism the sharded
+        path uses), so the union of chunks IS the unchunked run path for
+        path. Vector statistics — success, final balances, medians, SWR,
+        final-balance percentiles, the serving histograms/ruin bins,
+        per-year observation counts — are computed EXACTLY over all n
+        paths. The per-year band tables (trajectory/real/WR percentiles)
+        reduce over a stratified iid subsample of chunk_subsample_paths()
+        paths: band noise equal to a ~1M-path run's, with no multi-pass
+        chunk merge (see docs/NOTES.md)."""
+        from .pallas_kernel import FULL_BLOCK_ROWS, pallas_simulate_full
+
+        t_start = time.perf_counter()
+        block = FULL_BLOCK_ROWS * 128
+        chunk_paths = max(block, (max_device_paths() // block) * block)
+        n_chunks = -(-n // chunk_paths)
+        n_sub = min(n, chunk_subsample_paths())
+        seed = self._stream_seed(stream)
+        w = jnp.asarray(working_months, dtype=jnp.int32)
+
+        vec_names = (
+            "success", "final_balance", "start_balance", "years_to_ruin",
+            "first_year_gross", "first_year_real_gross",
+            "inflation_at_retirement",
+        )
+        vec_parts = {name: [] for name in vec_names}
+        traj_parts, price_parts, wr_parts = [], [], []
+        wr_counts_acc = None
+        block_offset = 0
+        sub_taken = 0
+        for c in range(n_chunks):
+            start = c * chunk_paths
+            cn = min(chunk_paths, n - start)
+            full = pallas_simulate_full(
+                self.params, w, seed,
+                n_paths=cn,
+                retirement_years=self.retirement_years,
+                n_streams=self.params.n_streams,
+                statics=self.statics,
+                traj_len=traj_len,
+                interpret=interpret,
+                block_offset=jnp.asarray(block_offset, jnp.int32),
+            )
+            block_offset += -(-cn // block)
+            for name in vec_names:
+                vec_parts[name].append(full[name][:cn])
+            cnt = _wr_counts_jit(full["withdrawal_rates"][:cn])
+            wr_counts_acc = cnt if wr_counts_acc is None else (
+                _add_jit(wr_counts_acc, cnt)
+            )
+            # Stratified subsample: the chunk's leading paths (paths are
+            # iid by construction, so any fixed slice is unbiased).
+            want = min(n_sub - sub_taken,
+                       -(-n_sub * cn // n))  # proportional share, ceil
+            if want > 0:
+                take = min(cn, want)
+                traj_parts.append(full["trajectory"][:take])
+                price_parts.append(full["price_levels"][:take])
+                wr_parts.append(full["withdrawal_rates"][:take])
+                sub_taken += take
+            # Synchronize before dispatching the next chunk: output buffers
+            # are allocated at DISPATCH time, so letting every chunk queue
+            # up asynchronously would hold n_chunks x ~GBs of yearly series
+            # live at once — the exact OOM this path exists to avoid. The
+            # barrier caps live series at one chunk (plus the small slices
+            # kept above).
+            del full
+            jax.block_until_ready(cnt)
+            log.info("phase=chunked_run chunk=%d/%d paths=%d: %.3f s",
+                     c + 1, n_chunks, cn, time.perf_counter() - t_start)
+
+        vecs = {k: jnp.concatenate(v) for k, v in vec_parts.items()}
+        sub_traj = jnp.concatenate(traj_parts)
+        sub_price = jnp.concatenate(price_parts)
+        sub_wr = jnp.concatenate(wr_parts)
+        summary, dev_bins = _chunked_summary_jit(
+            vecs, sub_traj, sub_price, sub_wr, wr_counts_acc, sample_idx,
+            r_years=self.retirement_years, reduced=reduced,
+        )
+        jax.block_until_ready(summary.success_probability)
+        log.info(
+            "phase=final_run backend=pallas_chunked paths=%d months=%d "
+            "chunks=%d subsample=%d reduced=%s: %.3f s",
+            n, int(working_months), n_chunks, sub_taken, reduced,
+            time.perf_counter() - t_start,
+        )
+        L = expected_trajectory_length(
+            int(working_months), self.retirement_years
+        )
+        bins = None
+        if reduced:
+            bins = HostBins(
+                success_count=int(dev_bins.success_count),
+                finals_min_successful=float(dev_bins.finals_min_successful),
+                finals_max_successful=float(dev_bins.finals_max_successful),
+                finals_hist_counts=np.asarray(dev_bins.finals_hist_counts),
+                finals_median_successful=float(
+                    dev_bins.finals_median_successful
+                ),
+                ruin_counts=np.asarray(dev_bins.ruin_counts),
+                ruin_max=float(dev_bins.ruin_max),
+                failure_count=int(dev_bins.failure_count),
+            )
+        return RunResult(
+            working_months=int(working_months),
+            num_simulations=n,
+            success=None if reduced else np.asarray(vecs["success"]) > 0.5,
+            final_balance=None if reduced else np.asarray(
+                vecs["final_balance"]
+            ),
+            start_balance=None if reduced else np.asarray(
+                vecs["start_balance"]
+            ),
+            years_to_ruin=None if reduced else np.asarray(
+                vecs["years_to_ruin"]
+            ),
+            first_year_gross=None if reduced else np.asarray(
+                vecs["first_year_gross"]
+            ),
+            first_year_real_gross=None if reduced else np.asarray(
+                vecs["first_year_real_gross"]
+            ),
+            inflation_at_retirement=None if reduced else np.asarray(
+                vecs["inflation_at_retirement"]
+            ),
+            bins=bins,
+            success_probability=float(summary.success_probability),
+            median_start_balance=float(summary.median_start_balance),
+            median_final_successful=float(summary.median_final_successful),
+            swr=float(summary.swr),
+            final_balance_percentiles=np.asarray(
+                summary.final_balance_percentiles
+            ),
+            trajectory_percentiles=np.asarray(
+                summary.trajectory_percentiles
+            )[:, :L],
+            real_trajectory_percentiles=np.asarray(
+                summary.real_trajectory_percentiles
+            )[:, :L],
+            sample_trajectories=np.asarray(summary.sample_trajectories)[:, :L],
+            sample_real_trajectories=np.asarray(
+                summary.sample_real_trajectories
+            )[:, :L],
+            wr_percentiles=np.asarray(summary.wr_percentiles),
+            wr_observation_counts=np.asarray(summary.wr_observation_counts),
+        )
+
+    # ------------------------------------------------------------------
     # single-path inspection (tests / debugging)
     # ------------------------------------------------------------------
     def run_path(self, working_months: int, stream: str = "final") -> dict:
@@ -628,7 +828,7 @@ _run_jit = jax.jit(
 )
 
 _summarize_jit = jax.jit(summarize)
-_serving_bins_jit = jax.jit(serving_bins)
+_serving_bins_jit = jax.jit(serving_bins, static_argnames=("r_years",))
 _summarize_serving_jit = jax.jit(
     lambda outs, sample_idx: (summarize(outs, sample_idx), serving_bins(outs))
 )
@@ -671,4 +871,62 @@ _pallas_full_reduced_jit = jax.jit(
     static_argnames=(
         "n_paths", "retirement_years", "n_streams", "statics", "traj_len",
     ),
+)
+
+
+_wr_counts_jit = jax.jit(lambda wr: jnp.sum(~jnp.isnan(wr), axis=0))
+_add_jit = jax.jit(lambda a, b: a + b)
+
+
+def _chunked_summary_impl(
+    vecs, sub_traj, sub_price, sub_wr, wr_counts, sample_idx, *, r_years,
+    reduced,
+):
+    """Merge-phase reduction of a chunked run: vector statistics over the
+    full concatenated vectors (exact), band tables over the stratified
+    subsample, with the exact per-year observation counts patched in."""
+    from ..ops.stats import (
+        RunSummary, series_summary, serving_bins, vector_summary,
+    )
+    from .kernel import PathOutputs
+
+    success = vecs["success"] > 0.5
+    (success_prob, median_start, median_final, swr,
+     final_pcts) = vector_summary(
+        success, vecs["final_balance"], vecs["start_balance"],
+        vecs["first_year_real_gross"],
+    )
+    (traj_pcts, real_pcts, samples, samples_real, wr_pcts,
+     _sub_counts) = series_summary(sub_traj, sub_price, sub_wr, sample_idx)
+    summary = RunSummary(
+        success_probability=success_prob,
+        median_start_balance=median_start,
+        median_final_successful=median_final,
+        swr=swr,
+        final_balance_percentiles=final_pcts,
+        trajectory_percentiles=traj_pcts,
+        real_trajectory_percentiles=real_pcts,
+        sample_trajectories=samples,
+        sample_real_trajectories=samples_real,
+        wr_percentiles=wr_pcts,
+        wr_observation_counts=wr_counts,
+    )
+    bins = None
+    if reduced:
+        outs_vec = PathOutputs(
+            success=success,
+            final_balance=vecs["final_balance"],
+            start_balance=vecs["start_balance"],
+            years_to_ruin=vecs["years_to_ruin"],
+            first_year_gross=vecs["first_year_gross"],
+            first_year_real_gross=vecs["first_year_real_gross"],
+            inflation_at_retirement=vecs["inflation_at_retirement"],
+            trajectory=None, price_levels=None, withdrawal_rates=None,
+        )
+        bins = serving_bins(outs_vec, r_years=r_years)
+    return summary, bins
+
+
+_chunked_summary_jit = jax.jit(
+    _chunked_summary_impl, static_argnames=("r_years", "reduced")
 )

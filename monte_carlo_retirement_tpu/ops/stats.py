@@ -69,42 +69,51 @@ class ServingBins(NamedTuple):
     failure_count: jnp.ndarray  # scalar int — failed paths with finite ruin
 
 
-def summarize(outs, sample_idx: jnp.ndarray) -> RunSummary:
-    """Reduce a PathOutputs batch to percentile tables and headline scalars."""
-    success = outs.success
-    final = outs.final_balance
-    start = outs.start_balance
-
+def vector_summary(success, final, start, first_year_real_gross):
+    """Headline scalars + final-balance percentiles from per-path vectors.
+    Returns (success_prob, median_start, median_final_successful, swr,
+    final_pcts)."""
     success_prob = jnp.mean(success.astype(jnp.float32)) * 100.0
-
     median_start = masked_median(start)
     median_final_successful = masked_median(final, valid=success)
-
     start_ok = start > EPS
-    rates = outs.first_year_real_gross / jnp.maximum(start, EPS) * 100.0
+    rates = first_year_real_gross / jnp.maximum(start, EPS) * 100.0
     swr = masked_median(rates, valid=start_ok)
-
     final_pcts = exact_quantiles(
         final[:, None], jnp.asarray(FINAL_BALANCE_PERCENTILES)
     )[:, 0]
+    return success_prob, median_start, median_final_successful, swr, final_pcts
 
-    traj = outs.trajectory
-    price = outs.price_levels
+
+def series_summary(traj, price, wr, sample_idx):
+    """Per-year percentile tables + sample paths from the (n, L)/(n, R)
+    series. Returns (traj_pcts, real_pcts, samples, samples_real, wr_pcts,
+    wr_counts)."""
     real = jnp.where(price > EPS, traj / jnp.maximum(price, EPS), 0.0)
     traj_q = jnp.asarray(TRAJECTORY_PERCENTILES)
     traj_pcts = exact_quantiles(traj, traj_q)
     real_pcts = exact_quantiles(real, traj_q)
-
     samples = traj[sample_idx]
     samples_real = real[sample_idx]
-
-    wr = outs.withdrawal_rates
     wr_valid = ~jnp.isnan(wr)
     wr_pcts = exact_quantiles(
         wr, jnp.asarray(WITHDRAWAL_RATE_PERCENTILES), valid=wr_valid
     )
     wr_counts = jnp.sum(wr_valid, axis=0)
+    return traj_pcts, real_pcts, samples, samples_real, wr_pcts, wr_counts
 
+
+def summarize(outs, sample_idx: jnp.ndarray) -> RunSummary:
+    """Reduce a PathOutputs batch to percentile tables and headline scalars."""
+    (success_prob, median_start, median_final_successful, swr,
+     final_pcts) = vector_summary(
+        outs.success, outs.final_balance, outs.start_balance,
+        outs.first_year_real_gross,
+    )
+    (traj_pcts, real_pcts, samples, samples_real, wr_pcts,
+     wr_counts) = series_summary(
+        outs.trajectory, outs.price_levels, outs.withdrawal_rates, sample_idx
+    )
     return RunSummary(
         success_probability=success_prob,
         median_start_balance=median_start,
@@ -120,7 +129,7 @@ def summarize(outs, sample_idx: jnp.ndarray) -> RunSummary:
     )
 
 
-def serving_bins(outs) -> ServingBins:
+def serving_bins(outs, r_years: int | None = None) -> ServingBins:
     """Reduce the dashboard's histogram payloads on device.
 
     Replicates hosts/payload.bin_successful_finals and bin_years_to_ruin
@@ -150,9 +159,11 @@ def serving_bins(outs) -> ServingBins:
     hist_median = upper_median(final, success)
 
     ytr = outs.years_to_ruin
-    # R from the withdrawal-rate table width (static); ruin years lie in
-    # [0, R], so R+1 integer bins cover every value incl. an exact == R.
-    r_years = outs.withdrawal_rates.shape[1]
+    # R from the withdrawal-rate table width (static) unless given; ruin
+    # years lie in [0, R], so R+1 integer bins cover every value incl. an
+    # exact == R.
+    if r_years is None:
+        r_years = outs.withdrawal_rates.shape[1]
     failed = (~success) & ~jnp.isnan(ytr)
     ridx = jnp.minimum(r_years, jnp.floor(ytr).astype(jnp.int32))
     r_onehot = ridx[:, None] == jnp.arange(r_years + 1, dtype=jnp.int32)[None, :]

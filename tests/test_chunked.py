@@ -1,0 +1,137 @@
+"""Path-count chunking: a run split over device-sized chunks must equal the
+single-dispatch run (SURVEY §5's HBM OOM guard, VERDICT r2 item 5).
+
+The Pallas kernels seed shocks by GLOBAL block id, so chunk c with
+block_offset c*B simulates exactly the paths the unchunked run would; these
+tests pin that equality in interpret mode on tiny budgets.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import make_config
+from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+    BLOCK_PATHS,
+    FULL_BLOCK_ROWS,
+    pallas_probe,
+    pallas_simulate_full,
+)
+from monte_carlo_retirement_tpu.engine.runner import Engine
+
+BLOCK = FULL_BLOCK_ROWS * 128
+
+
+def _engine(**overrides):
+    cfg = make_config(retirement_years=2, seed=11, **overrides)
+    return Engine(cfg, dtype=jnp.float32)
+
+
+def _unchunked_reference(eng, w, n, traj_len):
+    full = pallas_simulate_full(
+        eng.params, jnp.asarray(w, jnp.int32), eng._stream_seed("final"),
+        n_paths=n, retirement_years=eng.retirement_years,
+        n_streams=eng.params.n_streams, statics=eng.statics,
+        traj_len=traj_len, interpret=True,
+    )
+    return {k: np.asarray(v[:n]) for k, v in full.items()}
+
+
+def test_chunked_run_equals_single_dispatch(monkeypatch):
+    """Two chunks with full subsampling reproduce every field of the
+    unchunked run bit for bit."""
+    monkeypatch.setenv("MCRT_MAX_DEVICE_PATHS", str(BLOCK))
+    monkeypatch.setenv("MCRT_CHUNK_SUBSAMPLE", str(2 * BLOCK))
+    eng = _engine()
+    n, w = 2 * BLOCK, 6
+    traj_len = eng._pallas_traj_len(w)
+    sample_idx = jnp.arange(5, dtype=jnp.int32)
+
+    res = eng._run_chunked(
+        w, n, "final", False, traj_len, sample_idx, interpret=True
+    )
+
+    ref = _unchunked_reference(eng, w, n, traj_len)
+    np.testing.assert_array_equal(res.success, ref["success"] > 0.5)
+    np.testing.assert_array_equal(res.final_balance, ref["final_balance"])
+    np.testing.assert_array_equal(res.start_balance, ref["start_balance"])
+
+    # Band tables over the full subsample == exact tables of the same data.
+    from monte_carlo_retirement_tpu.ops.quantiles import exact_quantiles
+
+    want = np.asarray(exact_quantiles(
+        jnp.asarray(ref["trajectory"]),
+        jnp.asarray([0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95],
+                    dtype=jnp.float32),
+    ))
+    L = res.trajectory_percentiles.shape[1]
+    np.testing.assert_array_equal(res.trajectory_percentiles, want[:, :L])
+    np.testing.assert_array_equal(
+        res.wr_observation_counts,
+        (~np.isnan(ref["withdrawal_rates"])).sum(axis=0),
+    )
+
+
+def test_chunked_reduced_bins_exact(monkeypatch):
+    """Reduced mode on a chunked run: serving bins computed from the merged
+    vectors equal the single-dispatch bins."""
+    monkeypatch.setenv("MCRT_MAX_DEVICE_PATHS", str(BLOCK))
+    monkeypatch.setenv("MCRT_CHUNK_SUBSAMPLE", str(BLOCK // 2))
+    # Spend enough that a visible share of paths fail (non-trivial bins):
+    # 24 months x $5.5k indexed needs ~$135k against $120k at t=0.
+    eng = _engine(initial_balance=120_000.0, monthly_expenses=5_500.0)
+    n, w = 2 * BLOCK, 0
+    traj_len = eng._pallas_traj_len(w)
+    sample_idx = jnp.arange(5, dtype=jnp.int32)
+
+    res = eng._run_chunked(
+        w, n, "final", True, traj_len, sample_idx, interpret=True
+    )
+    assert res.success is None and res.bins is not None
+
+    ref = _unchunked_reference(eng, w, n, traj_len)
+    succ = ref["success"] > 0.5
+    assert res.bins.success_count == int(succ.sum())
+    assert 0 < res.bins.success_count < n
+    wins = ref["final_balance"][succ]
+    assert res.bins.finals_min_successful == pytest.approx(wins.min())
+    assert res.bins.finals_max_successful == pytest.approx(wins.max())
+    assert res.bins.finals_hist_counts.sum() == len(wins)
+    ytr = ref["years_to_ruin"]
+    failed = ~succ & ~np.isnan(ytr)
+    assert res.bins.failure_count == int(failed.sum())
+    assert res.success_probability == pytest.approx(succ.mean() * 100.0)
+    # Headline scalars are exact over ALL paths (not the subsample).
+    assert res.median_start_balance == pytest.approx(
+        np.median(ref["start_balance"]), rel=1e-6
+    )
+    # Band tables come from the subsample: statistically close, not equal.
+    assert res.trajectory_percentiles.shape[0] == 7
+
+
+def test_chunked_probe_weighted_merge():
+    """The probe's chunk merge (weighted mean over global-block chunks)
+    equals the single-dispatch probability."""
+    eng = _engine()
+    months = jnp.asarray([0, 6, 12, 18] * 4, dtype=jnp.int32)
+    n = 2 * BLOCK_PATHS
+    kwargs = dict(
+        n_candidates=16, retirement_years=eng.retirement_years,
+        n_streams=eng.params.n_streams, statics=eng.statics, interpret=True,
+    )
+    whole = np.asarray(pallas_probe(
+        eng.params, months, eng._stream_seed("search"), n_paths=n, **kwargs
+    ))
+    part0 = np.asarray(pallas_probe(
+        eng.params, months, eng._stream_seed("search"),
+        n_paths=BLOCK_PATHS, block_offset=jnp.asarray(0, jnp.int32),
+        **kwargs,
+    ))
+    part1 = np.asarray(pallas_probe(
+        eng.params, months, eng._stream_seed("search"),
+        n_paths=BLOCK_PATHS, block_offset=jnp.asarray(1, jnp.int32),
+        **kwargs,
+    ))
+    merged = 0.5 * part0 + 0.5 * part1
+    np.testing.assert_allclose(merged, whole, atol=1e-4)
