@@ -344,6 +344,141 @@ def test_grid_stream_client(fe):
     assert events[1][1]["total_scenarios"] == 2
 
 
+ALL_MODULES = ["charts.js", "views.js", "api.js", "editor.js", "app.js"]
+
+
+class _RoutedFetch:
+    """URL-routing fetch stub: default config, validate, SSE simulate."""
+
+    def __init__(self, default_config, sse_frames, validate_ok=True):
+        self.default_config = default_config
+        self.sse_frames = sse_frames
+        self.validate_ok = validate_ok
+        self.calls = []
+
+    def __call__(self, url, opts=None):
+        self.calls.append(str(url))
+        if url.endswith("/api/config/default"):
+            return _JsonResponse(self.default_config)
+        if url.endswith("/api/validate"):
+            if self.validate_ok:
+                return _JsonResponse({"valid": True, "scenario": "t"})
+            return _Response([], ok=False, status=422, text="bad config")
+        if url.endswith("/stream"):
+            return _Response(list(self.sse_frames))
+        return _Response([], ok=False, status=404, text="not found")
+
+
+class _JsonResponse:
+    def __init__(self, data):
+        self.ok = True
+        self.status = 200.0
+        self._d = data
+
+    def json(self):
+        return self._d
+
+    def text(self):
+        import json as _j
+
+        return _j.dumps(self._d)
+
+
+def test_full_app_boot_and_simulation_flow(result_payload):
+    """The COMPLETE user flow, executed: index.html + all five modules
+    boot, the editor renders the fetched default config, the user sets an
+    override and clicks Run, SSE progress streams in, and every result
+    card lands in the DOM."""
+    import json as _j
+
+    default_cfg = base_config_dict(num_simulations_main=64,
+                                   retirement_years=6)
+    frames = [
+        'data: {"type": "phase", "phase": "final_sim", "message": "go"}\n\n',
+        "data: " + _j.dumps({"type": "result", "data": result_payload})
+        + "\n\n",
+    ]
+    fetch = _RoutedFetch(_floatify(default_cfg), frames)
+    fe = load_frontend(ALL_MODULES, fetch=fetch, load_page=True)
+    doc = fe.document
+
+    # Boot: editor form rendered from the fetched default scenario.
+    editor_el = doc.getElementById("config-editor")
+    assert "Initial balance" in editor_el.textContent
+    assert any(u.endswith("/api/config/default") for u in fetch.calls)
+
+    # The user overrides the working months and runs.
+    override = doc.getElementById("override-input")
+    assert override is not None
+    override.value = "18"
+    run_btn = doc.getElementById("run-btn")
+    run_btn.dispatch(fe.interp, "click")
+
+    # Validate + stream both happened.
+    assert any(u.endswith("/api/validate") for u in fetch.calls)
+    assert any(u.endswith("/api/simulate/stream") for u in fetch.calls)
+
+    results = doc.getElementById("results")
+    titles = [h.textContent for h in results.getElementsByTagName("h3")]
+    assert "Summary" in titles
+    assert "Portfolio trajectory" in titles
+    assert "Final balance distribution" in titles
+    assert doc.getElementById("empty-state").className == "hidden"
+    # run finished: progress panel hidden again, button re-enabled
+    assert doc.getElementById("progress-panel").className.endswith("hidden")
+    assert run_btn.disabled is False
+
+
+def test_app_surfaces_validation_error(result_payload):
+    default_cfg = base_config_dict()
+    fetch = _RoutedFetch(_floatify(default_cfg), [], validate_ok=False)
+    fe = load_frontend(ALL_MODULES, fetch=fetch, load_page=True)
+    doc = fe.document
+    doc.getElementById("run-btn").dispatch(fe.interp, "click")
+    err = doc.getElementById("config-editor").querySelector(".error-box")
+    assert err is not None and "bad config" in err.textContent
+    # no stream attempted, no results rendered
+    assert not any(u.endswith("/stream") for u in fetch.calls)
+    assert doc.getElementById("results").children == []
+
+
+def test_app_grid_panel_flow():
+    import json as _j
+
+    grid_result = {
+        "scenario": "t", "num_paths": 48.0, "total_scenarios": 2.0,
+        "rows": [
+            {"name": "base", "working_months": 6.0,
+             "success_probability": 97.5, "success_sigma": 0.2,
+             "median_final_balance": 1e6, "mean_final_balance": 1.1e6,
+             "final_balance_percentiles": {
+                 "p5": 1e5, "p25": 5e5, "p50": 1e6, "p75": 2e6, "p95": 4e6,
+             }},
+            {"name": "frugal", "working_months": 6.0,
+             "success_probability": 99.9, "success_sigma": 0.05,
+             "median_final_balance": 2e6, "mean_final_balance": 2.1e6,
+             "final_balance_percentiles": {
+                 "p5": 5e5, "p25": 1e6, "p50": 2e6, "p75": 3e6, "p95": 5e6,
+             }},
+        ],
+    }
+    frames = [
+        'data: {"type": "grid_chunk", "done": 1, "total": 2}\n\n',
+        'data: {"type": "grid_chunk", "done": 2, "total": 2}\n\n',
+        "data: " + _j.dumps({"type": "result", "data": grid_result}) + "\n\n",
+    ]
+    fetch = _RoutedFetch(_floatify(base_config_dict()), frames)
+    fe = load_frontend(ALL_MODULES, fetch=fetch, load_page=True)
+    doc = fe.document
+    doc.getElementById("grid-run").dispatch(fe.interp, "click")
+    assert any(u.endswith("/api/grid/stream") for u in fetch.calls)
+    results = doc.getElementById("results")
+    assert "Scenario grid" in results.textContent
+    table = results.querySelector("table.grid-table")
+    assert len(table.getElementsByTagName("tr")) == 3  # header + 2 rows
+    assert "99.90%" in table.textContent
+
+
 def test_fmt_money_matches_display_rules(fe):
     fmt = fe.get("charts.js", "fmtMoney")
     call = fe.interp.call_function

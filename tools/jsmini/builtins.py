@@ -308,6 +308,11 @@ def _locale_number(num: float) -> str:
 def _dict_member(interp, obj: dict, name: str):
     if name in obj:
         return obj[name]
+    cls = obj.get("__jsclass__")
+    if cls is not None:
+        bound = cls.bind_method(name, obj)
+        if bound is not UNDEFINED:
+            return bound
     if name == "hasOwnProperty":
         return lambda k: js_str(k) in obj
     if name == "toString":
@@ -577,6 +582,105 @@ def make_globals(interp) -> Env:
             v.value if isinstance(v, Thenable) else v for v in arr
         ]),
     })
+    class JSSet:
+        def __init__(self, items=UNDEFINED):
+            self._items = []
+            if items is not UNDEFINED and items is not None:
+                for v in interp.js_iter(items):
+                    self.add(v)
+
+        @property
+        def size(self):
+            return float(len(self._items))
+
+        def has(self, v):
+            return any(strict_eq(x, v) for x in self._items)
+
+        def add(self, v):
+            if not self.has(v):
+                self._items.append(v)
+            return self
+
+        def delete(self, v):
+            for i, x in enumerate(self._items):
+                if strict_eq(x, v):
+                    self._items.pop(i)
+                    return True
+            return False
+
+        def clear(self):
+            self._items = []
+
+        def forEach(self, fn):
+            for v in list(self._items):
+                interp.call_function(fn, [v, v, self])
+
+        def values(self):
+            return list(self._items)
+
+        def __iter__(self):
+            return iter(self._items)
+
+    class JSMap:
+        def __init__(self, pairs=UNDEFINED):
+            self._keys = []
+            self._vals = []
+            if pairs is not UNDEFINED and pairs is not None:
+                for k, v in interp.js_iter(pairs):
+                    self.set(k, v)
+
+        @property
+        def size(self):
+            return float(len(self._keys))
+
+        def _find(self, k):
+            for i, x in enumerate(self._keys):
+                if strict_eq(x, k):
+                    return i
+            return -1
+
+        def has(self, k):
+            return self._find(k) >= 0
+
+        def get(self, k):
+            i = self._find(k)
+            return self._vals[i] if i >= 0 else UNDEFINED
+
+        def set(self, k, v):
+            i = self._find(k)
+            if i >= 0:
+                self._vals[i] = v
+            else:
+                self._keys.append(k)
+                self._vals.append(v)
+            return self
+
+        def delete(self, k):
+            i = self._find(k)
+            if i >= 0:
+                self._keys.pop(i)
+                self._vals.pop(i)
+                return True
+            return False
+
+        def keys(self):
+            return list(self._keys)
+
+        def values(self):
+            return list(self._vals)
+
+        def entries(self):
+            return [[k, v] for k, v in zip(self._keys, self._vals)]
+
+        def forEach(self, fn):
+            for k, v in zip(list(self._keys), list(self._vals)):
+                interp.call_function(fn, [v, k, self])
+
+        def __iter__(self):
+            return iter([[k, v] for k, v in zip(self._keys, self._vals)])
+
+    env.declare("Set", _HostCtor(lambda items=UNDEFINED: JSSet(items), "Set"))
+    env.declare("Map", _HostCtor(lambda pairs=UNDEFINED: JSMap(pairs), "Map"))
     env.declare("Date", _HostCtor(lambda *a: {"_date": True}, "Date"))
     env.vars["Date"].now = lambda: 0.0
 

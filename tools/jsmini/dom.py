@@ -239,6 +239,13 @@ class Element:
         if slot not in (None, UNDEFINED):
             interp.call_function(slot, [event])
 
+    def contains(self, node):
+        while node is not None and node is not UNDEFINED:
+            if node is self:
+                return True
+            node = getattr(node, "parentNode", None)
+        return False
+
     # --------------------------------------------------------------- lookup
     def getElementsByTagName(self, tag):
         tag = js_str(tag).lower()
@@ -387,6 +394,19 @@ class Document:
         self.body = Element("body", self)
         self.documentElement.appendChild(self.head)
         self.documentElement.appendChild(self.body)
+        self._listeners: Dict[str, list] = {}
+
+    def load(self, markup: str):
+        """Replace the tree with a parsed page (e.g. the real index.html)."""
+        for node in parse_fragment(markup, self):
+            if isinstance(node, Element) and node._tag.lower() == "html":
+                self.documentElement = node
+                heads = node.getElementsByTagName("head")
+                bodies = node.getElementsByTagName("body")
+                self.head = heads[0] if heads else Element("head", self)
+                self.body = bodies[0] if bodies else Element("body", self)
+                return
+        raise ValueError("document markup has no <html> element")
 
     def createElement(self, tag):
         return Element(js_str(tag), self)
@@ -417,5 +437,13 @@ class Document:
     def querySelectorAll(self, selector):
         return self.documentElement.querySelectorAll(selector)
 
-    def addEventListener(self, *_):
-        pass
+    def addEventListener(self, name, handler, *_):
+        self._listeners.setdefault(js_str(name), []).append(handler)
+
+    def dispatch(self, interp, name: str, event: Optional[dict] = None):
+        event = event or {}
+        event.setdefault("type", name)
+        event.setdefault("target", self.body)
+        event.setdefault("preventDefault", lambda *_: UNDEFINED)
+        for fn in self._listeners.get(name, []):
+            interp.call_function(fn, [event])

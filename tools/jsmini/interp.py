@@ -101,6 +101,42 @@ class JSFunction:
         return f"[function {self.name or 'anonymous'}]"
 
 
+class JSClass:
+    """A class value: constructor + prototype methods + statics.
+
+    Instances are ordinary dicts carrying a hidden __jsclass__ slot so
+    member lookup can fall through to bound prototype methods."""
+
+    def __init__(self, name, methods, statics, interp):
+        self.name = name or ""
+        self.methods = methods  # {name: JSFunction}
+        self.statics = statics  # {name: JSFunction}
+        self._interp = interp
+
+    def __js_construct__(self, *args):
+        inst = {"__jsclass__": self}
+        ctor = self.methods.get("constructor")
+        if ctor is not None:
+            self._interp.call_function(ctor, list(args), inst)
+        return inst
+
+    def __js_get__(self, attr):
+        if attr in self.statics:
+            return self.statics[attr]
+        if attr == "name":
+            return self.name
+        return UNDEFINED
+
+    def __js_instancecheck__(self, v):
+        return isinstance(v, dict) and v.get("__jsclass__") is self
+
+    def bind_method(self, name, inst):
+        m = self.methods.get(name)
+        if m is None:
+            return UNDEFINED
+        return lambda *a: self._interp.call_function(m, list(a), inst)
+
+
 class JSRegExp:
     def __init__(self, body: str, flags: str):
         py_flags = 0
@@ -271,6 +307,15 @@ class Interpreter:
         return JSFunction(name, params, body, env, is_arrow, is_async,
                           expr_body, this_val)
 
+    def make_class(self, node, env) -> "JSClass":
+        _, name, members = node
+        methods = {}
+        statics = {}
+        for mname, is_static, fn_node in members:
+            fn = self.make_function(fn_node, env)
+            (statics if is_static else methods)[mname] = fn
+        return JSClass(name, methods, statics, self)
+
     # ---------------------------------------------------------- statements
     def exec_stmt(self, stmt, env):
         kind = stmt[0]
@@ -409,6 +454,9 @@ class Interpreter:
                                 self.exec_stmt(s, env)
             except _Break:
                 pass
+            return UNDEFINED
+        if kind == "class_decl":
+            env.declare(stmt[1], self.make_class(stmt, env))
             return UNDEFINED
         if kind == "export":
             return self.exec_stmt(stmt[1], env)

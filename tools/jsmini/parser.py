@@ -137,6 +137,8 @@ class Parser:
                 return self.try_stmt()
             if v == "switch":
                 return self.switch_stmt()
+            if v == "class":
+                return self.class_decl()
             if v == "export":
                 return self.export_stmt()
             if v == "import":
@@ -297,6 +299,37 @@ class Parser:
             cases.append((test, body))
         self.expect("}")
         return ("switch", disc, cases)
+
+    def class_decl(self):
+        self.expect("class")
+        name = None
+        if self.peek().kind == "ident":
+            name = self.next().value
+        if self.eat("extends"):
+            raise ParseError("class inheritance unsupported in jsmini")
+        self.expect("{")
+        methods = []  # (name, is_static, fn_node)
+        while not self.at("}"):
+            if self.eat(";"):
+                continue
+            is_static = False
+            if self.peek().value == "static" and self.peek(1).value != "(":
+                self.next()
+                is_static = True
+            name_t = self.next()
+            if name_t.kind not in ("ident", "keyword", "str"):
+                raise ParseError(
+                    f"bad class member at line {name_t.line}"
+                )
+            self.expect("(")
+            params = self.param_list()
+            body = self.block()
+            methods.append((
+                name_t.value, is_static,
+                ("fn", name_t.value, params, body, False, False, False),
+            ))
+        self.expect("}")
+        return ("class_decl", name, methods)
 
     def export_stmt(self):
         self.expect("export")

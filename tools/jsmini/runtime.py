@@ -67,6 +67,10 @@ class Window:
     def __init__(self, document: Document):
         self.document = document
         self.localStorage = LocalStorage()
+        self.innerWidth = 1280.0
+        self.innerHeight = 800.0
+        self.scrollX = 0.0
+        self.scrollY = 0.0
 
     def matchMedia(self, _query):
         return MediaQueryList(False)
@@ -82,6 +86,8 @@ def _exported_names(stmts) -> List[str]:
             continue
         inner = stmt[1]
         if inner[0] == "fn_decl":
+            names.append(inner[1])
+        elif inner[0] == "class_decl":
             names.append(inner[1])
         elif inner[0] == "decl":
             for pattern, _init in inner[2]:
@@ -114,6 +120,7 @@ def load_frontend(
     files: Optional[List[str]] = None,
     frontend_dir: Optional[str] = None,
     fetch=None,
+    load_page: bool = False,
 ) -> Frontend:
     """Execute the dashboard modules and return handles to their exports.
 
@@ -136,6 +143,9 @@ def load_frontend(
     interp = Interpreter()
     make_globals(interp)
     document = Document()
+    if load_page:
+        document.load(open(os.path.join(frontend_dir, "index.html"),
+                           encoding="utf-8").read())
     window = Window(document)
     css_vars = parse_css_vars(os.path.join(frontend_dir, "styles.css"))
 
