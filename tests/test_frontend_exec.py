@@ -479,6 +479,118 @@ def test_app_grid_panel_flow():
     assert "99.90%" in table.textContent
 
 
+def _boot(fetch=None, default=None):
+    fetch = fetch or _RoutedFetch(_floatify(default or base_config_dict()), [])
+    return load_frontend(ALL_MODULES, fetch=fetch, load_page=True)
+
+
+def _find_button(root, text):
+    for b in root.getElementsByTagName("button"):
+        if b.textContent == text:
+            return b
+    raise AssertionError(f"no button {text!r}")
+
+
+def test_editor_json_mode_roundtrip_and_error():
+    fe = _boot()
+    doc = fe.document
+    editor_el = doc.getElementById("config-editor")
+    _find_button(editor_el, "JSON").dispatch(fe.interp, "click")
+    ta = doc.getElementById("json-editor")
+    assert '"initial_balance"' in ta.value
+
+    # Corrupt JSON: switching back to Form must refuse and show the error.
+    ta.value = "{broken"
+    _find_button(editor_el, "Form").dispatch(fe.interp, "click")
+    assert doc.getElementById("json-editor") is not None  # still JSON mode
+    err = editor_el.querySelector(".error-box")
+    assert "Invalid JSON" in err.textContent
+
+    # Valid edit flows back into the form renderer.
+    import json as _j
+
+    cfg = _floatify(base_config_dict(monthly_expenses=3_333.0))
+    ta.value = _j.dumps(cfg)
+    _find_button(editor_el, "Form").dispatch(fe.interp, "click")
+    assert doc.getElementById("json-editor") is None
+    assert fe.interp.get_member(
+        fe.modules["app.js"].lookup("editor"), "config"
+    )["monthly_expenses"] == 3333.0
+
+    # Non-object JSON root is rejected with the dedicated message.
+    _find_button(editor_el, "JSON").dispatch(fe.interp, "click")
+    doc.getElementById("json-editor").value = "[1, 2]"
+    _find_button(editor_el, "Form").dispatch(fe.interp, "click")
+    assert "root must be a JSON object" in (
+        editor_el.querySelector(".error-box").textContent
+    )
+
+
+def test_editor_percent_and_int_field_semantics():
+    fe = _boot()
+    doc = fe.document
+    editor_el = doc.getElementById("config-editor")
+    editor = fe.modules["app.js"].lookup("editor")
+
+    inputs = editor_el.getElementsByTagName("input")
+    labels = editor_el.getElementsByTagName("label")
+    # Find "Inv1 return mean / yr" percent input: fraction shown as percent.
+    def input_for(label_text):
+        for lbl in labels:
+            if lbl.textContent.startswith(label_text):
+                field = lbl.parentNode
+                return field.getElementsByTagName("input")[0]
+        raise AssertionError(f"no field {label_text!r}")
+
+    # Open the Portfolio section is irrelevant for the stub DOM; the field
+    # exists regardless of <details> open state.
+    pct = input_for("Inv1 return mean / yr")
+    assert pct.value == "8"  # 0.08 displayed as percent
+    pct.value = "9.5"
+    pct.dispatch(fe.interp, "change")
+    assert fe.interp.get_member(editor, "config")["inv1_returns_mean"] == 0.095
+
+    # Int field rounds and rewrites its display.
+    years = input_for("Retirement years")
+    years.value = "10.7"
+    years.dispatch(fe.interp, "change")
+    assert years.value == "11"
+    assert fe.interp.get_member(editor, "config")["retirement_years"] == 11.0
+
+    # Clearing a required numeric field restores the last valid display.
+    exp = input_for("Monthly expenses")
+    before = exp.value
+    exp.value = ""
+    exp.dispatch(fe.interp, "change")
+    assert exp.value == before
+
+
+def test_editor_stream_add_remove_and_reset():
+    fe = _boot()
+    doc = fe.document
+    editor_el = doc.getElementById("config-editor")
+    editor = fe.modules["app.js"].lookup("editor")
+
+    _find_button(editor_el, "+ Add income stream").dispatch(fe.interp, "click")
+    editor_el = doc.getElementById("config-editor")
+    cfg = fe.interp.get_member(editor, "config")
+    assert len(cfg["other_income_streams"]) == 1
+    assert cfg["other_income_streams"][0]["name"] == "Stream 1"
+    assert "Stream 1" in editor_el.textContent
+
+    _find_button(editor_el, "Remove").dispatch(fe.interp, "click")
+    cfg = fe.interp.get_member(editor, "config")
+    assert cfg["other_income_streams"] == []
+
+    # Mutate a field, then Reset restores the fetched default.
+    _find_button(doc.getElementById("config-editor"), "+ Add income stream") \
+        .dispatch(fe.interp, "click")
+    _find_button(doc.getElementById("config-editor"), "Reset") \
+        .dispatch(fe.interp, "click")
+    cfg = fe.interp.get_member(editor, "config")
+    assert cfg["other_income_streams"] == []
+
+
 def test_fmt_money_matches_display_rules(fe):
     fmt = fe.get("charts.js", "fmtMoney")
     call = fe.interp.call_function
