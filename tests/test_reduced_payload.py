@@ -96,23 +96,59 @@ def test_device_bins_match_numpy_binning(case):
     assert _ruin_counts_from_device(bins) == bin_years_to_ruin(failed)
 
 
-def test_reduced_build_result_equals_pandas_path(monkeypatch):
-    """End to end on the real engine: the reduced assembly and the pandas
-    assembly of the same capped run produce the same response dict."""
-    monkeypatch.setenv("MCRT_MAX_RAW_PATHS", "10")
-    config = make_config(
+_EQUALITY_SCENARIOS = {
+    "plain": dict(
         num_simulations_main=64, retirement_years=8, seed=77,
         monthly_expenses=2_600.0,
-    )
+    ),
+    "streams_partial_year": dict(
+        num_simulations_main=48, retirement_years=6, seed=13,
+        monthly_expenses=3_100.0, current_age=44.3,
+        other_income_streams=[
+            {"name": "pension", "monthly_amount_today": 900.0,
+             "start_at_age": 50, "inflation_indexed": True,
+             "tax_rate": 0.1},
+            {"name": "rent", "monthly_amount_today": 400.0,
+             "start_at_age": 47, "duration_years": 4,
+             "inflation_indexed": False, "tax_rate": 0.0},
+        ],
+    ),
+    "realized_gains_tax": dict(
+        num_simulations_main=56, retirement_years=7, seed=5,
+        monthly_expenses=2_900.0,
+        inv1_use_realized_gains_tax_system=True,
+        inv1_realized_gains_tax_rate=0.2,
+        inv2_use_realized_gains_tax_system=True,
+        inv2_realized_gains_tax_rate=0.1,
+    ),
+    "annual_tax_heavy_failures": dict(
+        num_simulations_main=64, retirement_years=9, seed=31,
+        initial_balance=260_000.0, monthly_expenses=3_400.0,
+        inv1_annual_tax_on_gains_rate=0.25,
+        inv2_annual_tax_on_gains_rate=0.15,
+        equity_inflation_correlation=-0.4,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", sorted(_EQUALITY_SCENARIOS))
+@pytest.mark.parametrize("months", [0, 24, 31])
+def test_reduced_build_result_equals_pandas_path(monkeypatch, name, months):
+    """End to end on the real engine: the reduced assembly and the pandas
+    assembly of the same capped run produce the same response dict —
+    across tax systems, income streams, partial years and ruin-heavy
+    scenarios."""
+    monkeypatch.setenv("MCRT_MAX_RAW_PATHS", "10")
+    config = make_config(**_EQUALITY_SCENARIOS[name])
     sim = RetirementMonteCarloSimulator(config)
     sim.use_final_seeds()
-    reduced = build_result(config, sim, required_w_months=24)
+    reduced = build_result(config, sim, required_w_months=months)
     SimulationResponse.model_validate(reduced)
 
     sim2 = RetirementMonteCarloSimulator(config)
     sim2.use_final_seeds()
     pandas_capped = _build_result_pandas(
-        config, sim2, 24, search_curve=None, capped=True
+        config, sim2, months, search_curve=None, capped=True
     )
     SimulationResponse.model_validate(pandas_capped)
 
