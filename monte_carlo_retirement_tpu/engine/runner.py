@@ -352,27 +352,38 @@ class Engine:
                 n_total = int(num_simulations)
                 budget = max(BLOCK_PATHS,
                              (max_probe_paths() // BLOCK_PATHS) * BLOCK_PATHS)
-                # Beyond the per-dispatch budget, chunk over global path
-                # blocks (CRN/seeding identical to one dispatch) and merge
-                # as a path-count-weighted mean.
-                acc = None
-                offset = 0
-                for start in range(0, n_total, budget):
-                    cn = min(budget, n_total - start)
-                    part = pallas_probe(
-                        self.params,
-                        jnp.asarray(padded, dtype=jnp.int32),
-                        self._stream_seed(stream),
-                        n_candidates=PROBE_WIDTH,
-                        n_paths=cn,
-                        retirement_years=self.retirement_years,
-                        n_streams=self.params.n_streams,
-                        statics=self.statics,
-                        block_offset=jnp.asarray(offset, jnp.int32),
-                    ) * (cn / n_total)
-                    acc = part if acc is None else _add_jit(acc, part)
-                    offset += -(-cn // BLOCK_PATHS)
-                probs = acc
+                probe_kwargs = dict(
+                    n_candidates=PROBE_WIDTH,
+                    retirement_years=self.retirement_years,
+                    n_streams=self.params.n_streams,
+                    statics=self.statics,
+                )
+                months_arr = jnp.asarray(padded, dtype=jnp.int32)
+                seed = self._stream_seed(stream)
+                if n_total <= budget:
+                    # Single dispatch — no merge arithmetic (an eager
+                    # scalar multiply would cost a second tunnel
+                    # round-trip per probe call).
+                    probs = pallas_probe(
+                        self.params, months_arr, seed, n_paths=n_total,
+                        **probe_kwargs,
+                    )
+                else:
+                    # Beyond the per-dispatch budget, chunk over global
+                    # path blocks (CRN/seeding identical to one dispatch)
+                    # and merge as a path-count-weighted mean.
+                    acc = None
+                    offset = 0
+                    for start in range(0, n_total, budget):
+                        cn = min(budget, n_total - start)
+                        part = pallas_probe(
+                            self.params, months_arr, seed, n_paths=cn,
+                            block_offset=jnp.asarray(offset, jnp.int32),
+                            **probe_kwargs,
+                        ) * (cn / n_total)
+                        acc = part if acc is None else _add_jit(acc, part)
+                        offset += -(-cn // BLOCK_PATHS)
+                    probs = acc
             elif probe_backend == "pallas_sharded":
                 from .pallas_kernel import pallas_probe_sharded
 

@@ -260,7 +260,9 @@ async def grid(request: web.Request) -> web.Response:
                 f"request body must be a JSON object, got {type(body).__name__}"
             )
         req = GridRequest(**body)
-        prepared = prepare_grid(req)  # malformed variants are 422s
+        # Worker thread: a 4096-variant request validates thousands of
+        # pydantic configs — never on the event loop. Still a 422.
+        prepared = await asyncio.to_thread(prepare_grid, req)
     except (ValidationError, ValueError) as exc:
         raise web.HTTPUnprocessableEntity(text=f"Invalid grid request: {exc}")
 
@@ -294,7 +296,9 @@ async def grid_stream(request: web.Request) -> web.StreamResponse:
                 f"request body must be a JSON object, got {type(body).__name__}"
             )
         req = GridRequest(**body)
-        prepared = prepare_grid(req)  # malformed variants are 422s
+        # Worker thread: a 4096-variant request validates thousands of
+        # pydantic configs — never on the event loop. Still a 422.
+        prepared = await asyncio.to_thread(prepare_grid, req)
     except (ValidationError, ValueError) as exc:
         raise web.HTTPUnprocessableEntity(text=f"Invalid grid request: {exc}")
 
