@@ -12,6 +12,12 @@ Extra flags beyond the reference:
                     artifact; together with the config + seed it makes any
                     run exactly reproducible.
   --override N      skip the search and use N working months directly.
+  --grid PATH       scenario-grid mode: PATH is a JSON grid request (the
+                    /api/grid body without the base "config" key, which
+                    comes from the positional scenario file): {"variants":
+                    [{"name", "overrides"}...], "working_months": N | [N...],
+                    "num_paths"?, "chunk_size"?}. Prints a per-variant table
+                    and honors --json-out with the GridResponse payload.
 """
 
 from __future__ import annotations
@@ -49,10 +55,63 @@ def _parse_args(argv) -> argparse.Namespace:
                         help="write the full result payload JSON here")
     parser.add_argument("--override", type=int, default=None,
                         help="working months; skips the search phase")
+    parser.add_argument("--grid", default=None, metavar="PATH",
+                        help="scenario-grid request JSON; runs the grid "
+                             "instead of search+final")
     args = parser.parse_args(argv)
     if args.override is not None and args.override < 0:
         parser.error("--override must be a nonnegative month count")
     return args
+
+
+def _run_grid_mode(args, config_raw: dict) -> None:
+    """Scenario-grid CLI: one batched sweep, a table, optional JSON out."""
+    from .grid import GridRequest, GridResponse, prepare_grid, run_prepared_grid
+
+    try:
+        with open(args.grid, encoding="utf-8") as fh:
+            grid_raw = json.load(fh)
+    except (OSError, json.JSONDecodeError) as exc:
+        log.error("Could not read grid request %s: %s", args.grid, exc)
+        return
+    try:
+        request = GridRequest(**{"config": config_raw, **grid_raw})
+        prepared = prepare_grid(request)
+    except Exception as exc:
+        log.error("Invalid grid request: %s", exc)
+        return
+
+    def progress(event: dict) -> None:
+        log.info("grid progress: %d/%d variants (%.1fs)",
+                 event["done"], event["total"], event["elapsed_s"])
+
+    try:
+        result = run_prepared_grid(
+            prepared, request.chunk_size, progress_callback=progress
+        )
+    except ValueError as exc:
+        log.error("Grid cannot run: %s", exc)
+        return
+    payload = GridResponse.model_validate(result).model_dump(mode="json")
+
+    name_w = max(len(r["name"]) for r in payload["rows"]) + 2
+    log.info("--- Scenario grid: %d variants x %s paths ---",
+             payload["total_scenarios"], f"{payload['num_paths']:,}")
+    header = (f"{'variant':<{name_w}} {'months':>6} {'success':>9} "
+              f"{'±σ':>6} {'p5':>14} {'median':>14} {'p95':>14} {'mean':>14}")
+    log.info(header)
+    for r in payload["rows"]:
+        p = r["final_balance_percentiles"]
+        log.info(
+            f"{r['name']:<{name_w}} {r['working_months']:>6} "
+            f"{r['success_probability']:>8.2f}% {r['success_sigma']:>6.2f} "
+            f"{p['p5']:>14,.0f} {p['p50']:>14,.0f} {p['p95']:>14,.0f} "
+            f"{r['mean_final_balance']:>14,.0f}"
+        )
+    if args.json_out:
+        with open(args.json_out, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=2, allow_nan=False)
+        log.info("Grid payload written to %s", args.json_out)
 
 
 def main() -> None:
@@ -68,7 +127,8 @@ def main() -> None:
                  config_path)
     log.info("Loading configuration from: %s", config_path)
     try:
-        config = Config(**load_config_from_json(config_path))
+        config_raw = load_config_from_json(config_path)
+        config = Config(**config_raw)
         log.info(
             "Configuration for scenario '%s' loaded and validated successfully.",
             config.Nickname,
@@ -78,6 +138,10 @@ def main() -> None:
         return
     except Exception as exc:
         log.error("Configuration validation error: %s", exc, exc_info=True)
+        return
+
+    if args.grid is not None:
+        _run_grid_mode(args, config_raw)
         return
 
     log_input_parameters(config)

@@ -163,3 +163,61 @@ def test_cli_json_out_and_override(tmp_path, monkeypatch):
     assert parsed.summary.required_working_months == 13
     # --json-out must reuse the final batch, not re-run it for the payload.
     assert calls["n"] == 1
+
+
+def test_cli_grid_mode(tmp_path, monkeypatch):
+    """--grid: one batched sweep from a request file, table logged, JSON
+    payload written and schema-valid."""
+    import sys
+
+    from monte_carlo_retirement_tpu.hosts import cli
+    from monte_carlo_retirement_tpu.hosts.grid import GridResponse
+
+    cfg_path = tmp_path / "scenario.json"
+    cfg_path.write_text(json.dumps(base_config_dict(
+        scenario="grid cli", retirement_years=3, num_simulations_main=32,
+        seed=8,
+    )))
+    grid_path = tmp_path / "grid.json"
+    grid_path.write_text(json.dumps({
+        "variants": [
+            {"name": "base", "overrides": {}},
+            {"name": "frugal", "overrides": {"monthly_expenses": 1_000.0}},
+        ],
+        "working_months": 6,
+    }))
+    out_path = tmp_path / "grid_result.json"
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["cli", str(cfg_path), "--grid", str(grid_path),
+         "--json-out", str(out_path)],
+    )
+    cli.main()
+    payload = GridResponse.model_validate(json.loads(out_path.read_text()))
+    assert payload.total_scenarios == 2 and payload.num_paths == 32
+    assert payload.rows[1].success_probability >= payload.rows[0].success_probability
+    logs = list(tmp_path.glob("ret_proj_log_*.log"))
+    assert logs and "Scenario grid: 2 variants" in logs[0].read_text()
+    assert not list(tmp_path.glob("*.png"))  # grid mode plots nothing
+
+
+def test_cli_grid_mode_bad_request(tmp_path, monkeypatch):
+    import sys
+
+    from monte_carlo_retirement_tpu.hosts import cli
+
+    cfg_path = tmp_path / "scenario.json"
+    cfg_path.write_text(json.dumps(base_config_dict(seed=8)))
+    grid_path = tmp_path / "grid.json"
+    grid_path.write_text(json.dumps({
+        "variants": [{"overrides": {"monthly_expenses": -1}}],
+        "working_months": 0,
+    }))
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        sys, "argv", ["cli", str(cfg_path), "--grid", str(grid_path)],
+    )
+    cli.main()  # must not raise; logs the validation error
+    logs = list(tmp_path.glob("ret_proj_log_*.log"))
+    assert logs and "Invalid grid request" in logs[0].read_text()
