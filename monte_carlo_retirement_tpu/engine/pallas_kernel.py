@@ -496,6 +496,13 @@ def _make_kernel(
             out_traj[0] = zero_v + f(F_INIT_BAL)
             out_price[:] = jnp.ones((traj_len, rows, 128), jnp.float32)
             out_wr[:] = jnp.full((R, rows, 128), jnp.nan, jnp.float32)
+            # First-year withdrawals accumulate by read-modify-write on the
+            # output refs (their cap window is the first retirement year
+            # only); start_balance / inflation_at_retirement are stored once
+            # at the snapshot. Keeping all four OUT of the loop carry trims
+            # register pressure in the 600-iteration retirement loop.
+            out_fyg[:] = zero_v
+            out_fyr[:] = zero_v
 
         init = [b1_0, b1_0, b2_0, b2_0, zero_v + 1.0, zero_v + 1.0]
         if any_bills:
@@ -504,12 +511,10 @@ def _make_kernel(
         if track:
             init += [
                 zero_v + jnp.nan,            # years_to_ruin
-                zero_v + f(F_INIT_BAL),      # start_balance
-                zero_v + 1.0,                # inflation at retirement
                 zero_v,                      # yg (year gross)
-                zero_v,                      # yr (year real gross)
-                zero_v,                      # first-year gross
-                zero_v,                      # first-year real
+                zero_v,                      # yr (year gross in ret-$,
+                                             #     deflated; x infl_ret
+                                             #     applied at consumption)
             ]
         init = tuple(init)
 
@@ -571,16 +576,15 @@ def _make_kernel(
                     )
                 )
             if track:
-                total_rec = b1 + b2
-                infl_rec = infl
-                slot = jnp.clip(
-                    m // MONTHS_PER_YEAR, 0, traj_len - 1
-                ).astype(jnp.int32)
-
+                # Record-only work lives INSIDE the when: 11 of 12 months
+                # skip it entirely instead of computing-then-discarding.
                 @pl.when(m % MONTHS_PER_YEAR == 0)
                 def _():
-                    out_traj[pl.ds(slot, 1)] = total_rec[None]
-                    out_price[pl.ds(slot, 1)] = infl_rec[None]
+                    slot = jnp.clip(
+                        m // MONTHS_PER_YEAR, 0, traj_len - 1
+                    ).astype(jnp.int32)
+                    out_traj[pl.ds(slot, 1)] = (b1 + b2)[None]
+                    out_price[pl.ds(slot, 1)] = infl[None]
 
             st[0], st[1], st[2], st[3], st[4] = b1, c1, b2, c2, infl
             return tuple(st)
@@ -598,10 +602,13 @@ def _make_kernel(
                     jnp.where(killed, 0.0, st[i_track]) if any_bills
                     else st[i_track]
                 )  # years_to_ruin = 0 for pre-retirement failures
-                st[i_track + 1] = st[0] + st[2]   # start balance
-                st[i_track + 2] = st[4]           # inflation at retirement
                 total_rec = st[0] + st[2]
                 infl_rec = st[4]
+                # Retirement-start constants live in their output refs from
+                # here on; the retirement loop reads them back only on the
+                # rare record months.
+                out_start[:] = total_rec
+                out_inflret[:] = infl_rec
                 slot = jnp.clip(full_wy + 1, 0, traj_len - 1).astype(jnp.int32)
 
                 @pl.when(partial_wy == 1)
@@ -624,7 +631,7 @@ def _make_kernel(
             ret_idx = k - 1
             ret_idx_f = ret_idx.astype(jnp.float32)
             if track:
-                (ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r) = st[i_track:]
+                ytr, yg, yr = st[i_track:]
                 new_year = (ret_idx % MONTHS_PER_YEAR) == 0
                 yg = jnp.where(new_year, 0.0, yg)
                 yr = jnp.where(new_year, 0.0, yr)
@@ -715,7 +722,10 @@ def _make_kernel(
             if track:
                 gw = gross1 + gross2  # zero where target was masked off
                 yg = yg + gw
-                yr = yr + _rdiv(gw * infl_ret, jnp.maximum(price0, EPS))
+                # Deflated to T=0 dollars; the constant infl_ret factor
+                # (retirement-$ conversion) is applied where yr is consumed,
+                # saving a multiply per month and the infl_ret carry.
+                yr = yr + _rdiv(gw, jnp.maximum(price0, EPS))
 
             # --- monthly rebalance (gain fractions unchanged by the
             # proportional sale above, so the profiles are reusable)
@@ -773,45 +783,56 @@ def _make_kernel(
                 )
                 if any_bills:
                     ytr = jnp.where(settle_failed, jnp.float32(R), ytr)
-                year0 = (ret_idx // MONTHS_PER_YEAR) == 0
-                year_end = (k % MONTHS_PER_YEAR) == 0
-                cap_fy = (alive0_f > 0.5) & year0 & (dies_regular | year_end)
-                fy_g = jnp.where(cap_fy, yg, fy_g)
-                fy_r = jnp.where(cap_fy, yr, fy_r)
 
-                slot = jnp.clip(
-                    full_wy + partial_wy
-                    + (k + MONTHS_PER_YEAR - 1) // MONTHS_PER_YEAR,
-                    0, traj_len - 1,
-                ).astype(jnp.int32)
-                yslot = jnp.clip(
-                    k // MONTHS_PER_YEAR - 1, 0, R - 1
-                ).astype(jnp.int32)
-                total2 = b1 + b2
-                # Dead paths froze at death, so total2 is the at-death
-                # balance for deaths this year; older deaths pad zero.
-                death_k = jnp.round(ytr * MONTHS_PER_YEAR)
-                y_f = (k // MONTHS_PER_YEAR - 1).astype(jnp.float32)
-                died_this_year = (
-                    death_k > y_f * MONTHS_PER_YEAR + 0.5
-                ) & (death_k < k.astype(jnp.float32) + 0.5)
-                alive_now = alive_f > 0.5
-                wmask_rec = alive_now | died_this_year
-                value_rec = jnp.where(
-                    wmask_rec,
-                    jnp.where(alive_now, total2, jnp.maximum(0.0, total2)),
-                    0.0,
-                )
-                infl_rec = infl
-                wr_mask = (alive0_f > 0.5) & ~dies_regular
-                wr_value = jnp.where(
-                    start_bal > EPS,
-                    yr / jnp.maximum(start_bal, EPS) * 100.0,
-                    0.0,
-                )
+                # First-year withdrawal capture: k <= 12 IS the year-0
+                # window (ret_idx <= 11), so the whole subgraph is skipped
+                # for the other ~588 months of a 50-year retirement.
+                @pl.when(k <= MONTHS_PER_YEAR)
+                def _():
+                    year_end = (k % MONTHS_PER_YEAR) == 0
+                    cap_fy = (alive0_f > 0.5) & (dies_regular | year_end)
+                    out_fyg[:] = jnp.where(cap_fy, yg, out_fyg[:])
+                    out_fyr[:] = jnp.where(
+                        cap_fy, yr * out_inflret[:], out_fyr[:]
+                    )
 
+                # Record-only work (slots, death bookkeeping, recorded
+                # values) lives INSIDE the when: 11 of 12 months skip it.
                 @pl.when((k % MONTHS_PER_YEAR) == 0)
                 def _():
+                    slot = jnp.clip(
+                        full_wy + partial_wy
+                        + (k + MONTHS_PER_YEAR - 1) // MONTHS_PER_YEAR,
+                        0, traj_len - 1,
+                    ).astype(jnp.int32)
+                    yslot = jnp.clip(
+                        k // MONTHS_PER_YEAR - 1, 0, R - 1
+                    ).astype(jnp.int32)
+                    total2 = b1 + b2
+                    # Dead paths froze at death, so total2 is the at-death
+                    # balance for deaths this year; older deaths pad zero.
+                    death_k = jnp.round(ytr * MONTHS_PER_YEAR)
+                    y_f = (k // MONTHS_PER_YEAR - 1).astype(jnp.float32)
+                    died_this_year = (
+                        death_k > y_f * MONTHS_PER_YEAR + 0.5
+                    ) & (death_k < k.astype(jnp.float32) + 0.5)
+                    alive_now = alive_f > 0.5
+                    wmask_rec = alive_now | died_this_year
+                    value_rec = jnp.where(
+                        wmask_rec,
+                        jnp.where(
+                            alive_now, total2, jnp.maximum(0.0, total2)
+                        ),
+                        0.0,
+                    )
+                    start_bal = out_start[:]
+                    wr_mask = (alive0_f > 0.5) & ~dies_regular
+                    wr_value = jnp.where(
+                        start_bal > EPS,
+                        yr * out_inflret[:]
+                        / jnp.maximum(start_bal, EPS) * 100.0,
+                        0.0,
+                    )
                     old_t = out_traj[pl.ds(slot, 1)][0]
                     out_traj[pl.ds(slot, 1)] = jnp.where(
                         wmask_rec, value_rec, old_t
@@ -819,13 +840,13 @@ def _make_kernel(
                     # Unconditional: dead paths' infl froze at death, so this
                     # carries the at-death price level into post-death slots
                     # (reference padding, backend/simulation.py:902-937).
-                    out_price[pl.ds(slot, 1)] = infl_rec[None]
+                    out_price[pl.ds(slot, 1)] = infl[None]
                     old_w = out_wr[pl.ds(yslot, 1)][0]
                     out_wr[pl.ds(yslot, 1)] = jnp.where(
                         wr_mask, wr_value, old_w
                     )[None]
 
-                st[i_track:] = [ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r]
+                st[i_track:] = [ytr, yg, yr]
 
             st[0], st[1], st[2], st[3], st[4], st[5] = (
                 b1, c1, b2, c2, infl, alive_f
@@ -841,12 +862,10 @@ def _make_kernel(
             out_final.shape
         )
         if track:
-            ytr, start_bal, infl_ret, _yg, _yr, fy_g, fy_r = final[i_track:]
+            # start/inflret were stored at the snapshot; fy_g/fy_r
+            # accumulated in their refs during the year-0 window.
+            ytr, _yg, _yr = final[i_track:]
             out_ytr[:] = ytr.reshape(out_ytr.shape)
-            out_start[:] = start_bal.reshape(out_start.shape)
-            out_inflret[:] = infl_ret.reshape(out_inflret.shape)
-            out_fyg[:] = fy_g.reshape(out_fyg.shape)
-            out_fyr[:] = fy_r.reshape(out_fyr.shape)
 
     return kernel
 

@@ -72,7 +72,12 @@ def grid_statics(configs: Sequence[Config]):
 
 
 def stack_params(configs: Sequence[Config], dtype=jnp.float32) -> SimParams:
-    """Stack per-config SimParams into one struct-of-arrays pytree."""
+    """Stack per-config SimParams into one struct-of-arrays pytree.
+
+    Leaves are *numpy* arrays: stacking K configs on device costs ~25 K
+    small transfers through a remote-TPU tunnel, which dominated grid-chunk
+    prep time. jit consumers transfer the stacked pytree once at dispatch.
+    """
     if not configs:
         raise ValueError("scenario batch needs at least one config")
     r_years = {c.retirement_years for c in configs}
@@ -80,8 +85,8 @@ def stack_params(configs: Sequence[Config], dtype=jnp.float32) -> SimParams:
         raise ValueError(
             f"all configs must share retirement_years, got {sorted(r_years)}"
         )
-    per_config = [SimParams.from_config(c, dtype=dtype) for c in configs]
-    # Validate on the PRUNED stream count — SimParams.from_config drops
+    per_config = [SimParams.host_leaves(c, dtype=dtype) for c in configs]
+    # Validate on the PRUNED stream count — SimParams.host_leaves drops
     # zero-amount/zero-duration streams, so the raw config counts can match
     # while the stacked array shapes do not.
     n_streams = {p.n_streams for p in per_config}
@@ -91,7 +96,7 @@ def stack_params(configs: Sequence[Config], dtype=jnp.float32) -> SimParams:
             "streams after pruning zero-amount/zero-duration ones, got "
             f"counts {sorted(n_streams)}"
         )
-    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_config)
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *per_config)
 
 
 def run_scenario_batch(
@@ -179,6 +184,35 @@ _batch_jit = jax.jit(
 _grid_stats_jit = jax.jit(_grid_stats, static_argnames=("n_paths",))
 
 
+def _grid_chunk_impl(
+    params_batch, months, seed, *, n_scenarios, n_paths, retirement_years,
+    n_streams, statics,
+):
+    """One serving chunk as ONE device program: the Pallas (scenario,
+    path-block) grid kernel plus every per-scenario reduction. Fusing the
+    stats into the kernel dispatch halves the per-chunk round-trips through
+    a remote TPU tunnel (measured ~150 ms/chunk for the separate stats
+    dispatch + fetch at 16 x 1M); only the (k,)-sized tables leave the
+    device."""
+    from .pallas_kernel import _scenario_grid_call
+
+    succ, fin = _scenario_grid_call(
+        params_batch, months, seed,
+        n_scenarios=n_scenarios, n_paths=n_paths,
+        retirement_years=retirement_years, n_streams=n_streams,
+        statics=statics,
+    )
+    return _grid_stats(succ, fin, n_paths)
+
+
+_grid_chunk_jit = jax.jit(
+    _grid_chunk_impl,
+    static_argnames=(
+        "n_scenarios", "n_paths", "retirement_years", "n_streams", "statics",
+    ),
+)
+
+
 def _grid_stream_seed(seed: int) -> int:
     """Stable 31-bit Pallas PRNG seed for the grid's 'final' stream —
     the same derivation as Engine._stream_seed(stream='final')."""
@@ -239,42 +273,19 @@ def run_scenario_grid(
     done = 0
     t0 = time.perf_counter()
     out: Optional[ScenarioBatchResult] = None
-    for i in range(0, total, chunk_size):
-        chunk_cfgs = configs[i : i + chunk_size]
-        chunk_months = working_months[i : i + chunk_size]
-        k = len(chunk_cfgs)
-        if backend in ("pallas", "pallas_sharded"):
-            from .pallas_kernel import (
-                pallas_scenario_grid_raw,
-                pallas_scenario_grid_raw_sharded,
-            )
+    # Device chunks pipeline through a small in-flight window: the host
+    # preps and dispatches chunk i+1 while chunk i computes, and collects
+    # results in order. Each in-flight Pallas chunk holds two (k, n) f32
+    # intermediates (~128 MB at 16 x 1M), so the window stays small — this
+    # is NOT the unbounded async-queue pattern that wedged full-stats runs
+    # (those hold ~3 GB of series per dispatch; see docs/NOTES.md).
+    window = max(0, int(os.environ.get("MCRT_GRID_WINDOW", "2")))
+    pending: list = []  # (k, device stats tuple), oldest first
 
-            params = stack_params(chunk_cfgs, dtype=jnp.float32)
-            months = jnp.asarray(chunk_months, dtype=jnp.int32)
-            kwargs = dict(
-                n_scenarios=k,
-                n_paths=n,
-                retirement_years=R,
-                n_streams=int(params.stream_amount.shape[-1]),
-                statics=statics,
-            )
-            if backend == "pallas_sharded":
-                succ, fin = pallas_scenario_grid_raw_sharded(
-                    params, months, _grid_stream_seed(seed), mesh=mesh,
-                    **kwargs,
-                )
-            else:
-                succ, fin = pallas_scenario_grid_raw(
-                    params, months, _grid_stream_seed(seed), **kwargs
-                )
-            stats = _grid_stats_jit(succ, fin, n_paths=n)
-            chunk_res = ScenarioBatchResult(
-                *(np.asarray(v) for v in stats)
-            )
-        else:
-            chunk_res = run_scenario_batch(
-                chunk_cfgs, chunk_months, n, seed=seed, t_scan=horizon
-            )
+    def _collect_one():
+        nonlocal out, done
+        k, stats = pending.pop(0)
+        chunk_res = ScenarioBatchResult(*(np.asarray(v) for v in stats))
         out = chunk_res if out is None else out.concat(chunk_res)
         done += k
         if progress_callback is not None:
@@ -290,4 +301,45 @@ def run_scenario_grid(
             "phase=grid backend=%s scenarios=%d/%d paths=%d: %.3f s",
             backend, done, total, n, time.perf_counter() - t0,
         )
+
+    for i in range(0, total, chunk_size):
+        chunk_cfgs = configs[i : i + chunk_size]
+        chunk_months = working_months[i : i + chunk_size]
+        k = len(chunk_cfgs)
+        if backend in ("pallas", "pallas_sharded"):
+            from .pallas_kernel import (
+                _check_grid_statics,
+                pallas_scenario_grid_raw_sharded,
+            )
+
+            params = stack_params(chunk_cfgs, dtype=jnp.float32)
+            _check_grid_statics(params, statics)
+            months = np.asarray(chunk_months, dtype=np.int32)
+            kwargs = dict(
+                n_scenarios=k,
+                n_paths=n,
+                retirement_years=R,
+                n_streams=int(params.stream_amount.shape[-1]),
+                statics=statics,
+            )
+            if backend == "pallas_sharded":
+                succ, fin = pallas_scenario_grid_raw_sharded(
+                    params, months, _grid_stream_seed(seed), mesh=mesh,
+                    **kwargs,
+                )
+                stats = _grid_stats_jit(succ, fin, n_paths=n)
+            else:
+                stats = _grid_chunk_jit(
+                    params, months, _grid_stream_seed(seed), **kwargs
+                )
+            pending.append((k, stats))
+        else:
+            chunk_res = run_scenario_batch(
+                chunk_cfgs, chunk_months, n, seed=seed, t_scan=horizon
+            )
+            pending.append((k, tuple(chunk_res)))
+        while len(pending) > window:
+            _collect_one()
+    while pending:
+        _collect_one()
     return out

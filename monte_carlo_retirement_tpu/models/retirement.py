@@ -103,6 +103,18 @@ class SimParams(NamedTuple):
     @staticmethod
     def from_config(config: Config, dtype=jnp.float32) -> "SimParams":
         """Build the traced parameter pytree from a validated Config."""
+        host = SimParams.host_leaves(config, dtype=dtype)
+        return SimParams(*(jnp.asarray(leaf) for leaf in host))
+
+    @staticmethod
+    def host_leaves(config: Config, dtype=jnp.float32) -> "SimParams":
+        """The same parameter pytree with *numpy* leaves — no device ops.
+
+        Scenario grids stack hundreds of these per request; building them
+        host-side (and letting jit transfer the stacked result once at
+        dispatch) avoids ~25 small device transfers per config, which
+        dominated grid-chunk prep time through the remote TPU tunnel
+        (~0.3-0.5 s per 16-scenario chunk)."""
         mu1, s1 = arithmetic_to_log_params(
             config.inv1_returns_mean, config.inv1_returns_volatility
         )
@@ -134,7 +146,7 @@ class SimParams(NamedTuple):
         indexed = np.array([s.inflation_indexed for s in streams], dtype=bool)
         taxes = np.array([s.tax_rate for s in streams], dtype=np.float64)
 
-        f = lambda x: jnp.asarray(x, dtype=dtype)
+        f = lambda x: np.asarray(x, dtype=np.dtype(dtype))
         return SimParams(
             initial_balance=f(config.initial_balance),
             monthly_contribution=f(config.monthly_contribution),
@@ -152,11 +164,11 @@ class SimParams(NamedTuple):
             ann_tax2=f(config.inv2_annual_tax_on_gains_rate),
             real_tax1=f(config.inv1_realized_gains_tax_rate),
             real_tax2=f(config.inv2_realized_gains_tax_rate),
-            use_real1=jnp.asarray(config.inv1_use_realized_gains_tax_system),
-            use_real2=jnp.asarray(config.inv2_use_realized_gains_tax_system),
+            use_real1=np.asarray(config.inv1_use_realized_gains_tax_system),
+            use_real2=np.asarray(config.inv2_use_realized_gains_tax_system),
             stream_amount=f(amounts.reshape(n)),
             stream_months_from_t0=f(from_t0.reshape(n)),
             stream_duration_months=f(durations.reshape(n)),
-            stream_indexed=jnp.asarray(indexed.reshape(n)),
+            stream_indexed=indexed.reshape(n),
             stream_tax=f(taxes.reshape(n)),
         )
