@@ -186,7 +186,7 @@ _grid_stats_jit = jax.jit(_grid_stats, static_argnames=("n_paths",))
 
 def _grid_chunk_impl(
     params_batch, months, seed, *, n_scenarios, n_paths, retirement_years,
-    n_streams, statics,
+    n_streams, statics, interpret=False,
 ):
     """One serving chunk as ONE device program: the Pallas (scenario,
     path-block) grid kernel plus every per-scenario reduction. Fusing the
@@ -200,7 +200,7 @@ def _grid_chunk_impl(
         params_batch, months, seed,
         n_scenarios=n_scenarios, n_paths=n_paths,
         retirement_years=retirement_years, n_streams=n_streams,
-        statics=statics,
+        statics=statics, interpret=interpret,
     )
     return _grid_stats(succ, fin, n_paths)
 
@@ -209,6 +209,7 @@ _grid_chunk_jit = jax.jit(
     _grid_chunk_impl,
     static_argnames=(
         "n_scenarios", "n_paths", "retirement_years", "n_streams", "statics",
+        "interpret",
     ),
 )
 

@@ -251,3 +251,75 @@ def test_mixed_tax_systems_rejected_by_pallas_grid_only():
             n_scenarios=2, n_paths=4096, retirement_years=2, n_streams=0,
             statics=statics_from_config(realized), interpret=True,
         )
+
+
+def test_fused_grid_chunk_matches_raw_plus_stats():
+    """The serving path's fused chunk program (grid kernel + reductions in
+    one jit) must produce exactly what the two-dispatch form (raw kernel,
+    then _grid_stats) produces — same tracer, same reductions."""
+    import jax.numpy as jnp
+
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        pallas_scenario_grid_raw,
+        statics_from_config,
+    )
+    from monte_carlo_retirement_tpu.engine.scenario_batch import (
+        _grid_chunk_jit,
+        _grid_stats_jit,
+    )
+
+    cfgs = [
+        make_config(monthly_expenses=e, retirement_years=2, seed=11)
+        for e in (1_500.0, 5_000.0)
+    ]
+    batch = stack_params(cfgs, dtype=jnp.float32)
+    statics = statics_from_config(cfgs[0])
+    months = np.asarray([6, 6], np.int32)
+    kwargs = dict(
+        n_scenarios=2, n_paths=4096, retirement_years=2, n_streams=0,
+        statics=statics, interpret=True,
+    )
+    succ, fin = pallas_scenario_grid_raw(batch, months, 9, **kwargs)
+    expected = _grid_stats_jit(succ, fin, n_paths=4096)
+    fused = _grid_chunk_jit(batch, months, 9, **kwargs)
+    # success/median/sigma/percentiles are exact (value-space selection and
+    # exactly-representable counts); the mean may differ by reduction order
+    # across the two compiled programs.
+    for i, (a, b) in enumerate(zip(fused, expected)):
+        if i == 2:  # mean_final_balance
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6
+            )
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grid_pipeline_window_invariance(monkeypatch):
+    """run_scenario_grid's in-flight window only changes WHEN results are
+    collected, never their values, order, or the progress-event protocol."""
+    from monte_carlo_retirement_tpu.engine.scenario_batch import (
+        run_scenario_grid,
+    )
+
+    cfgs = [
+        make_config(monthly_expenses=e, retirement_years=3, seed=5)
+        for e in (1_000.0, 2_000.0, 3_000.0, 4_000.0, 5_000.0)
+    ]
+    months = [12, 12, 18, 18, 24]
+
+    def run_with(window):
+        monkeypatch.setenv("MCRT_GRID_WINDOW", str(window))
+        events = []
+        out = run_scenario_grid(
+            cfgs, months, 32, seed=2, chunk_size=2, backend="scan",
+            progress_callback=events.append,
+        )
+        return out, events
+
+    out0, ev0 = run_with(0)
+    out3, ev3 = run_with(3)
+    for a, b in zip(out0, out3):
+        np.testing.assert_array_equal(a, b)
+    assert [e["done"] for e in ev0] == [2, 4, 5]
+    assert [e["done"] for e in ev3] == [2, 4, 5]
+    assert all(e["type"] == "grid_chunk" for e in ev0 + ev3)
