@@ -138,6 +138,20 @@ def _round_up(value: int, multiple: int) -> int:
     return max(multiple, ((value + multiple - 1) // multiple) * multiple)
 
 
+def _host_bins(dev_bins) -> HostBins:
+    """ServingBins (numpy leaves, post-device_get) -> HostBins."""
+    return HostBins(
+        success_count=int(dev_bins.success_count),
+        finals_min_successful=float(dev_bins.finals_min_successful),
+        finals_max_successful=float(dev_bins.finals_max_successful),
+        finals_hist_counts=np.asarray(dev_bins.finals_hist_counts),
+        finals_median_successful=float(dev_bins.finals_median_successful),
+        ruin_counts=np.asarray(dev_bins.ruin_counts),
+        ruin_max=float(dev_bins.ruin_max),
+        failure_count=int(dev_bins.failure_count),
+    )
+
+
 class Engine:
     """Compiled Monte Carlo engine for one scenario configuration."""
 
@@ -539,46 +553,44 @@ class Engine:
             if reduced:
                 dev_bins = _serving_bins_jit(outs)
         jax.block_until_ready(summary.success_probability)
+        t_device = time.perf_counter() - t_start
+        # One batched host fetch for EVERYTHING the RunResult needs: the
+        # tunnel charges a ~30 ms round trip per transfer regardless of
+        # payload, so per-leaf np.asarray()/float() calls (~20 of them)
+        # used to dominate warm serving latency (~0.5 s of a 0.7 s run).
+        vec_fields = None
+        if not reduced:
+            vec_fields = (
+                outs.success, outs.final_balance, outs.start_balance,
+                outs.years_to_ruin, outs.first_year_gross,
+                outs.first_year_real_gross, outs.inflation_at_retirement,
+            )
+        summary, dev_bins, vec_fields = jax.device_get(
+            (summary, dev_bins if reduced else None, vec_fields)
+        )
         log.info(
             "phase=final_run backend=%s paths=%d months=%d t_scan=%d "
-            "reduced=%s: %.3f s",
+            "reduced=%s: %.3f s (device %.3f s)",
             run_backend,
             n,
             working_months,
             t_scan,
             reduced,
             time.perf_counter() - t_start,
+            t_device,
         )
         L = expected_trajectory_length(working_months, self.retirement_years)
-        bins = None
-        if reduced:
-            bins = HostBins(
-                success_count=int(dev_bins.success_count),
-                finals_min_successful=float(dev_bins.finals_min_successful),
-                finals_max_successful=float(dev_bins.finals_max_successful),
-                finals_hist_counts=np.asarray(dev_bins.finals_hist_counts),
-                finals_median_successful=float(
-                    dev_bins.finals_median_successful
-                ),
-                ruin_counts=np.asarray(dev_bins.ruin_counts),
-                ruin_max=float(dev_bins.ruin_max),
-                failure_count=int(dev_bins.failure_count),
-            )
-        fetch = None if reduced else np.asarray
+        bins = _host_bins(dev_bins) if reduced else None
         return RunResult(
             working_months=working_months,
             num_simulations=n,
-            success=fetch(outs.success) if fetch else None,
-            final_balance=fetch(outs.final_balance) if fetch else None,
-            start_balance=fetch(outs.start_balance) if fetch else None,
-            years_to_ruin=fetch(outs.years_to_ruin) if fetch else None,
-            first_year_gross=fetch(outs.first_year_gross) if fetch else None,
-            first_year_real_gross=(
-                fetch(outs.first_year_real_gross) if fetch else None
-            ),
-            inflation_at_retirement=(
-                fetch(outs.inflation_at_retirement) if fetch else None
-            ),
+            success=None if reduced else vec_fields[0],
+            final_balance=None if reduced else vec_fields[1],
+            start_balance=None if reduced else vec_fields[2],
+            years_to_ruin=None if reduced else vec_fields[3],
+            first_year_gross=None if reduced else vec_fields[4],
+            first_year_real_gross=None if reduced else vec_fields[5],
+            inflation_at_retirement=None if reduced else vec_fields[6],
             bins=bins,
             success_probability=float(summary.success_probability),
             median_start_balance=float(summary.median_start_balance),
@@ -686,6 +698,12 @@ class Engine:
             r_years=self.retirement_years, reduced=reduced,
         )
         jax.block_until_ready(summary.success_probability)
+        # Single batched host fetch (see Engine.run): one tunnel round trip
+        # for the summary, bins and (raw mode) the per-path vectors.
+        summary, dev_bins, vecs_h = jax.device_get(
+            (summary, dev_bins if reduced else None,
+             None if reduced else vecs)
+        )
         log.info(
             "phase=final_run backend=pallas_chunked paths=%d months=%d "
             "chunks=%d subsample=%d reduced=%s: %.3f s",
@@ -695,42 +713,21 @@ class Engine:
         L = expected_trajectory_length(
             int(working_months), self.retirement_years
         )
-        bins = None
-        if reduced:
-            bins = HostBins(
-                success_count=int(dev_bins.success_count),
-                finals_min_successful=float(dev_bins.finals_min_successful),
-                finals_max_successful=float(dev_bins.finals_max_successful),
-                finals_hist_counts=np.asarray(dev_bins.finals_hist_counts),
-                finals_median_successful=float(
-                    dev_bins.finals_median_successful
-                ),
-                ruin_counts=np.asarray(dev_bins.ruin_counts),
-                ruin_max=float(dev_bins.ruin_max),
-                failure_count=int(dev_bins.failure_count),
-            )
+        bins = _host_bins(dev_bins) if reduced else None
         return RunResult(
             working_months=int(working_months),
             num_simulations=n,
-            success=None if reduced else np.asarray(vecs["success"]) > 0.5,
-            final_balance=None if reduced else np.asarray(
-                vecs["final_balance"]
-            ),
-            start_balance=None if reduced else np.asarray(
-                vecs["start_balance"]
-            ),
-            years_to_ruin=None if reduced else np.asarray(
-                vecs["years_to_ruin"]
-            ),
-            first_year_gross=None if reduced else np.asarray(
-                vecs["first_year_gross"]
-            ),
-            first_year_real_gross=None if reduced else np.asarray(
-                vecs["first_year_real_gross"]
-            ),
-            inflation_at_retirement=None if reduced else np.asarray(
-                vecs["inflation_at_retirement"]
-            ),
+            success=None if reduced else vecs_h["success"] > 0.5,
+            final_balance=None if reduced else vecs_h["final_balance"],
+            start_balance=None if reduced else vecs_h["start_balance"],
+            years_to_ruin=None if reduced else vecs_h["years_to_ruin"],
+            first_year_gross=None if reduced else vecs_h["first_year_gross"],
+            first_year_real_gross=None if reduced else vecs_h[
+                "first_year_real_gross"
+            ],
+            inflation_at_retirement=None if reduced else vecs_h[
+                "inflation_at_retirement"
+            ],
             bins=bins,
             success_probability=float(summary.success_probability),
             median_start_balance=float(summary.median_start_balance),

@@ -132,7 +132,9 @@ def run_scenario_batch(
         retirement_years=R,
         dtype=dtype,
     )
-    return ScenarioBatchResult(*(np.asarray(v) for v in stats))
+    # jax.device_get batches the tree into ONE tunnel round trip; per-leaf
+    # np.asarray would pay ~30 ms per leaf (see docs/NOTES.md).
+    return ScenarioBatchResult(*jax.device_get(tuple(stats)))
 
 
 def _grid_stats(success_f32, final, n_paths: int):
@@ -286,7 +288,8 @@ def run_scenario_grid(
     def _collect_one():
         nonlocal out, done
         k, stats = pending.pop(0)
-        chunk_res = ScenarioBatchResult(*(np.asarray(v) for v in stats))
+        # One batched fetch per chunk (device_get), not one per table.
+        chunk_res = ScenarioBatchResult(*jax.device_get(tuple(stats)))
         out = chunk_res if out is None else out.concat(chunk_res)
         done += k
         if progress_callback is not None:
