@@ -53,6 +53,19 @@ export async function runGridStream(body, handlers) {
   return streamPost(`${BASE}/api/grid/stream`, body, handlers);
 }
 
+// Run a sensitivity analysis: body = {config, working_months, params?,
+// num_paths?}. Plain POST — the server batches all probes into one device
+// dispatch, so there is no incremental progress to stream.
+export async function runSensitivity(body) {
+  const resp = await fetch(`${BASE}/api/sensitivity`, {
+    method: "POST",
+    headers: { "content-type": "application/json" },
+    body: JSON.stringify(body),
+  });
+  if (!resp.ok) throw new Error(await resp.text());
+  return resp.json();
+}
+
 // Shared SSE-over-POST transport: frames "data: {json}\n\n", terminal event
 // type result|error; every transport failure routes through onError.
 async function streamPost(url, body, { onProgress, onResult, onError }) {

@@ -1,13 +1,13 @@
 // App shell: theme, SSE orchestration, progress panel, result rendering.
 
 import {
-  getDefaultConfig, hasOverride, runGridStream, runSimulationStream,
-  validateConfig,
+  getDefaultConfig, hasOverride, runGridStream, runSensitivity,
+  runSimulationStream, validateConfig,
 } from "./api.js";
 import { ConfigEditor } from "./editor.js";
 import {
-  gridCard, histogramCard, ruinCard, searchCurveCard, summaryCard,
-  trajectoryCard, withdrawalRateCard,
+  gridCard, histogramCard, ruinCard, searchCurveCard, sensitivityCard,
+  summaryCard, trajectoryCard, withdrawalRateCard,
 } from "./views.js";
 
 // ---------------------------------------------------------------- theme
@@ -68,7 +68,9 @@ function renderProgress() {
     ? "Searching for the minimum working period…"
     : phase === "grid"
       ? "Running scenario grid…"
-      : "Running final simulations…";
+      : phase === "sensitivity"
+        ? "Probing parameter sensitivities…"
+        : "Running final simulations…";
   let bar = "";
   if (phase === "grid" && gridProgress) {
     const frac = gridProgress.total
@@ -146,6 +148,13 @@ function renderGridResult(grid) {
   emptyState.classList.add("hidden");
   resultsDiv.innerHTML = "";
   resultsDiv.appendChild(gridCard(grid));
+}
+
+function renderSensitivityResult(sens) {
+  lastRenderFn = () => renderSensitivityResult(sens);
+  emptyState.classList.add("hidden");
+  resultsDiv.innerHTML = "";
+  resultsDiv.appendChild(sensitivityCard(sens));
 }
 
 // ------------------------------------------------------------------ run
@@ -302,8 +311,89 @@ function initGridPanel() {
   };
 }
 
+// ------------------------------------------------------------ sensitivity
+// Tornado analysis: probe each parameter theta ± h around the current
+// scenario (one batched device dispatch, common random numbers) and rank
+// by how much one practical step moves the success probability.
+function initSensitivityPanel() {
+  const holder = document.getElementById("sensitivity-panel");
+  if (!holder) return;
+  holder.innerHTML = `
+    <details class="grid-setup">
+      <summary>Sensitivity</summary>
+      <div class="sub">Which lever moves the plan most: finite differences
+        over a common-random-numbers grid around the current scenario.
+        Leave parameters empty for the default tornado set.</div>
+      <label class="field">Parameters (comma-separated config fields)
+        <input id="sens-params" type="text" placeholder="(default set)" />
+      </label>
+      <div class="grid-run-row">
+        <label class="field">Working months
+          <input id="sens-months" type="number" min="0" step="1" value="240" />
+        </label>
+        <label class="field">Paths
+          <input id="sens-paths" type="number" min="1" step="1"
+            placeholder="(main sims)" />
+        </label>
+        <button id="sens-run" class="btn">Run sensitivity</button>
+      </div>
+      <div id="sens-error" class="error-box hidden"></div>
+    </details>`;
+  const errBox = document.getElementById("sens-error");
+  const showSensError = (message) => {
+    errBox.textContent = message || "";
+    errBox.classList.toggle("hidden", !message);
+  };
+  const runBtn = document.getElementById("sens-run");
+  runBtn.onclick = async () => {
+    showSensError("");
+    showBanner("");
+    const config = editor.getConfig();
+    if (!config) { showSensError("Load a scenario first."); return; }
+    const months = Number(document.getElementById("sens-months").value);
+    if (!Number.isInteger(months) || months < 0) {
+      showSensError("Working months must be a nonnegative integer.");
+      return;
+    }
+    const body = { config, working_months: months };
+    const raw = document.getElementById("sens-params").value.trim();
+    if (raw !== "") {
+      body.params = raw.split(",").map((s) => s.trim()).filter((s) => s);
+    }
+    const paths = document.getElementById("sens-paths").value;
+    if (paths !== "") {
+      const n = Number(paths);
+      if (!Number.isInteger(n) || n < 1) {
+        showSensError("Paths must be a positive integer.");
+        return;
+      }
+      body.num_paths = n;
+    }
+    runBtn.disabled = true;
+    iterations = [];
+    phase = "sensitivity";
+    startedAt = Date.now();
+    renderProgress();
+    timer = setInterval(tickProgress, 500);
+    try {
+      const data = await runSensitivity(body);
+      renderSensitivityResult(data);
+    } catch (err) {
+      const message = String(err.message || err);
+      showSensError(message);
+      showBanner(message);
+    } finally {
+      clearInterval(timer);
+      phase = null;
+      renderProgress();
+      runBtn.disabled = false;
+    }
+  };
+}
+
 initTheme();
 initGridPanel();
+initSensitivityPanel();
 getDefaultConfig()
   .then((config) => editor.setDefault(config))
   .catch((err) => {

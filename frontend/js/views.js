@@ -320,6 +320,63 @@ export function histogramCard(h) {
   return div;
 }
 
+// ------------------------------------------------------------ tornado chart
+// Sensitivity results: one row per probed parameter, ordered by how much
+// one practical step moves the success probability. The diverging bar pair
+// (left = hurts, right = helps) is the tornado; exact derivatives sit in
+// the numeric columns.
+export function sensitivityCard(sens) {
+  const rows = sens.rows;
+  const div = card(
+    "Sensitivity (tornado)",
+    `${rows.length} parameters × ${sens.num_paths.toLocaleString()} paths at `
+      + `${sens.working_months} working months · base success `
+      + `${pct(rows.length ? rows[0].success_base : null, 2)}`
+      + (rows.length ? ` ±${rows[0].success_sigma.toFixed(2)}` : ""),
+  );
+  const wrap = document.createElement("div");
+  wrap.className = "grid-scroll";
+  const table = document.createElement("table");
+  table.className = "grid-table tornado-table";
+  const hasAd = rows.some((r) => r.ad_d_mean_final !== undefined
+    && r.ad_d_mean_final !== null);
+  const maxAbs = Math.max(...rows.map((r) => Math.abs(r.success_per_step)), 1e-12);
+  const header = `<tr><th>parameter</th><th>value</th>
+    <th class="tornado-col">Δ success / step</th><th></th>
+    <th>d success / unit</th><th>d mean $ / unit</th><th>step</th>
+    ${hasAd ? "<th>AD d mean $</th>" : ""}</tr>`;
+  const fmtSig = (v) => {
+    if (v === null || v === undefined) return "—";
+    if (v === 0) return "0";
+    const a = Math.abs(v);
+    if (a >= 1e5 || a < 1e-3) return v.toExponential(2);
+    return Number(v.toPrecision(4)).toString();
+  };
+  const body = rows.map((r) => {
+    const v = r.success_per_step;
+    const w = Math.min(100, (Math.abs(v) / maxAbs) * 100);
+    const bar = `<div class="grid-bar ${v < 0 ? "grid-bar-bad" : "grid-bar-good"}"
+      style="width:${w}%"></div>`;
+    return `<tr>
+      <td class="grid-name">${esc(r.param)}</td>
+      <td>${fmtSig(r.base_value)}</td>
+      <td class="tornado-col"><div class="tornado-track">
+        <div class="tornado-half tornado-left">${v < 0 ? bar : ""}</div>
+        <div class="tornado-half tornado-right">${v >= 0 ? bar : ""}</div>
+      </div></td>
+      <td class="${v < 0 ? "bad" : "good"}">${v >= 0 ? "+" : ""}${v.toFixed(3)}%</td>
+      <td>${fmtSig(r.d_success)}</td>
+      <td>${fmtSig(r.d_mean_final)}</td>
+      <td>${fmtSig(r.practical_step)}</td>
+      ${hasAd ? `<td>${fmtSig(r.ad_d_mean_final)}</td>` : ""}
+    </tr>`;
+  }).join("");
+  table.innerHTML = header + body;
+  wrap.appendChild(table);
+  div.appendChild(wrap);
+  return div;
+}
+
 // -------------------------------------------------------------- grid table
 // Scenario-grid results: one row per config variant with success ± MC
 // error, median/mean finals and the p5–p95 band. A success-colored inline

@@ -1,0 +1,362 @@
+"""Parameter sensitivity analysis: which lever moves the plan most.
+
+A capability the reference has no analog for (its engine runs one config at
+a time, backend/simulation.py:952-1128); it falls out of this framework's
+architecture almost for free, two ways:
+
+* **Finite differences with common random numbers** (`sensitivity_fd`) —
+  the primary method, exact for the engine's own success metric. Every
+  perturbed scenario (theta +/- h for each parameter) is one row of a
+  scenario-grid dispatch (engine/scenario_batch.py), so all probes share
+  shocks structurally (CRN: draws depend only on (stream, month, path)).
+  Under CRN the +/- difference cancels the Monte Carlo noise that is common
+  to both rows — only paths whose outcome actually flips contribute — so
+  derivative estimates are far tighter than the per-row binomial sigma.
+  Cost: 2K+1 scenario rows in one or two Pallas grid dispatches.
+
+* **Algorithmic differentiation** (`sensitivity_ad`) — `jax.jacfwd` of the
+  smooth metrics straight through the `lax.scan` path kernel. Forward mode
+  needs no residual storage (reverse through a 600-step scan would), and one
+  pass per parameter at probe cost. Success probability is a step function
+  (AD sees derivative 0), so AD covers the smooth mean-final-balance metric
+  and serves as an independent cross-check of the FD slopes; the FD method
+  remains the source of truth for ruin-probability sensitivities.
+"""
+
+from __future__ import annotations
+
+import logging
+from contextlib import contextmanager
+from typing import Dict, List, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from .scenario_batch import ScenarioBatchResult, run_scenario_grid
+
+__all__ = [
+    "SENSITIVITY_PARAMS",
+    "DEFAULT_PARAMS",
+    "SensitivityRow",
+    "sensitivity_fd",
+    "sensitivity_ad",
+]
+
+
+class ParamSpec(NamedTuple):
+    lo: float  # hard lower bound of the Config field
+    hi: float  # hard upper bound (inf = open)
+    kind: str  # "dollar": relative step; "rate": absolute step
+    scale: float  # step fallback scale for a zero-valued dollar param
+
+
+_INF = float("inf")
+
+# Every numeric scalar Config field whose perturbation keeps the compiled
+# structure fixed (same Statics, same stream shape) is eligible. Bounds
+# mirror config.py's pydantic constraints so perturbed configs re-validate.
+SENSITIVITY_PARAMS: Dict[str, ParamSpec] = {
+    "initial_balance": ParamSpec(0.0, _INF, "dollar", 10_000.0),
+    "monthly_contribution": ParamSpec(0.0, _INF, "dollar", 100.0),
+    "contribution_growth_rate_annual": ParamSpec(0.0, _INF, "rate", 0.0),
+    "monthly_expenses": ParamSpec(0.0, _INF, "dollar", 100.0),
+    "allocation_inv1_pct": ParamSpec(0.0, 1.0, "rate", 0.0),
+    "inv1_returns_mean": ParamSpec(-0.999, _INF, "rate", 0.0),
+    "inv1_returns_volatility": ParamSpec(0.0, _INF, "rate", 0.0),
+    "inv1_annual_tax_on_gains_rate": ParamSpec(0.0, 1.0, "rate", 0.0),
+    "inv1_realized_gains_tax_rate": ParamSpec(0.0, 1.0, "rate", 0.0),
+    "inv2_premium_over_inflation_mean": ParamSpec(-0.999, _INF, "rate", 0.0),
+    "inv2_premium_over_inflation_volatility": ParamSpec(0.0, _INF, "rate", 0.0),
+    "inv2_annual_tax_on_gains_rate": ParamSpec(0.0, 1.0, "rate", 0.0),
+    "inv2_realized_gains_tax_rate": ParamSpec(0.0, 1.0, "rate", 0.0),
+    "inflation_rate_mean": ParamSpec(-0.999, _INF, "rate", 0.0),
+    "inflation_rate_volatility": ParamSpec(0.0, _INF, "rate", 0.0),
+    "equity_inflation_correlation": ParamSpec(-1.0, 1.0, "rate", 0.0),
+}
+
+# The decision-relevant default set (the dashboard's tornado view).
+DEFAULT_PARAMS: List[str] = [
+    "monthly_expenses",
+    "monthly_contribution",
+    "initial_balance",
+    "allocation_inv1_pct",
+    "inv1_returns_mean",
+    "inv1_returns_volatility",
+    "inflation_rate_mean",
+    "equity_inflation_correlation",
+]
+
+
+class SensitivityRow(NamedTuple):
+    """One parameter's finite-difference sensitivities."""
+
+    param: str
+    base_value: float
+    step_plus: float  # 0.0 when the upper bound pinned a one-sided probe
+    step_minus: float
+    success_base: float  # percent
+    success_plus: float
+    success_minus: float
+    d_success: float  # d success% / d param (per unit)
+    d_median_final: float
+    d_mean_final: float
+    success_per_step: float  # success% change over one practical step
+    practical_step: float  # 1% of value (dollar) / the abs step (rate)
+    success_sigma: float  # per-row binomial MC sigma (CRN bound is tighter)
+
+
+def _steps(value: float, spec: ParamSpec, rel_step: float, abs_step: float):
+    """(h_plus, h_minus) clamped into the field's bounds; either may be 0
+    (one-sided probe at a boundary)."""
+    if spec.kind == "dollar":
+        h = rel_step * max(abs(value), spec.scale)
+    else:
+        h = abs_step
+    h_plus = min(h, spec.hi - value)
+    h_minus = min(h, value - spec.lo)
+    return max(h_plus, 0.0), max(h_minus, 0.0)
+
+
+def _practical_step(value: float, spec: ParamSpec, abs_step: float) -> float:
+    if spec.kind == "dollar":
+        return 0.01 * max(abs(value), spec.scale)
+    return abs_step
+
+
+@contextmanager
+def _quiet_config_warnings():
+    """Suppress the config soft-warning validators while building probe
+    variants: the BASE config already surfaced them once; repeating them for
+    every theta +/- h copy is pure noise."""
+    cfg_log = logging.getLogger("mcrt.config")
+    prev = cfg_log.level
+    cfg_log.setLevel(logging.ERROR)
+    try:
+        yield
+    finally:
+        cfg_log.setLevel(prev)
+
+
+def validate_params(params: Optional[Sequence[str]]) -> List[str]:
+    names = list(params) if params else list(DEFAULT_PARAMS)
+    unknown = [p for p in names if p not in SENSITIVITY_PARAMS]
+    if unknown:
+        raise ValueError(
+            f"Unknown sensitivity parameters {unknown}; supported: "
+            f"{sorted(SENSITIVITY_PARAMS)}"
+        )
+    if len(set(names)) != len(names):
+        raise ValueError("Duplicate sensitivity parameters in request.")
+    return names
+
+
+def sensitivity_fd(
+    config: Config,
+    working_months: int,
+    num_paths: Optional[int] = None,
+    seed: int = 0,
+    params: Optional[Sequence[str]] = None,
+    rel_step: float = 0.02,
+    abs_step: float = 0.005,
+    backend: Optional[str] = None,
+    mesh=None,
+    progress_callback=None,
+) -> List[SensitivityRow]:
+    """Central finite differences over a CRN scenario grid.
+
+    One grid request of ``1 + 2K`` rows (base + theta +/- h per parameter;
+    boundary-pinned parameters probe one-sided). Derivatives use the actual
+    realized steps: ``(f(v + h+) - f(v - h-)) / (h+ + h-)``.
+    """
+    names = validate_params(params)
+    base_dump = config.model_dump()
+    base_dump.pop("allocation_inv2_pct", None)  # derived property
+    n = int(num_paths or config.num_simulations_main)
+
+    variants: List[Config] = [config]
+    slots: List[tuple] = []  # (name, plus_idx|-1, minus_idx|-1, h+, h-)
+    with _quiet_config_warnings():
+        for name in names:
+            spec = SENSITIVITY_PARAMS[name]
+            v = float(base_dump[name])
+            h_plus, h_minus = _steps(v, spec, rel_step, abs_step)
+            if h_plus + h_minus <= 0.0:
+                raise ValueError(
+                    f"Parameter '{name}' has a degenerate bound interval; "
+                    "cannot probe it."
+                )
+            plus_idx = minus_idx = -1
+            if h_plus > 0.0:
+                plus_idx = len(variants)
+                variants.append(Config(**{**base_dump, name: v + h_plus}))
+            if h_minus > 0.0:
+                minus_idx = len(variants)
+                variants.append(Config(**{**base_dump, name: v - h_minus}))
+            slots.append((name, plus_idx, minus_idx, h_plus, h_minus))
+
+    res: ScenarioBatchResult = run_scenario_grid(
+        variants,
+        [int(working_months)] * len(variants),
+        n,
+        seed=seed,
+        backend=backend,
+        mesh=mesh,
+        progress_callback=progress_callback,
+    )
+
+    p = np.asarray(res.success_probability, dtype=float)
+    med = np.asarray(res.median_final_balance, dtype=float)
+    mean = np.asarray(res.mean_final_balance, dtype=float)
+    sig = np.asarray(res.success_sigma, dtype=float)
+
+    rows: List[SensitivityRow] = []
+    for name, plus_idx, minus_idx, h_plus, h_minus in slots:
+        spec = SENSITIVITY_PARAMS[name]
+        v = float(base_dump[name])
+        ip = plus_idx if plus_idx >= 0 else 0  # boundary: base IS the probe
+        im = minus_idx if minus_idx >= 0 else 0
+        h = h_plus + h_minus
+        d_succ = (p[ip] - p[im]) / h
+        d_med = (med[ip] - med[im]) / h
+        d_mean = (mean[ip] - mean[im]) / h
+        step = _practical_step(v, spec, abs_step)
+        rows.append(
+            SensitivityRow(
+                param=name,
+                base_value=v,
+                step_plus=h_plus,
+                step_minus=h_minus,
+                success_base=float(p[0]),
+                success_plus=float(p[ip]),
+                success_minus=float(p[im]),
+                d_success=float(d_succ),
+                d_median_final=float(d_med),
+                d_mean_final=float(d_mean),
+                success_per_step=float(d_succ * step),
+                practical_step=float(step),
+                success_sigma=float(sig[0]),
+            )
+        )
+    return rows
+
+
+# ----------------------------------------------------------------------
+# Algorithmic differentiation through the scan kernel
+# ----------------------------------------------------------------------
+
+def _log_params_ad(mean, vol):
+    """Differentiable arithmetic->lognormal conversion (models/retirement.py
+    arithmetic_to_log_params in jnp, with a gradient-stable sqrt at vol=0:
+    sigma = (vol/gross) * sqrt(log1p(r)/r), and log1p(r)/r -> 1 as r -> 0)."""
+    gross = 1.0 + mean
+    r = (vol / gross) ** 2
+    ratio = jnp.where(r < 1e-12, 1.0 - 0.5 * r, jnp.log1p(r) / jnp.maximum(r, 1e-30))
+    sigma = (vol / gross) * jnp.sqrt(ratio)
+    mu = jnp.log(gross) - 0.5 * sigma * sigma
+    return mu, sigma
+
+
+# theta entries that flow through the lognormal conversion, as
+# (mean_name, vol_name) -> (mu_leaf, sigma_leaf)
+_AD_LOGNORMAL = {
+    ("inv1_returns_mean", "inv1_returns_volatility"): ("mu1", "sigma1"),
+    ("inflation_rate_mean", "inflation_rate_volatility"): ("mu_inf", "sigma_inf"),
+    (
+        "inv2_premium_over_inflation_mean",
+        "inv2_premium_over_inflation_volatility",
+    ): ("mu_prem", "sigma_prem"),
+}
+
+# Direct scalar mappings config-field -> SimParams leaf.
+_AD_DIRECT = {
+    "initial_balance": "initial_balance",
+    "monthly_contribution": "monthly_contribution",
+    "contribution_growth_rate_annual": "contribution_growth",
+    "monthly_expenses": "monthly_expenses",
+    "allocation_inv1_pct": "alloc1",
+    "equity_inflation_correlation": "rho",
+    "inv1_annual_tax_on_gains_rate": "ann_tax1",
+    "inv2_annual_tax_on_gains_rate": "ann_tax2",
+    "inv1_realized_gains_tax_rate": "real_tax1",
+    "inv2_realized_gains_tax_rate": "real_tax2",
+}
+
+
+def _params_from_theta(config: Config, names: Sequence[str], theta, dtype):
+    """Differentiable SimParams as a function of the theta vector."""
+    from ..models.retirement import SimParams
+
+    base = SimParams.from_config(config, dtype=dtype)
+    values = {n: float(config.model_dump()[n]) for n in SENSITIVITY_PARAMS}
+    for i, n in enumerate(names):
+        values[n] = theta[i]
+    updates = {}
+    for n in names:
+        if n in _AD_DIRECT:
+            updates[_AD_DIRECT[n]] = jnp.asarray(values[n], dtype)
+    for (mean_n, vol_n), (mu_leaf, sigma_leaf) in _AD_LOGNORMAL.items():
+        if mean_n in names or vol_n in names:
+            mu, sigma = _log_params_ad(
+                jnp.asarray(values[mean_n], dtype), jnp.asarray(values[vol_n], dtype)
+            )
+            updates[mu_leaf] = mu
+            updates[sigma_leaf] = sigma
+    return base._replace(**updates)
+
+
+def sensitivity_ad(
+    config: Config,
+    working_months: int,
+    num_paths: int = 32_768,
+    seed: int = 0,
+    params: Optional[Sequence[str]] = None,
+    dtype=None,
+) -> Dict[str, float]:
+    """d mean-final-balance / d theta via `jax.jacfwd` through the scan
+    kernel, every parameter in one traced program. Returns
+    ``{"mean_final_balance": value, "d_mean_final": {name: grad}}``.
+
+    Forward mode: one tangent per parameter, no reverse-pass residuals
+    through the 600+-step scan. Ruin clamps and capacity switches make the
+    metric piecewise smooth; AD returns the a.e. derivative (equal to the
+    CRN finite difference up to the O(h) mass of switching paths — pinned
+    by tests/test_sensitivity.py).
+    """
+    from ..constants import MONTHS_PER_YEAR
+    from ..ops.shocks import stream_keys
+    from .kernel import simulate_paths
+
+    names = validate_params(params)
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    w = int(working_months)
+    t_scan = w + int(config.retirement_years) * MONTHS_PER_YEAR
+    _, final_key = stream_keys(seed)
+
+    def metric(theta):
+        p = _params_from_theta(config, names, theta, dtype)
+        outs = simulate_paths(
+            p,
+            jnp.asarray(w, jnp.int32),
+            final_key,
+            n_paths=int(num_paths),
+            t_scan=t_scan,
+            retirement_years=int(config.retirement_years),
+            traj_len=0,
+            dtype=dtype,
+        )
+        return jnp.mean(outs.final_balance)
+
+    theta0 = jnp.asarray(
+        [float(config.model_dump()[n]) for n in names], dtype
+    )
+    value, grads = jax.jit(
+        lambda t: (metric(t), jax.jacfwd(metric)(t))
+    )(theta0)
+    grads = np.asarray(grads, dtype=float)
+    return {
+        "mean_final_balance": float(value),
+        "d_mean_final": {n: float(g) for n, g in zip(names, grads)},
+    }

@@ -18,6 +18,12 @@ Extra flags beyond the reference:
                     [{"name", "overrides"}...], "working_months": N | [N...],
                     "num_paths"?, "chunk_size"?}. Prints a per-variant table
                     and honors --json-out with the GridResponse payload.
+  --sensitivity [P] sensitivity mode: probes each requested config field
+                    (comma-separated; bare flag = the default tornado set)
+                    with finite differences over a common-random-numbers
+                    scenario grid at the searched (or --override) month
+                    count, prints the derivative table, honors --json-out
+                    with the SensitivityResponse payload.
 """
 
 from __future__ import annotations
@@ -58,6 +64,13 @@ def _parse_args(argv) -> argparse.Namespace:
     parser.add_argument("--grid", default=None, metavar="PATH",
                         help="scenario-grid request JSON; runs the grid "
                              "instead of search+final")
+    parser.add_argument("--sensitivity", nargs="?", const="default",
+                        default=None, metavar="PARAMS",
+                        help="sensitivity mode: comma-separated config "
+                             "fields to probe (bare flag = the default "
+                             "tornado set); uses --override months or runs "
+                             "the search first, prints the derivative "
+                             "table, honors --json-out")
     args = parser.parse_args(argv)
     if args.override is not None and args.override < 0:
         parser.error("--override must be a nonnegative month count")
@@ -114,6 +127,79 @@ def _run_grid_mode(args, config_raw: dict) -> None:
         log.info("Grid payload written to %s", args.json_out)
 
 
+def _run_sensitivity_mode(args, config_raw: dict, config: Config) -> None:
+    """Sensitivity CLI: derivative table for the requested parameters at the
+    searched (or overridden) working-month count."""
+    from .sensitivity import (
+        SensitivityRequest,
+        SensitivityResponse,
+        prepare_sensitivity,
+        run_sensitivity_request,
+    )
+
+    if args.override is not None:
+        months = args.override
+        log.info("Sensitivity at override: %d working months", months)
+    else:
+        log.info("--- Estimating Required Working Months for '%s' ---",
+                 config.Nickname)
+        simulator = RetirementMonteCarloSimulator(config)
+        months, achieved, _ = simulator.find_minimum_working_months(
+            verbose=True
+        )
+        if months == -1:
+            log.error(
+                "Target probability of %.2f%% could not be met for '%s' "
+                "(best: %.2f%%); probing sensitivities at the search "
+                "ceiling instead requires --override.",
+                config.target_probability, config.Nickname, achieved,
+            )
+            return
+        log.info("Search complete: %d months (%.2f%%)", months, achieved)
+
+    params = None
+    if args.sensitivity != "default":
+        params = [p.strip() for p in args.sensitivity.split(",") if p.strip()]
+    try:
+        request = SensitivityRequest(
+            config=config_raw, working_months=months, params=params
+        )
+        prepared = prepare_sensitivity(request)
+    except Exception as exc:
+        log.error("Invalid sensitivity request: %s", exc)
+        return
+    try:
+        payload = run_sensitivity_request(request, prepared)
+    except ValueError as exc:
+        log.error("Sensitivity analysis cannot run: %s", exc)
+        return
+    payload = SensitivityResponse.model_validate(payload).model_dump(
+        mode="json", exclude_none=True
+    )
+
+    rows = payload["rows"]
+    name_w = max(len(r["param"]) for r in rows) + 2
+    log.info(
+        "--- Sensitivity: %d parameters x %s paths at %d months "
+        "(base success %.2f%% ± %.2f) ---",
+        len(rows), f"{payload['num_paths']:,}", months,
+        rows[0]["success_base"], rows[0]["success_sigma"],
+    )
+    header = (f"{'parameter':<{name_w}} {'value':>14} {'Δ/step':>9} "
+              f"{'d succ/unit':>13} {'d mean$/unit':>13} {'step':>11}")
+    log.info(header)
+    for r in rows:
+        log.info(
+            f"{r['param']:<{name_w}} {r['base_value']:>14,.4g} "
+            f"{r['success_per_step']:>+8.3f}% {r['d_success']:>13.4g} "
+            f"{r['d_mean_final']:>13.4g} {r['practical_step']:>11.4g}"
+        )
+    if args.json_out:
+        with open(args.json_out, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=2, allow_nan=False)
+        log.info("Sensitivity payload written to %s", args.json_out)
+
+
 def main() -> None:
     args = _parse_args(sys.argv[1:])
     timestamp = _dt.datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -142,6 +228,10 @@ def main() -> None:
 
     if args.grid is not None:
         _run_grid_mode(args, config_raw)
+        return
+
+    if args.sensitivity is not None:
+        _run_sensitivity_mode(args, config_raw, config)
         return
 
     log_input_parameters(config)

@@ -12,6 +12,12 @@ the dashboard frontend works unchanged:
                                  search_complete / result / error)
   GET  /                        (static dashboard from frontend/)
 
+Beyond the reference surface:
+
+  POST /api/grid                (scenario grid; + /api/grid/stream SSE)
+  POST /api/sensitivity         (per-parameter derivatives of success
+                                 probability / final-balance stats)
+
 The simulation itself runs in a worker thread; SSE progress events cross the
 thread boundary via ``loop.call_soon_threadsafe`` into an asyncio queue.
 """
@@ -34,6 +40,12 @@ from ..logging_utils import configure_logging
 from .grid import GridRequest, GridResponse, prepare_grid, run_prepared_grid
 from .payload import build_result
 from .schemas import SimulationRequest, SimulationResponse
+from .sensitivity import (
+    SensitivityRequest,
+    SensitivityResponse,
+    prepare_sensitivity,
+    run_sensitivity_request,
+)
 
 log = logging.getLogger("mcrt.server")
 
@@ -285,6 +297,44 @@ async def grid(request: web.Request) -> web.Response:
     return web.json_response(validated)
 
 
+async def sensitivity(request: web.Request) -> web.Response:
+    """POST /api/sensitivity — per-parameter derivatives of success
+    probability and final-balance statistics (finite differences over a
+    common-random-numbers scenario grid; optional jax.jacfwd cross-check).
+    No reference analog; same 422/400 taxonomy as the grid surface."""
+    body = await request.json()
+    try:
+        if not isinstance(body, dict):
+            raise ValueError(
+                f"request body must be a JSON object, got {type(body).__name__}"
+            )
+        req = SensitivityRequest(**body)
+        prepared = await asyncio.to_thread(prepare_sensitivity, req)
+    except (ValidationError, ValueError) as exc:
+        raise web.HTTPUnprocessableEntity(
+            text=f"Invalid sensitivity request: {exc}"
+        )
+
+    log.info(
+        "Received sensitivity request: %d parameters", len(prepared[1])
+    )
+    try:
+        result = await asyncio.to_thread(
+            run_sensitivity_request, req, prepared
+        )
+    except ValueError as exc:
+        raise web.HTTPBadRequest(text=str(exc))
+    except Exception as exc:  # pragma: no cover - unexpected engine failure
+        log.exception("Sensitivity analysis failed")
+        raise web.HTTPInternalServerError(text=f"Sensitivity error: {exc}")
+
+    validated = SensitivityResponse.model_validate(result).model_dump(
+        mode="json"
+    )
+    log.info("Sensitivity complete: %d rows", len(validated["rows"]))
+    return web.json_response(validated)
+
+
 async def grid_stream(request: web.Request) -> web.StreamResponse:
     """POST /api/grid/stream — the SSE variant: ``phase`` / ``grid_chunk``
     per device dispatch / ``result`` / ``error`` events (the reference's
@@ -461,6 +511,7 @@ def create_app() -> web.Application:
     app.router.add_post("/api/simulate/stream", simulate_stream)
     app.router.add_post("/api/grid", grid)
     app.router.add_post("/api/grid/stream", grid_stream)
+    app.router.add_post("/api/sensitivity", sensitivity)
     if os.path.isdir(FRONTEND_DIR):
         app.router.add_get("/", index)
         app.router.add_static("/", FRONTEND_DIR)

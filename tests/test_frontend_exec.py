@@ -212,6 +212,46 @@ def test_grid_card_rows_and_bars(fe):
         assert grid["rows"][0]["final_balance_percentiles"][key] >= 0.0
 
 
+def test_sensitivity_card_tornado(fe):
+    """sensitivityCard on a REAL engine payload: tornado ordering, bars on
+    the signed side, AD column present when requested."""
+    from monte_carlo_retirement_tpu.hosts.sensitivity import (
+        SensitivityRequest, run_sensitivity_request,
+    )
+
+    req = SensitivityRequest(
+        config=base_config_dict(num_simulations_main=64, retirement_years=3,
+                                seed=4, monthly_expenses=2_500.0),
+        working_months=12,
+        params=["monthly_expenses", "inv1_returns_mean"],
+        num_paths=256,
+        include_ad=True,
+        ad_num_paths=256,
+    )
+    sens = _floatify(run_sensitivity_request(req))
+    card = fe.call("views.js", "sensitivityCard", sens)
+    assert "2 parameters" in card.textContent
+    assert "256 paths" in card.textContent
+    table = card.querySelector("table.tornado-table")
+    body_rows = table.getElementsByTagName("tr")[1:]
+    assert len(body_rows) == 2
+    # AD cross-check column rendered
+    headers = [h.textContent for h in table.getElementsByTagName("th")]
+    assert any("AD" in h for h in headers)
+    # bars land on the signed side and widths encode |Δ/step|
+    for row, payload_row in zip(body_rows, sens["rows"]):
+        v = payload_row["success_per_step"]
+        side = "tornado-left" if v < 0 else "tornado-right"
+        half = row.querySelector(f".{side}")
+        bar = half.querySelector(".grid-bar")
+        if v != 0:
+            assert bar is not None
+            assert bar.style.__js_get__("width").endswith("%")
+    # rows arrive tornado-ordered from the server; the card preserves it
+    mags = [abs(r["success_per_step"]) for r in sens["rows"]]
+    assert mags == sorted(mags, reverse=True)
+
+
 class _Reader:
     def __init__(self, chunks):
         self._chunks = list(chunks)
@@ -477,6 +517,73 @@ def test_app_grid_panel_flow():
     table = results.querySelector("table.grid-table")
     assert len(table.getElementsByTagName("tr")) == 3  # header + 2 rows
     assert "99.90%" in table.textContent
+
+
+def test_app_sensitivity_panel_flow():
+    sens_result = {
+        "scenario": "t", "working_months": 240.0, "num_paths": 64.0,
+        "rows": [
+            {"param": "monthly_expenses", "base_value": 5000.0,
+             "step_plus": 100.0, "step_minus": 100.0,
+             "success_base": 90.0, "success_plus": 88.0,
+             "success_minus": 92.0, "d_success": -0.02,
+             "d_median_final": -150.0, "d_mean_final": -180.0,
+             "success_per_step": -1.0, "practical_step": 50.0,
+             "success_sigma": 0.4},
+            {"param": "inv1_returns_mean", "base_value": 0.08,
+             "step_plus": 0.005, "step_minus": 0.005,
+             "success_base": 90.0, "success_plus": 91.0,
+             "success_minus": 89.0, "d_success": 200.0,
+             "d_median_final": 2e6, "d_mean_final": 3e6,
+             "success_per_step": 1.0, "practical_step": 0.005,
+             "success_sigma": 0.4},
+        ],
+    }
+
+    class _SensFetch(_RoutedFetch):
+        def __call__(self, url, opts=None):
+            if str(url).endswith("/api/sensitivity"):
+                self.calls.append(str(url))
+                return _JsonResponse(_floatify(sens_result))
+            return super().__call__(url, opts)
+
+    fetch = _SensFetch(_floatify(base_config_dict()), [])
+    fe = load_frontend(ALL_MODULES, fetch=fetch, load_page=True)
+    doc = fe.document
+    doc.getElementById("sens-params").value = " monthly_expenses, inv1_returns_mean "
+    doc.getElementById("sens-run").dispatch(fe.interp, "click")
+    assert any(u.endswith("/api/sensitivity") for u in fetch.calls)
+    results = doc.getElementById("results")
+    assert "Sensitivity (tornado)" in results.textContent
+    table = results.querySelector("table.tornado-table")
+    assert len(table.getElementsByTagName("tr")) == 3  # header + 2 rows
+    assert "monthly_expenses" in table.textContent
+    # negative row bars left/red, positive right/green
+    body_rows = table.getElementsByTagName("tr")[1:]
+    assert body_rows[0].querySelector(".tornado-left .grid-bar-bad") is not None
+    assert body_rows[1].querySelector(".tornado-right .grid-bar-good") is not None
+    assert doc.getElementById("sens-run").disabled is False
+    assert doc.getElementById("progress-panel").className.endswith("hidden")
+
+
+def test_app_sensitivity_panel_surfaces_http_error():
+    class _ErrFetch(_RoutedFetch):
+        def __call__(self, url, opts=None):
+            if str(url).endswith("/api/sensitivity"):
+                self.calls.append(str(url))
+                return _Response([], ok=False, status=422,
+                                 text="Unknown sensitivity parameters")
+            return super().__call__(url, opts)
+
+    fe = load_frontend(ALL_MODULES,
+                       fetch=_ErrFetch(_floatify(base_config_dict()), []),
+                       load_page=True)
+    doc = fe.document
+    doc.getElementById("sens-run").dispatch(fe.interp, "click")
+    err = doc.getElementById("sens-error")
+    assert "Unknown sensitivity parameters" in err.textContent
+    assert not err.className.endswith("hidden")
+    assert doc.getElementById("sens-run").disabled is False
 
 
 def _boot(fetch=None, default=None):

@@ -288,6 +288,7 @@ def _number_member(num: float, name: str):
         "toString": lambda *a: format_number(num),
         "toLocaleString": lambda *a: _locale_number(num),
         "toPrecision": lambda p: f"{num:.{_idx(p)}g}",
+        "toExponential": lambda d=6.0: _to_exponential(num, _idx(d)),
         "valueOf": lambda: num,
     }
     return table.get(name, UNDEFINED)
@@ -295,6 +296,12 @@ def _number_member(num: float, name: str):
 
 def _to_fixed(num: float, digits: int) -> str:
     return f"{num:.{digits}f}"
+
+
+def _to_exponential(num: float, digits: int) -> str:
+    """JS exponent form: no zero-padded exponent ("1.23e+5", not "e+05")."""
+    mantissa, exp = f"{num:.{digits}e}".split("e")
+    return f"{mantissa}e{exp[0]}{int(exp[1:])}"
 
 
 def _locale_number(num: float) -> str:
