@@ -160,6 +160,13 @@ function renderSensitivityResult(sens) {
 // ------------------------------------------------------------------ run
 const editor = new ConfigEditor(document.getElementById("config-editor"), {
   onRun: async (config, override) => {
+    // One run at a time: the progress globals (phase, timer, iterations)
+    // are shared by the simulate / grid / sensitivity flows, and a second
+    // writer would orphan the first run's timer and hide its progress.
+    if (phase) {
+      editor.showError("Another run is already in progress.");
+      return;
+    }
     editor.setRunning(true);
     editor.showError("");
     showBanner("");
@@ -250,6 +257,7 @@ function initGridPanel() {
   runBtn.onclick = async () => {
     showGridError("");
     showBanner("");
+    if (phase) { showGridError("Another run is already in progress."); return; }
     const config = editor.getConfig();
     if (!config) { showGridError("Load a scenario first."); return; }
     let variants;
@@ -262,8 +270,10 @@ function initGridPanel() {
       showGridError(`Variants: ${err.message}`);
       return;
     }
-    const months = Number(document.getElementById("grid-months").value);
-    if (!Number.isInteger(months) || months < 0) {
+    // An empty field coerces to 0 via Number("") — require explicit input.
+    const monthsRaw = document.getElementById("grid-months").value.trim();
+    const months = Number(monthsRaw);
+    if (monthsRaw === "" || !Number.isInteger(months) || months < 0) {
       showGridError("Working months must be a nonnegative integer.");
       return;
     }
@@ -348,10 +358,13 @@ function initSensitivityPanel() {
   runBtn.onclick = async () => {
     showSensError("");
     showBanner("");
+    if (phase) { showSensError("Another run is already in progress."); return; }
     const config = editor.getConfig();
     if (!config) { showSensError("Load a scenario first."); return; }
-    const months = Number(document.getElementById("sens-months").value);
-    if (!Number.isInteger(months) || months < 0) {
+    // An empty field coerces to 0 via Number("") — require explicit input.
+    const monthsRaw = document.getElementById("sens-months").value.trim();
+    const months = Number(monthsRaw);
+    if (monthsRaw === "" || !Number.isInteger(months) || months < 0) {
       showSensError("Working months must be a nonnegative integer.");
       return;
     }

@@ -26,6 +26,7 @@ architecture almost for free, two ways:
 from __future__ import annotations
 
 import logging
+import threading
 from contextlib import contextmanager
 from typing import Dict, List, NamedTuple, Optional, Sequence
 
@@ -125,18 +126,32 @@ def _practical_step(value: float, spec: ParamSpec, abs_step: float) -> float:
     return abs_step
 
 
+_quiet_lock = threading.Lock()
+_quiet_depth = 0
+_quiet_prev = logging.NOTSET
+
+
 @contextmanager
 def _quiet_config_warnings():
     """Suppress the config soft-warning validators while building probe
     variants: the BASE config already surfaced them once; repeating them for
-    every theta +/- h copy is pure noise."""
+    every theta +/- h copy is pure noise. Reference-counted under a lock so
+    overlapping server requests restore the original level exactly once
+    (naive save/restore could pin the logger at ERROR forever)."""
+    global _quiet_depth, _quiet_prev
     cfg_log = logging.getLogger("mcrt.config")
-    prev = cfg_log.level
-    cfg_log.setLevel(logging.ERROR)
+    with _quiet_lock:
+        if _quiet_depth == 0:
+            _quiet_prev = cfg_log.level
+            cfg_log.setLevel(logging.ERROR)
+        _quiet_depth += 1
     try:
         yield
     finally:
-        cfg_log.setLevel(prev)
+        with _quiet_lock:
+            _quiet_depth -= 1
+            if _quiet_depth == 0:
+                cfg_log.setLevel(_quiet_prev)
 
 
 def validate_params(params: Optional[Sequence[str]]) -> List[str]:
@@ -289,7 +304,8 @@ def _params_from_theta(config: Config, names: Sequence[str], theta, dtype):
     from ..models.retirement import SimParams
 
     base = SimParams.from_config(config, dtype=dtype)
-    values = {n: float(config.model_dump()[n]) for n in SENSITIVITY_PARAMS}
+    dump = config.model_dump()
+    values = {n: float(dump[n]) for n in SENSITIVITY_PARAMS}
     for i, n in enumerate(names):
         values[n] = theta[i]
     updates = {}
@@ -304,6 +320,49 @@ def _params_from_theta(config: Config, names: Sequence[str], theta, dtype):
             updates[mu_leaf] = mu
             updates[sigma_leaf] = sigma
     return base._replace(**updates)
+
+
+# Compiled (value, jacfwd) programs keyed by everything that shapes the
+# trace; the RNG key is a traced argument so a seed change reuses the
+# executable. Bounded: trace+compile through the scan costs seconds, and a
+# server must not pay it per warm request.
+_AD_JIT_CACHE: Dict[tuple, object] = {}
+_AD_JIT_CACHE_MAX = 32
+
+
+def _ad_jit(config: Config, names: tuple, num_paths: int, w: int,
+            t_scan: int, dtype):
+    from .kernel import simulate_paths
+
+    cache_key = (
+        config.model_dump_json(), names, num_paths, w, t_scan,
+        jnp.dtype(dtype).name,
+    )
+    fn = _AD_JIT_CACHE.get(cache_key)
+    if fn is not None:
+        return fn
+
+    def metric(theta, final_key):
+        p = _params_from_theta(config, names, theta, dtype)
+        outs = simulate_paths(
+            p,
+            jnp.asarray(w, jnp.int32),
+            final_key,
+            n_paths=num_paths,
+            t_scan=t_scan,
+            retirement_years=int(config.retirement_years),
+            traj_len=0,
+            dtype=dtype,
+        )
+        return jnp.mean(outs.final_balance)
+
+    fn = jax.jit(
+        lambda t, k: (metric(t, k), jax.jacfwd(metric)(t, k))
+    )
+    if len(_AD_JIT_CACHE) >= _AD_JIT_CACHE_MAX:
+        _AD_JIT_CACHE.pop(next(iter(_AD_JIT_CACHE)))
+    _AD_JIT_CACHE[cache_key] = fn
+    return fn
 
 
 def sensitivity_ad(
@@ -326,7 +385,6 @@ def sensitivity_ad(
     """
     from ..constants import MONTHS_PER_YEAR
     from ..ops.shocks import stream_keys
-    from .kernel import simulate_paths
 
     names = validate_params(params)
     if dtype is None:
@@ -335,26 +393,10 @@ def sensitivity_ad(
     t_scan = w + int(config.retirement_years) * MONTHS_PER_YEAR
     _, final_key = stream_keys(seed)
 
-    def metric(theta):
-        p = _params_from_theta(config, names, theta, dtype)
-        outs = simulate_paths(
-            p,
-            jnp.asarray(w, jnp.int32),
-            final_key,
-            n_paths=int(num_paths),
-            t_scan=t_scan,
-            retirement_years=int(config.retirement_years),
-            traj_len=0,
-            dtype=dtype,
-        )
-        return jnp.mean(outs.final_balance)
-
-    theta0 = jnp.asarray(
-        [float(config.model_dump()[n]) for n in names], dtype
-    )
-    value, grads = jax.jit(
-        lambda t: (metric(t), jax.jacfwd(metric)(t))
-    )(theta0)
+    dump = config.model_dump()
+    theta0 = jnp.asarray([float(dump[n]) for n in names], dtype)
+    fn = _ad_jit(config, tuple(names), int(num_paths), w, t_scan, dtype)
+    value, grads = fn(theta0, final_key)
     grads = np.asarray(grads, dtype=float)
     return {
         "mean_final_balance": float(value),

@@ -74,6 +74,8 @@ def _parse_args(argv) -> argparse.Namespace:
     args = parser.parse_args(argv)
     if args.override is not None and args.override < 0:
         parser.error("--override must be a nonnegative month count")
+    if args.grid is not None and args.sensitivity is not None:
+        parser.error("--grid and --sensitivity are mutually exclusive")
     return args
 
 

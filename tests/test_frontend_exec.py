@@ -698,6 +698,20 @@ def test_editor_stream_add_remove_and_reset():
     assert cfg["other_income_streams"] == []
 
 
+def test_jsmini_to_exponential_semantics():
+    """The vendored toExponential matches JS: unpadded exponent, omitted
+    digits -> fewest that round-trip, non-finite -> Infinity/NaN strings
+    (views.js fmtSig calls it on any |v| >= 1e5, including Infinity)."""
+    from tools.jsmini.builtins import _to_exponential
+
+    assert _to_exponential(123456.789, 2.0) == "1.23e+5"
+    assert _to_exponential(-0.00001234, 3.0) == "-1.234e-5"
+    assert _to_exponential(0.1, UNDEFINED) == "1e-1"
+    assert _to_exponential(1.5, UNDEFINED) == "1.5e+0"
+    assert _to_exponential(float("inf"), 2.0) == "Infinity"
+    assert _to_exponential(float("nan"), 2.0) == "NaN"
+
+
 def test_fmt_money_matches_display_rules(fe):
     fmt = fe.get("charts.js", "fmtMoney")
     call = fe.interp.call_function

@@ -262,6 +262,66 @@ def test_sensitivity_endpoint_end_to_end():
     asyncio.run(scenario())
 
 
+def test_quiet_warnings_nested_restores_level_once():
+    """The warning-suppression context is reference-counted: overlapping
+    (nested/threaded) uses must restore the original level exactly when the
+    LAST user exits, not pin the logger at ERROR forever."""
+    import logging
+
+    from monte_carlo_retirement_tpu.engine.sensitivity import (
+        _quiet_config_warnings,
+    )
+
+    cfg_log = logging.getLogger("mcrt.config")
+    prev = cfg_log.level
+    try:
+        cfg_log.setLevel(logging.INFO)
+        with _quiet_config_warnings():
+            assert cfg_log.level == logging.ERROR
+            with _quiet_config_warnings():
+                assert cfg_log.level == logging.ERROR
+            # inner exit must NOT restore yet (the outer user still needs quiet)
+            assert cfg_log.level == logging.ERROR
+        assert cfg_log.level == logging.INFO
+    finally:
+        cfg_log.setLevel(prev)
+
+
+def test_ad_jit_cache_reuses_compiled_program():
+    """A second sensitivity_ad call with the same trace-shaping arguments
+    must hit the jit cache (no retrace of jacfwd through the scan); a seed
+    change must also reuse it (the RNG key is a traced argument)."""
+    from monte_carlo_retirement_tpu.engine import sensitivity as S
+
+    cfg = _cfg()
+    names = ["monthly_expenses"]
+    S._AD_JIT_CACHE.clear()
+    r1 = S.sensitivity_ad(cfg, W, num_paths=256, seed=SEED, params=names)
+    assert len(S._AD_JIT_CACHE) == 1
+    fn = next(iter(S._AD_JIT_CACHE.values()))
+    r2 = S.sensitivity_ad(cfg, W, num_paths=256, seed=SEED + 1, params=names)
+    assert len(S._AD_JIT_CACHE) == 1
+    assert next(iter(S._AD_JIT_CACHE.values())) is fn
+    # determinism sanity: same seed reproduces, different seed differs
+    r3 = S.sensitivity_ad(cfg, W, num_paths=256, seed=SEED, params=names)
+    assert r3 == r1
+    assert r2["mean_final_balance"] != r1["mean_final_balance"]
+
+
+def test_cli_grid_and_sensitivity_flags_conflict(tmp_path, monkeypatch):
+    import json
+    import sys
+
+    from monte_carlo_retirement_tpu.hosts import cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["cli", "x.json", "--grid", "g.json", "--sensitivity"],
+    )
+    with pytest.raises(SystemExit):
+        cli.main()
+
+
 def test_cli_sensitivity_mode(tmp_path, monkeypatch):
     """--sensitivity: derivative table from the CLI at an override month
     count, table logged, JSON payload written and schema-valid."""

@@ -288,7 +288,7 @@ def _number_member(num: float, name: str):
         "toString": lambda *a: format_number(num),
         "toLocaleString": lambda *a: _locale_number(num),
         "toPrecision": lambda p: f"{num:.{_idx(p)}g}",
-        "toExponential": lambda d=6.0: _to_exponential(num, _idx(d)),
+        "toExponential": lambda d=UNDEFINED: _to_exponential(num, d),
         "valueOf": lambda: num,
     }
     return table.get(name, UNDEFINED)
@@ -298,9 +298,23 @@ def _to_fixed(num: float, digits: int) -> str:
     return f"{num:.{digits}f}"
 
 
-def _to_exponential(num: float, digits: int) -> str:
-    """JS exponent form: no zero-padded exponent ("1.23e+5", not "e+05")."""
-    mantissa, exp = f"{num:.{digits}e}".split("e")
+def _to_exponential(num: float, digits) -> str:
+    """JS Number.prototype.toExponential: no zero-padded exponent
+    ("1.23e+5", not "e+05"); digits omitted -> as many as needed; non-finite
+    values format like toString ("Infinity", "NaN")."""
+    if math.isnan(num) or math.isinf(num):
+        return format_number(num)
+    if digits is UNDEFINED:
+        # Omitted digits -> fewest that round-trip (JS "as many as needed").
+        for d in range(0, 18):
+            s = f"{num:.{d}e}"
+            if float(s) == num:
+                break
+        mantissa, exp = s.split("e")
+        if "." in mantissa:
+            mantissa = mantissa.rstrip("0").rstrip(".")
+    else:
+        mantissa, exp = f"{num:.{_idx(digits)}e}".split("e")
     return f"{mantissa}e{exp[0]}{int(exp[1:])}"
 
 

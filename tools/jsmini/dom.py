@@ -356,6 +356,12 @@ class _FragmentParser(HTMLParser):
                     if ":" in decl:
                         prop, val = decl.split(":", 1)
                         el.style._props[prop.strip()] = val.strip()
+            elif k == "value":
+                # Real DOM: the value CONTENT attribute initializes the
+                # value PROPERTY of form controls.
+                el.value = v
+            elif k in ("disabled", "checked", "open"):
+                setattr(el, k, True)
 
     def handle_starttag(self, tag, attrs):
         el = Element(tag, self.doc)
