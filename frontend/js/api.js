@@ -53,6 +53,14 @@ export async function runGridStream(body, handlers) {
   return streamPost(`${BASE}/api/grid/stream`, body, handlers);
 }
 
+// Optimize one config field over SSE: body = {config, working_months,
+// param, lo?, hi?, num_paths?, points?, rounds?, objective?}; progress
+// events are grid_chunk {done, total} and optimize_round {round, rounds,
+// best_value, best_objective, interval}.
+export async function runOptimizeStream(body, handlers) {
+  return streamPost(`${BASE}/api/optimize/stream`, body, handlers);
+}
+
 // Run a sensitivity analysis: body = {config, working_months, params?,
 // num_paths?}. Plain POST — the server batches all probes into one device
 // dispatch, so there is no incremental progress to stream.

@@ -1,13 +1,13 @@
 // App shell: theme, SSE orchestration, progress panel, result rendering.
 
 import {
-  getDefaultConfig, hasOverride, runGridStream, runSensitivity,
-  runSimulationStream, validateConfig,
+  getDefaultConfig, hasOverride, runGridStream, runOptimizeStream,
+  runSensitivity, runSimulationStream, validateConfig,
 } from "./api.js";
 import { ConfigEditor } from "./editor.js";
 import {
-  gridCard, histogramCard, ruinCard, searchCurveCard, sensitivityCard,
-  summaryCard, trajectoryCard, withdrawalRateCard,
+  gridCard, histogramCard, optimizeCard, ruinCard, searchCurveCard,
+  sensitivityCard, summaryCard, trajectoryCard, withdrawalRateCard,
 } from "./views.js";
 
 // ---------------------------------------------------------------- theme
@@ -46,6 +46,7 @@ let phase = null;
 let startedAt = null;
 let timer = null;
 let gridProgress = null; // {done, total} while a grid sweep runs
+let optRound = null; // {round, rounds, best_value} while an optimize runs
 
 function elapsedText() {
   return startedAt ? ((Date.now() - startedAt) / 1000).toFixed(1) : "0.0";
@@ -70,9 +71,21 @@ function renderProgress() {
       ? "Running scenario grid…"
       : phase === "sensitivity"
         ? "Probing parameter sensitivities…"
-        : "Running final simulations…";
+        : phase === "optimize"
+          ? "Refining the optimum…"
+          : "Running final simulations…";
   let bar = "";
-  if (phase === "grid" && gridProgress) {
+  if (phase === "optimize" && optRound) {
+    const frac = optRound.rounds
+      ? (optRound.round / optRound.rounds) * 100
+      : 0;
+    bar = `
+      <div class="progress-bar-track">
+        <div class="progress-bar-fill" style="width:${frac}%"></div>
+      </div>
+      <div class="sub">round ${optRound.round} / ${optRound.rounds} ·
+        best so far ${optRound.best_value}</div>`;
+  } else if (phase === "grid" && gridProgress) {
     const frac = gridProgress.total
       ? (gridProgress.done / gridProgress.total) * 100
       : 0;
@@ -155,6 +168,13 @@ function renderSensitivityResult(sens) {
   emptyState.classList.add("hidden");
   resultsDiv.innerHTML = "";
   resultsDiv.appendChild(sensitivityCard(sens));
+}
+
+function renderOptimizeResult(opt) {
+  lastRenderFn = () => renderOptimizeResult(opt);
+  emptyState.classList.add("hidden");
+  resultsDiv.innerHTML = "";
+  resultsDiv.appendChild(optimizeCard(opt));
 }
 
 // ------------------------------------------------------------------ run
@@ -404,9 +424,126 @@ function initSensitivityPanel() {
   };
 }
 
+// --------------------------------------------------------------- optimize
+// Maximize success probability over one config field: each refinement
+// round is one batched CRN grid dispatch over K points, zooming into the
+// argmax neighborhood.
+function initOptimizePanel() {
+  const holder = document.getElementById("optimize-panel");
+  if (!holder) return;
+  holder.innerHTML = `
+    <details class="grid-setup">
+      <summary>Optimize</summary>
+      <div class="sub">Find the value of one config field that maximizes
+        the success probability (batched grid refinement around the
+        current scenario; bounds default to the field's hard limits).</div>
+      <label class="field">Parameter (config field)
+        <input id="opt-param" type="text" value="allocation_inv1_pct" />
+      </label>
+      <div class="grid-run-row">
+        <label class="field">Lower bound
+          <input id="opt-lo" type="number" step="any" placeholder="(field min)" />
+        </label>
+        <label class="field">Upper bound
+          <input id="opt-hi" type="number" step="any" placeholder="(field max)" />
+        </label>
+      </div>
+      <div class="grid-run-row">
+        <label class="field">Working months
+          <input id="opt-months" type="number" min="0" step="1" value="240" />
+        </label>
+        <label class="field">Paths
+          <input id="opt-paths" type="number" min="1" step="1"
+            placeholder="(main sims)" />
+        </label>
+        <button id="opt-run" class="btn">Optimize</button>
+      </div>
+      <div id="opt-error" class="error-box hidden"></div>
+    </details>`;
+  const errBox = document.getElementById("opt-error");
+  const showOptError = (message) => {
+    errBox.textContent = message || "";
+    errBox.classList.toggle("hidden", !message);
+  };
+  const runBtn = document.getElementById("opt-run");
+  runBtn.onclick = async () => {
+    showOptError("");
+    showBanner("");
+    if (phase) { showOptError("Another run is already in progress."); return; }
+    const config = editor.getConfig();
+    if (!config) { showOptError("Load a scenario first."); return; }
+    const param = document.getElementById("opt-param").value.trim();
+    if (!param) { showOptError("Name a config field to optimize."); return; }
+    // An empty field coerces to 0 via Number("") — require explicit input.
+    const monthsRaw = document.getElementById("opt-months").value.trim();
+    const months = Number(monthsRaw);
+    if (monthsRaw === "" || !Number.isInteger(months) || months < 0) {
+      showOptError("Working months must be a nonnegative integer.");
+      return;
+    }
+    const body = { config, working_months: months, param };
+    for (const [id, key] of [["opt-lo", "lo"], ["opt-hi", "hi"]]) {
+      const raw = document.getElementById(id).value.trim();
+      if (raw !== "") {
+        const v = Number(raw);
+        if (!Number.isFinite(v)) {
+          showOptError(`${key} must be a number.`);
+          return;
+        }
+        body[key] = v;
+      }
+    }
+    const paths = document.getElementById("opt-paths").value;
+    if (paths !== "") {
+      const n = Number(paths);
+      if (!Number.isInteger(n) || n < 1) {
+        showOptError("Paths must be a positive integer.");
+        return;
+      }
+      body.num_paths = n;
+    }
+    runBtn.disabled = true;
+    iterations = [];
+    optRound = null;
+    phase = "optimize";
+    startedAt = Date.now();
+    renderProgress();
+    timer = setInterval(tickProgress, 500);
+    try {
+      await runOptimizeStream(body, {
+        onProgress: (event) => {
+          if (event.type === "optimize_round") {
+            optRound = {
+              round: event.round,
+              rounds: event.rounds,
+              best_value: event.best_value,
+            };
+          }
+          renderProgress();
+        },
+        onResult: (data) => renderOptimizeResult(data),
+        onError: (message) => {
+          showOptError(message);
+          showBanner(message);
+        },
+      });
+    } catch (err) {
+      showOptError(String(err));
+      showBanner(String(err));
+    } finally {
+      clearInterval(timer);
+      phase = null;
+      optRound = null;
+      renderProgress();
+      runBtn.disabled = false;
+    }
+  };
+}
+
 initTheme();
 initGridPanel();
 initSensitivityPanel();
+initOptimizePanel();
 getDefaultConfig()
   .then((config) => editor.setDefault(config))
   .catch((err) => {

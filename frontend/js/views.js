@@ -377,6 +377,65 @@ export function sensitivityCard(sens) {
   return div;
 }
 
+// ------------------------------------------------------------ optimize card
+function fmtNum(v) {
+  if (v === null || v === undefined) return "—";
+  const a = Math.abs(v);
+  if (a !== 0 && (a >= 1e6 || a < 1e-3)) return v.toExponential(2);
+  return Number(v.toPrecision(5)).toString();
+}
+
+// Optimizer result: best point metrics, the round-1 coarse sweep as a
+// success-vs-value curve with the refined optimum marked, and the final
+// bracket.
+export function optimizeCard(opt) {
+  const div = card(
+    "Optimize: " + opt.param,
+    `maximize ${opt.objective} · ${opt.evaluations} evaluations × `
+      + `${opt.num_paths.toLocaleString()} paths at ${opt.working_months} `
+      + `working months`,
+  );
+  const grid = document.createElement("div");
+  grid.className = "metrics";
+  const items = [
+    ["Best value", fmtNum(opt.best.value)],
+    ["At base value", fmtNum(opt.base_value)],
+    ["Success at best", `${pct(opt.best.success_probability, 2)} ±${opt.success_sigma.toFixed(2)}`],
+    ["Median final", fmtMoney(opt.best.median_final_balance)],
+    ["Mean final", fmtMoney(opt.best.mean_final_balance)],
+    ["Refined bracket", `${fmtNum(opt.interval[0])} – ${fmtNum(opt.interval[1])}`],
+  ];
+  for (const [k, v] of items) {
+    const m = document.createElement("div");
+    m.className = "metric";
+    m.innerHTML = `<div class="k">${k}</div><div class="v">${v}</div>`;
+    grid.appendChild(m);
+  }
+  div.appendChild(grid);
+
+  const holder = document.createElement("div");
+  div.appendChild(holder);
+  const plot = makeChart(holder, { height: 240 });
+  const xs = opt.curve.map((p) => p.value);
+  const ys = opt.curve.map((p) => p.success_probability);
+  const x = linScale(
+    [xs[0], xs[xs.length - 1] === xs[0] ? xs[0] + 1 : xs[xs.length - 1]],
+    [0, plot.innerW],
+  );
+  const y = linScale([0, 100], [plot.innerH, 0]);
+  drawAxes(plot, x, y, { yFmt: (v) => `${v}%`, xFmt: fmtNum });
+  drawVLine(plot, opt.best.value, x, {
+    stroke: cssVar("--good"), label: `best ${fmtNum(opt.best.value)}`,
+  });
+  drawLine(plot, xs, ys, x, y, {});
+  attachHover(plot, xs, x, (i) => [
+    `<b>${opt.param} = ${fmtNum(xs[i])}</b>`,
+    `success ${ys[i].toFixed(2)}%`,
+    `median ${fmtMoney(opt.curve[i].median_final_balance)}`,
+  ]);
+  return div;
+}
+
 // -------------------------------------------------------------- grid table
 // Scenario-grid results: one row per config variant with success ± MC
 // error, median/mean finals and the p5–p95 band. A success-colored inline

@@ -24,6 +24,11 @@ Extra flags beyond the reference:
                     scenario grid at the searched (or --override) month
                     count, prints the derivative table, honors --json-out
                     with the SensitivityResponse payload.
+  --optimize SPEC   optimize mode: SPEC is PARAM or PARAM:LO:HI; maximizes
+                    success probability over that config field by batched
+                    grid refinement at the searched (or --override) month
+                    count, honors --json-out with the OptimizeResponse
+                    payload.
 """
 
 from __future__ import annotations
@@ -71,11 +76,21 @@ def _parse_args(argv) -> argparse.Namespace:
                              "tornado set); uses --override months or runs "
                              "the search first, prints the derivative "
                              "table, honors --json-out")
+    parser.add_argument("--optimize", default=None, metavar="PARAM[:LO:HI]",
+                        help="optimize mode: maximize success probability "
+                             "over one config field (optional LO:HI search "
+                             "interval, required for unbounded fields); "
+                             "uses --override months or runs the search "
+                             "first, prints the refinement result, honors "
+                             "--json-out")
     args = parser.parse_args(argv)
     if args.override is not None and args.override < 0:
         parser.error("--override must be a nonnegative month count")
-    if args.grid is not None and args.sensitivity is not None:
-        parser.error("--grid and --sensitivity are mutually exclusive")
+    modes = [m for m, v in (("--grid", args.grid),
+                            ("--sensitivity", args.sensitivity),
+                            ("--optimize", args.optimize)) if v is not None]
+    if len(modes) > 1:
+        parser.error(f"{' and '.join(modes)} are mutually exclusive")
     return args
 
 
@@ -129,6 +144,30 @@ def _run_grid_mode(args, config_raw: dict) -> None:
         log.info("Grid payload written to %s", args.json_out)
 
 
+def _analysis_months(args, config: Config, mode: str):
+    """Working months for an analysis mode: the --override value, or the
+    searched minimum. Returns None (after logging) when the target is
+    unreachable and no override was given."""
+    if args.override is not None:
+        log.info("%s at override: %d working months",
+                 mode.capitalize(), args.override)
+        return args.override
+    log.info("--- Estimating Required Working Months for '%s' ---",
+             config.Nickname)
+    simulator = RetirementMonteCarloSimulator(config)
+    months, achieved, _ = simulator.find_minimum_working_months(verbose=True)
+    if months == -1:
+        log.error(
+            "Target probability of %.2f%% could not be met for '%s' "
+            "(best: %.2f%%); running the %s at the search ceiling "
+            "instead requires --override.",
+            config.target_probability, config.Nickname, achieved, mode,
+        )
+        return None
+    log.info("Search complete: %d months (%.2f%%)", months, achieved)
+    return months
+
+
 def _run_sensitivity_mode(args, config_raw: dict, config: Config) -> None:
     """Sensitivity CLI: derivative table for the requested parameters at the
     searched (or overridden) working-month count."""
@@ -139,25 +178,9 @@ def _run_sensitivity_mode(args, config_raw: dict, config: Config) -> None:
         run_sensitivity_request,
     )
 
-    if args.override is not None:
-        months = args.override
-        log.info("Sensitivity at override: %d working months", months)
-    else:
-        log.info("--- Estimating Required Working Months for '%s' ---",
-                 config.Nickname)
-        simulator = RetirementMonteCarloSimulator(config)
-        months, achieved, _ = simulator.find_minimum_working_months(
-            verbose=True
-        )
-        if months == -1:
-            log.error(
-                "Target probability of %.2f%% could not be met for '%s' "
-                "(best: %.2f%%); probing sensitivities at the search "
-                "ceiling instead requires --override.",
-                config.target_probability, config.Nickname, achieved,
-            )
-            return
-        log.info("Search complete: %d months (%.2f%%)", months, achieved)
+    months = _analysis_months(args, config, "sensitivity analysis")
+    if months is None:
+        return
 
     params = None
     if args.sensitivity != "default":
@@ -202,6 +225,86 @@ def _run_sensitivity_mode(args, config_raw: dict, config: Config) -> None:
         log.info("Sensitivity payload written to %s", args.json_out)
 
 
+def _run_optimize_mode(args, config_raw: dict, config: Config) -> None:
+    """Optimize CLI: maximize success probability over one config field at
+    the searched (or overridden) working-month count."""
+    from .optimize import (
+        OptimizeRequest,
+        OptimizeResponse,
+        prepare_optimize,
+        run_optimize_request,
+    )
+
+    months = _analysis_months(args, config, "optimization")
+    if months is None:
+        return
+
+    spec = args.optimize
+    parts = spec.split(":")
+    body = {"config": config_raw, "working_months": months,
+            "param": parts[0]}
+    if len(parts) == 3:
+        try:
+            body["lo"], body["hi"] = float(parts[1]), float(parts[2])
+        except ValueError:
+            log.error("Invalid optimize bounds in %r (want PARAM[:LO:HI])",
+                      spec)
+            return
+    elif len(parts) != 1:
+        log.error("Invalid --optimize spec %r (want PARAM[:LO:HI])", spec)
+        return
+    try:
+        request = OptimizeRequest(**body)
+        prepared = prepare_optimize(request)
+    except Exception as exc:
+        log.error("Invalid optimize request: %s", exc)
+        return
+
+    def progress(event: dict) -> None:
+        if event.get("type") == "optimize_round":
+            log.info(
+                "optimize round %d/%d: best %s=%.6g (objective %.4g) in "
+                "[%.6g, %.6g]",
+                event["round"], event["rounds"], request.param,
+                event["best_value"], event["best_objective"],
+                event["interval"][0], event["interval"][1],
+            )
+
+    try:
+        payload = run_optimize_request(
+            request, prepared, progress_callback=progress
+        )
+    except ValueError as exc:
+        log.error("Optimization cannot run: %s", exc)
+        return
+    payload = OptimizeResponse.model_validate(payload).model_dump(mode="json")
+
+    best = payload["best"]
+    log.info(
+        "--- Optimize: %s over '%s' at %d months x %s paths ---",
+        payload["objective"], payload["param"], months,
+        f"{payload['num_paths']:,}",
+    )
+    log.info(
+        "best %s = %.6g (base %.6g): success %.2f%% ± %.2f, median final "
+        "%s, mean final %s (%d evaluations, refined interval "
+        "[%.6g, %.6g])",
+        payload["param"], best["value"], payload["base_value"],
+        best["success_probability"], payload["success_sigma"],
+        f"{best['median_final_balance']:,.0f}",
+        f"{best['mean_final_balance']:,.0f}",
+        payload["evaluations"], payload["interval"][0],
+        payload["interval"][1],
+    )
+    log.info("round-1 sweep: %s",
+             " ".join(f"{p['value']:.3g}:{p['success_probability']:.1f}%"
+                      for p in payload["curve"]))
+    if args.json_out:
+        with open(args.json_out, "w", encoding="utf-8") as fh:
+            json.dump(payload, fh, indent=2, allow_nan=False)
+        log.info("Optimize payload written to %s", args.json_out)
+
+
 def main() -> None:
     args = _parse_args(sys.argv[1:])
     timestamp = _dt.datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -234,6 +337,10 @@ def main() -> None:
 
     if args.sensitivity is not None:
         _run_sensitivity_mode(args, config_raw, config)
+        return
+
+    if args.optimize is not None:
+        _run_optimize_mode(args, config_raw, config)
         return
 
     log_input_parameters(config)

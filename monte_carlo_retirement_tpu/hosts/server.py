@@ -17,6 +17,9 @@ Beyond the reference surface:
   POST /api/grid                (scenario grid; + /api/grid/stream SSE)
   POST /api/sensitivity         (per-parameter derivatives of success
                                  probability / final-balance stats)
+  POST /api/optimize            (maximize a metric over one config field
+                                 by batched grid refinement;
+                                 + /api/optimize/stream SSE)
 
 The simulation itself runs in a worker thread; SSE progress events cross the
 thread boundary via ``loop.call_soon_threadsafe`` into an asyncio queue.
@@ -40,6 +43,12 @@ from ..logging_utils import configure_logging
 from .grid import GridRequest, GridResponse, prepare_grid, run_prepared_grid
 from .payload import build_result
 from .schemas import SimulationRequest, SimulationResponse
+from .optimize import (
+    OptimizeRequest,
+    OptimizeResponse,
+    prepare_optimize,
+    run_optimize_request,
+)
 from .sensitivity import (
     SensitivityRequest,
     SensitivityResponse,
@@ -335,6 +344,115 @@ async def sensitivity(request: web.Request) -> web.Response:
     return web.json_response(validated)
 
 
+async def optimize(request: web.Request) -> web.Response:
+    """POST /api/optimize — maximize a metric over one config field by
+    batched grid refinement (one CRN scenario-grid dispatch per round).
+    No reference analog; same 422/400 taxonomy as the grid surface."""
+    body = await request.json()
+    try:
+        if not isinstance(body, dict):
+            raise ValueError(
+                f"request body must be a JSON object, got {type(body).__name__}"
+            )
+        req = OptimizeRequest(**body)
+        prepared = await asyncio.to_thread(prepare_optimize, req)
+    except (ValidationError, ValueError) as exc:
+        raise web.HTTPUnprocessableEntity(
+            text=f"Invalid optimize request: {exc}"
+        )
+
+    log.info(
+        "Received optimize request: %s over '%s'", req.objective, req.param
+    )
+    try:
+        result = await asyncio.to_thread(run_optimize_request, req, prepared)
+    except ValueError as exc:
+        raise web.HTTPBadRequest(text=str(exc))
+    except Exception as exc:  # pragma: no cover - unexpected engine failure
+        log.exception("Optimization failed")
+        raise web.HTTPInternalServerError(text=f"Optimize error: {exc}")
+
+    validated = OptimizeResponse.model_validate(result).model_dump(
+        mode="json"
+    )
+    log.info(
+        "Optimize complete: best %s=%.6g (%s=%.4g)",
+        validated["param"], validated["best"]["value"],
+        validated["objective"],
+        validated["best"][validated["objective"]]
+        if validated["objective"] in validated["best"]
+        else float("nan"),
+    )
+    return web.json_response(validated)
+
+
+async def optimize_stream(request: web.Request) -> web.StreamResponse:
+    """POST /api/optimize/stream — SSE variant: ``phase`` / ``grid_chunk``
+    per device dispatch / ``optimize_round`` per refinement round /
+    ``result`` / ``error``."""
+    body = await request.json()
+    try:
+        if not isinstance(body, dict):
+            raise ValueError(
+                f"request body must be a JSON object, got {type(body).__name__}"
+            )
+        req = OptimizeRequest(**body)
+        prepared = await asyncio.to_thread(prepare_optimize, req)
+    except (ValidationError, ValueError) as exc:
+        raise web.HTTPUnprocessableEntity(
+            text=f"Invalid optimize request: {exc}"
+        )
+
+    response = web.StreamResponse(
+        status=200,
+        headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "Connection": "keep-alive",
+        },
+    )
+    await response.prepare(request)
+
+    loop = asyncio.get_event_loop()
+    queue: asyncio.Queue = asyncio.Queue()
+
+    def emit(event: Optional[dict]) -> None:
+        loop.call_soon_threadsafe(queue.put_nowait, event)
+
+    def worker() -> None:
+        try:
+            emit({
+                "type": "phase",
+                "phase": "optimize",
+                "message": (
+                    f"Optimizing {req.param} "
+                    f"({req.points} points x {req.rounds} rounds)…"
+                ),
+            })
+            result = run_optimize_request(
+                req, prepared, progress_callback=emit
+            )
+            validated = OptimizeResponse.model_validate(result).model_dump(
+                mode="json"
+            )
+            emit({"type": "result", "data": validated})
+        except Exception as exc:
+            emit({"type": "error", "message": str(exc)})
+        finally:
+            emit(None)
+
+    loop.run_in_executor(None, worker)
+
+    while True:
+        event = await queue.get()
+        if event is None:
+            break
+        frame = f"data: {json.dumps(event, allow_nan=False)}\n\n"
+        await response.write(frame.encode("utf-8"))
+    await response.write_eof()
+    return response
+
+
 async def grid_stream(request: web.Request) -> web.StreamResponse:
     """POST /api/grid/stream — the SSE variant: ``phase`` / ``grid_chunk``
     per device dispatch / ``result`` / ``error`` events (the reference's
@@ -512,6 +630,8 @@ def create_app() -> web.Application:
     app.router.add_post("/api/grid", grid)
     app.router.add_post("/api/grid/stream", grid_stream)
     app.router.add_post("/api/sensitivity", sensitivity)
+    app.router.add_post("/api/optimize", optimize)
+    app.router.add_post("/api/optimize/stream", optimize_stream)
     if os.path.isdir(FRONTEND_DIR):
         app.router.add_get("/", index)
         app.router.add_static("/", FRONTEND_DIR)

@@ -252,6 +252,34 @@ def test_sensitivity_card_tornado(fe):
     assert mags == sorted(mags, reverse=True)
 
 
+def test_optimize_card_metrics_and_curve(fe):
+    """optimizeCard on a REAL engine payload: metric tiles, the round-1
+    curve chart with the best-value marker, hover tooltip."""
+    from monte_carlo_retirement_tpu.hosts.optimize import (
+        OptimizeRequest, run_optimize_request,
+    )
+
+    req = OptimizeRequest(
+        config=base_config_dict(num_simulations_main=64, retirement_years=3,
+                                seed=4),
+        working_months=12,
+        param="allocation_inv1_pct",
+        points=5,
+        rounds=2,
+        num_paths=128,
+    )
+    opt = _floatify(run_optimize_request(req))
+    card = fe.call("views.js", "optimizeCard", opt)
+    text = card.textContent
+    assert "Optimize: allocation_inv1_pct" in text
+    assert "10 evaluations" in text
+    assert "Best value" in text and "Refined bracket" in text
+    svg = card.querySelector("svg")
+    assert svg is not None
+    labels = _texts(svg, "text")
+    assert any(lbl.startswith("best ") for lbl in labels)
+
+
 class _Reader:
     def __init__(self, chunks):
         self._chunks = list(chunks)
@@ -517,6 +545,54 @@ def test_app_grid_panel_flow():
     table = results.querySelector("table.grid-table")
     assert len(table.getElementsByTagName("tr")) == 3  # header + 2 rows
     assert "99.90%" in table.textContent
+
+
+def test_app_optimize_panel_flow():
+    import json as _j
+
+    opt_result = {
+        "scenario": "t", "working_months": 240.0, "num_paths": 64.0,
+        "param": "allocation_inv1_pct", "objective": "success_probability",
+        "base_value": 0.6, "rounds": 2.0, "evaluations": 10.0,
+        "success_sigma": 0.4,
+        "best": {"value": 0.75, "success_probability": 97.5,
+                 "median_final_balance": 1.2e6, "mean_final_balance": 1.4e6},
+        "interval": [0.5, 1.0],
+        "curve": [
+            {"value": v, "success_probability": 80.0 + 10 * v,
+             "median_final_balance": 1e6, "mean_final_balance": 1.1e6}
+            for v in (0.0, 0.25, 0.5, 0.75, 1.0)
+        ],
+    }
+    frames = [
+        'data: {"type": "phase", "phase": "optimize", "message": "go"}\n\n',
+        'data: {"type": "optimize_round", "round": 1, "rounds": 2,'
+        ' "best_value": 0.75, "best_objective": 97.5,'
+        ' "interval": [0.0, 1.0]}\n\n',
+        "data: " + _j.dumps({"type": "result", "data": _floatify(opt_result)})
+        + "\n\n",
+    ]
+    fetch = _RoutedFetch(_floatify(base_config_dict()), frames)
+    fe = load_frontend(ALL_MODULES, fetch=fetch, load_page=True)
+    doc = fe.document
+    doc.getElementById("opt-lo").value = "0.2"
+    doc.getElementById("opt-run").dispatch(fe.interp, "click")
+    assert any(u.endswith("/api/optimize/stream") for u in fetch.calls)
+    results = doc.getElementById("results")
+    assert "Optimize: allocation_inv1_pct" in results.textContent
+    assert "Best value" in results.textContent
+    assert results.querySelector("svg") is not None
+    assert doc.getElementById("opt-run").disabled is False
+    assert doc.getElementById("progress-panel").className.endswith("hidden")
+
+
+def test_app_optimize_panel_rejects_empty_param():
+    fe = _boot()
+    doc = fe.document
+    doc.getElementById("opt-param").value = "  "
+    doc.getElementById("opt-run").dispatch(fe.interp, "click")
+    err = doc.getElementById("opt-error")
+    assert "Name a config field" in err.textContent
 
 
 def test_app_sensitivity_panel_flow():

@@ -1,0 +1,265 @@
+"""Optimizer: batched grid refinement over one config parameter.
+
+No reference analog (the reference evaluates one config per request,
+backend/simulation.py:952-1128); these tests pin the refinement against an
+injected deterministic objective (the reference's fake-engine search-test
+pattern, test_simulation_correctness.py:259-332), the CRN consistency of
+real evaluations, and both host surfaces.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from monte_carlo_retirement_tpu.engine import optimize as O
+from monte_carlo_retirement_tpu.engine.scenario_batch import (
+    GRID_FINAL_PERCENTILES,
+    ScenarioBatchResult,
+)
+from tests.conftest import base_config_dict, make_config
+
+W = 24
+N = 512
+SEED = 11
+
+
+def _cfg(**overrides):
+    base = dict(
+        seed=SEED,
+        retirement_years=5,
+        monthly_expenses=3_500.0,
+        inv1_returns_volatility=0.18,
+        num_simulations_main=N,
+    )
+    base.update(overrides)
+    return make_config(**base)
+
+
+def _fake_grid(objective_fn, median_fn=None):
+    """A run_scenario_grid stand-in computing a known deterministic
+    objective of the probed parameter value."""
+
+    def runner(variants, months, n, seed=0, backend=None, mesh=None,
+               progress_callback=None, chunk_size=None):
+        xs = np.array([v.allocation_inv1_pct for v in variants])
+        obj = np.array([objective_fn(x) for x in xs], dtype=float)
+        med = (np.array([median_fn(x) for x in xs], dtype=float)
+               if median_fn else obj * 1e4)
+        return ScenarioBatchResult(
+            success_probability=obj,
+            median_final_balance=med,
+            mean_final_balance=med * 1.1,
+            success_sigma=np.full(len(xs), 0.5),
+            final_balance_percentiles=np.tile(
+                med[:, None], (1, len(GRID_FINAL_PERCENTILES))
+            ),
+        )
+
+    return runner
+
+
+def test_refinement_converges_on_injected_peak(monkeypatch):
+    """Three rounds x 9 points: round-r grid spacing is (2/8)^(r-1)/8, so
+    the returned argmax sits within half the round-3 spacing of the true
+    interior optimum and the final bracket spans two round-3 cells."""
+    peak = 0.37
+    monkeypatch.setattr(
+        O, "run_scenario_grid",
+        _fake_grid(lambda x: 100.0 - (x - peak) ** 2 * 100.0),
+    )
+    res = O.optimize_param(
+        _cfg(), W, "allocation_inv1_pct", points=9, rounds=3,
+    )
+    assert res.evaluations == 27
+    spacing_r3 = (2.0 / 8.0) ** 2 / 8.0  # 1/128
+    assert abs(res.best.value - peak) <= spacing_r3 / 2 * 1.01
+    assert res.interval[0] <= peak <= res.interval[1]
+    assert res.interval[1] - res.interval[0] <= 2 * spacing_r3 * 1.01
+    # curve is the ROUND-1 coarse sweep over the full interval
+    assert len(res.curve) == 9
+    assert res.curve[0].value == 0.0 and res.curve[-1].value == 1.0
+
+
+def test_plateau_ties_break_by_median(monkeypatch):
+    """Success saturates at 100% on plateaus; the argmax must prefer the
+    highest median final balance among exact ties (CRN-deterministic)."""
+    monkeypatch.setattr(
+        O, "run_scenario_grid",
+        _fake_grid(
+            lambda x: 100.0 if x >= 0.5 else 50.0,
+            median_fn=lambda x: 1e6 * (2.0 - x),  # decreasing: prefer 0.5
+        ),
+    )
+    res = O.optimize_param(
+        _cfg(), W, "allocation_inv1_pct", points=5, rounds=1,
+    )
+    assert res.best.success_probability == 100.0
+    assert res.best.value == 0.5
+    assert res.objective == "success_probability"
+
+
+def test_validation_errors():
+    cfg = _cfg()
+    with pytest.raises(ValueError, match="Unknown parameter"):
+        O.optimize_param(cfg, W, "nope")
+    with pytest.raises(ValueError, match="Unknown objective"):
+        O.optimize_param(cfg, W, "allocation_inv1_pct", objective="nope")
+    with pytest.raises(ValueError, match="no upper bound"):
+        O.optimize_param(cfg, W, "monthly_contribution")  # unbounded field
+    with pytest.raises(ValueError, match="must be increasing"):
+        O.optimize_param(cfg, W, "allocation_inv1_pct", lo=0.8, hi=0.2)
+    with pytest.raises(ValueError, match="inside the config bounds"):
+        O.optimize_param(cfg, W, "allocation_inv1_pct", lo=-0.5, hi=0.5)
+    with pytest.raises(ValueError, match="points"):
+        O.optimize_param(cfg, W, "allocation_inv1_pct", points=2)
+
+
+def test_real_evaluation_crn_matches_direct_grid():
+    """A single-round sweep's curve must equal a direct scenario-grid run
+    of the same variants bit-for-bit (same CRN stream, same engine)."""
+    from monte_carlo_retirement_tpu.engine.scenario_batch import (
+        run_scenario_grid,
+    )
+
+    cfg = _cfg()
+    res = O.optimize_param(
+        cfg, W, "allocation_inv1_pct", num_paths=N, seed=SEED,
+        points=5, rounds=1,
+    )
+    xs = [p.value for p in res.curve]
+    assert xs == pytest.approx(list(np.linspace(0.0, 1.0, 5)))
+    from monte_carlo_retirement_tpu.config import Config
+
+    base = cfg.model_dump()
+    base.pop("allocation_inv2_pct", None)
+    direct = run_scenario_grid(
+        [Config(**{**base, "allocation_inv1_pct": x}) for x in xs],
+        [W] * 5, N, seed=SEED,
+    )
+    for i, p in enumerate(res.curve):
+        assert p.success_probability == pytest.approx(
+            float(direct.success_probability[i]), abs=1e-9
+        )
+        assert p.median_final_balance == pytest.approx(
+            float(direct.median_final_balance[i]), rel=1e-7
+        )
+
+
+def test_optimize_endpoint_end_to_end():
+    import asyncio
+
+    async def scenario():
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from monte_carlo_retirement_tpu.hosts.optimize import (
+            OptimizeResponse,
+        )
+        from monte_carlo_retirement_tpu.hosts.server import create_app
+
+        client = TestClient(TestServer(create_app()))
+        await client.start_server()
+        try:
+            base = base_config_dict(
+                num_simulations_main=64, retirement_years=3, seed=5
+            )
+            body = {
+                "config": base,
+                "working_months": 12,
+                "param": "allocation_inv1_pct",
+                "points": 5,
+                "rounds": 2,
+            }
+            resp = await client.post("/api/optimize", json=body)
+            assert resp.status == 200, await resp.text()
+            data = await resp.json()
+            OptimizeResponse.model_validate(data)
+            assert data["param"] == "allocation_inv1_pct"
+            assert data["evaluations"] == 10
+            assert 0.0 <= data["best"]["value"] <= 1.0
+            assert len(data["curve"]) == 5
+
+            # Unknown parameter -> 422
+            resp = await client.post(
+                "/api/optimize", json={**body, "param": "nope"}
+            )
+            assert resp.status == 422
+            assert "nope" in await resp.text()
+
+            # Unbounded field without hi -> 422
+            resp = await client.post(
+                "/api/optimize",
+                json={**body, "param": "monthly_contribution"},
+            )
+            assert resp.status == 422
+            assert "upper bound" in await resp.text()
+
+            # Invalid base config -> 422
+            resp = await client.post(
+                "/api/optimize",
+                json={**body, "config": {**base, "monthly_expenses": -1}},
+            )
+            assert resp.status == 422
+
+            # SSE variant: phase + optimize_round events + one result
+            resp = await client.post("/api/optimize/stream", json=body)
+            assert resp.status == 200
+            text = (await resp.read()).decode()
+            events = [json.loads(line[len("data: "):])
+                      for line in text.split("\n\n")
+                      if line.startswith("data: ")]
+            kinds = [e["type"] for e in events]
+            assert kinds[0] == "phase"
+            assert kinds.count("optimize_round") == 2
+            assert kinds[-1] == "result"
+            OptimizeResponse.model_validate(events[-1]["data"])
+        finally:
+            await client.close()
+
+    asyncio.run(scenario())
+
+
+def test_cli_optimize_mode(tmp_path, monkeypatch):
+    """--optimize: refinement from the CLI at an override month count,
+    result logged, JSON payload written and schema-valid."""
+    import sys
+
+    from monte_carlo_retirement_tpu.hosts import cli
+    from monte_carlo_retirement_tpu.hosts.optimize import OptimizeResponse
+
+    cfg_path = tmp_path / "scenario.json"
+    cfg_path.write_text(json.dumps(base_config_dict(
+        scenario="opt cli", retirement_years=3, num_simulations_main=64,
+        seed=9,
+    )))
+    out_path = tmp_path / "opt_result.json"
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["cli", str(cfg_path), "--optimize", "allocation_inv1_pct:0.2:0.9",
+         "--override", "12", "--json-out", str(out_path)],
+    )
+    cli.main()
+    payload = OptimizeResponse.model_validate(
+        json.loads(out_path.read_text())
+    )
+    assert payload.param == "allocation_inv1_pct"
+    assert 0.2 <= payload.best.value <= 0.9
+    assert payload.curve[0].value == 0.2 and payload.curve[-1].value == 0.9
+    logs = list(tmp_path.glob("ret_proj_log_*.log"))
+    text = logs[0].read_text()
+    assert "Optimize: success_probability over 'allocation_inv1_pct'" in text
+    assert "optimize round 3/3" in text
+
+
+def test_cli_optimize_flag_conflicts(monkeypatch):
+    import sys
+
+    from monte_carlo_retirement_tpu.hosts import cli
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["cli", "x.json", "--sensitivity", "--optimize", "allocation_inv1_pct"],
+    )
+    with pytest.raises(SystemExit):
+        cli.main()
