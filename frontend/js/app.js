@@ -234,6 +234,65 @@ const editor = new ConfigEditor(document.getElementById("config-editor"), {
   },
 });
 
+// --------------------------------------------------- shared panel plumbing
+// The grid / sensitivity / optimize panels validate the same inputs and
+// drive the same progress lifecycle — one definition each.
+
+function panelError(boxId) {
+  const box = document.getElementById(boxId);
+  return (message) => {
+    box.textContent = message || "";
+    box.classList.toggle("hidden", !message);
+  };
+}
+
+// An empty field coerces to 0 via Number("") — require explicit input.
+// Returns the month count, or null after surfacing the error (0 is valid).
+function readMonths(inputId, showError) {
+  const raw = document.getElementById(inputId).value.trim();
+  const months = Number(raw);
+  if (raw === "" || !Number.isInteger(months) || months < 0) {
+    showError("Working months must be a nonnegative integer.");
+    return null;
+  }
+  return months;
+}
+
+// Optional path-count override; returns false after surfacing the error.
+function readOptionalPaths(inputId, body, showError) {
+  const raw = document.getElementById(inputId).value;
+  if (raw === "") return true;
+  const n = Number(raw);
+  if (!Number.isInteger(n) || n < 1) {
+    showError("Paths must be a positive integer.");
+    return false;
+  }
+  body.num_paths = n;
+  return true;
+}
+
+// Run one analysis under the shared progress globals: set the phase, tick
+// the elapsed timer, and ALWAYS tear down (the run() closure handles its
+// own errors; teardown must not depend on it).
+async function runAnalysisPanel(runBtn, startPhase, run) {
+  runBtn.disabled = true;
+  iterations = [];
+  phase = startPhase;
+  startedAt = Date.now();
+  renderProgress();
+  timer = setInterval(tickProgress, 500);
+  try {
+    await run();
+  } finally {
+    clearInterval(timer);
+    phase = null;
+    gridProgress = null;
+    optRound = null;
+    renderProgress();
+    runBtn.disabled = false;
+  }
+}
+
 // ----------------------------------------------------------- scenario grid
 // Sweep many config variants in one batched device run (POST
 // /api/grid/stream). The base scenario is whatever the editor holds; each
@@ -268,11 +327,7 @@ function initGridPanel() {
     </details>`;
   document.getElementById("grid-variants").value =
     JSON.stringify(GRID_EXAMPLE, null, 1);
-  const errBox = document.getElementById("grid-error");
-  const showGridError = (message) => {
-    errBox.textContent = message || "";
-    errBox.classList.toggle("hidden", !message);
-  };
+  const showGridError = panelError("grid-error");
   const runBtn = document.getElementById("grid-run");
   runBtn.onclick = async () => {
     showGridError("");
@@ -290,54 +345,31 @@ function initGridPanel() {
       showGridError(`Variants: ${err.message}`);
       return;
     }
-    // An empty field coerces to 0 via Number("") — require explicit input.
-    const monthsRaw = document.getElementById("grid-months").value.trim();
-    const months = Number(monthsRaw);
-    if (monthsRaw === "" || !Number.isInteger(months) || months < 0) {
-      showGridError("Working months must be a nonnegative integer.");
-      return;
-    }
+    const months = readMonths("grid-months", showGridError);
+    if (months === null) return;
     const body = { config, variants, working_months: months };
-    const paths = document.getElementById("grid-paths").value;
-    if (paths !== "") {
-      const n = Number(paths);
-      if (!Number.isInteger(n) || n < 1) {
-        showGridError("Paths must be a positive integer.");
-        return;
-      }
-      body.num_paths = n;
-    }
-    runBtn.disabled = true;
-    iterations = [];
+    if (!readOptionalPaths("grid-paths", body, showGridError)) return;
     gridProgress = { done: 0, total: variants.length };
-    phase = "grid";
-    startedAt = Date.now();
-    renderProgress();
-    timer = setInterval(tickProgress, 500);
-    try {
-      await runGridStream(body, {
-        onProgress: (event) => {
-          if (event.type === "grid_chunk") {
-            gridProgress = { done: event.done, total: event.total };
-          }
-          renderProgress();
-        },
-        onResult: (data) => renderGridResult(data),
-        onError: (message) => {
-          showGridError(message);
-          showBanner(message);
-        },
-      });
-    } catch (err) {
-      showGridError(String(err));
-      showBanner(String(err));
-    } finally {
-      clearInterval(timer);
-      phase = null;
-      gridProgress = null;
-      renderProgress();
-      runBtn.disabled = false;
-    }
+    await runAnalysisPanel(runBtn, "grid", async () => {
+      try {
+        await runGridStream(body, {
+          onProgress: (event) => {
+            if (event.type === "grid_chunk") {
+              gridProgress = { done: event.done, total: event.total };
+            }
+            renderProgress();
+          },
+          onResult: (data) => renderGridResult(data),
+          onError: (message) => {
+            showGridError(message);
+            showBanner(message);
+          },
+        });
+      } catch (err) {
+        showGridError(String(err));
+        showBanner(String(err));
+      }
+    });
   };
 }
 
@@ -369,11 +401,7 @@ function initSensitivityPanel() {
       </div>
       <div id="sens-error" class="error-box hidden"></div>
     </details>`;
-  const errBox = document.getElementById("sens-error");
-  const showSensError = (message) => {
-    errBox.textContent = message || "";
-    errBox.classList.toggle("hidden", !message);
-  };
+  const showSensError = panelError("sens-error");
   const runBtn = document.getElementById("sens-run");
   runBtn.onclick = async () => {
     showSensError("");
@@ -381,46 +409,24 @@ function initSensitivityPanel() {
     if (phase) { showSensError("Another run is already in progress."); return; }
     const config = editor.getConfig();
     if (!config) { showSensError("Load a scenario first."); return; }
-    // An empty field coerces to 0 via Number("") — require explicit input.
-    const monthsRaw = document.getElementById("sens-months").value.trim();
-    const months = Number(monthsRaw);
-    if (monthsRaw === "" || !Number.isInteger(months) || months < 0) {
-      showSensError("Working months must be a nonnegative integer.");
-      return;
-    }
+    const months = readMonths("sens-months", showSensError);
+    if (months === null) return;
     const body = { config, working_months: months };
     const raw = document.getElementById("sens-params").value.trim();
     if (raw !== "") {
       body.params = raw.split(",").map((s) => s.trim()).filter((s) => s);
     }
-    const paths = document.getElementById("sens-paths").value;
-    if (paths !== "") {
-      const n = Number(paths);
-      if (!Number.isInteger(n) || n < 1) {
-        showSensError("Paths must be a positive integer.");
-        return;
+    if (!readOptionalPaths("sens-paths", body, showSensError)) return;
+    await runAnalysisPanel(runBtn, "sensitivity", async () => {
+      try {
+        const data = await runSensitivity(body);
+        renderSensitivityResult(data);
+      } catch (err) {
+        const message = String(err.message || err);
+        showSensError(message);
+        showBanner(message);
       }
-      body.num_paths = n;
-    }
-    runBtn.disabled = true;
-    iterations = [];
-    phase = "sensitivity";
-    startedAt = Date.now();
-    renderProgress();
-    timer = setInterval(tickProgress, 500);
-    try {
-      const data = await runSensitivity(body);
-      renderSensitivityResult(data);
-    } catch (err) {
-      const message = String(err.message || err);
-      showSensError(message);
-      showBanner(message);
-    } finally {
-      clearInterval(timer);
-      phase = null;
-      renderProgress();
-      runBtn.disabled = false;
-    }
+    });
   };
 }
 
@@ -460,11 +466,7 @@ function initOptimizePanel() {
       </div>
       <div id="opt-error" class="error-box hidden"></div>
     </details>`;
-  const errBox = document.getElementById("opt-error");
-  const showOptError = (message) => {
-    errBox.textContent = message || "";
-    errBox.classList.toggle("hidden", !message);
-  };
+  const showOptError = panelError("opt-error");
   const runBtn = document.getElementById("opt-run");
   runBtn.onclick = async () => {
     showOptError("");
@@ -474,13 +476,8 @@ function initOptimizePanel() {
     if (!config) { showOptError("Load a scenario first."); return; }
     const param = document.getElementById("opt-param").value.trim();
     if (!param) { showOptError("Name a config field to optimize."); return; }
-    // An empty field coerces to 0 via Number("") — require explicit input.
-    const monthsRaw = document.getElementById("opt-months").value.trim();
-    const months = Number(monthsRaw);
-    if (monthsRaw === "" || !Number.isInteger(months) || months < 0) {
-      showOptError("Working months must be a nonnegative integer.");
-      return;
-    }
+    const months = readMonths("opt-months", showOptError);
+    if (months === null) return;
     const body = { config, working_months: months, param };
     for (const [id, key] of [["opt-lo", "lo"], ["opt-hi", "hi"]]) {
       const raw = document.getElementById(id).value.trim();
@@ -493,50 +490,31 @@ function initOptimizePanel() {
         body[key] = v;
       }
     }
-    const paths = document.getElementById("opt-paths").value;
-    if (paths !== "") {
-      const n = Number(paths);
-      if (!Number.isInteger(n) || n < 1) {
-        showOptError("Paths must be a positive integer.");
-        return;
+    if (!readOptionalPaths("opt-paths", body, showOptError)) return;
+    await runAnalysisPanel(runBtn, "optimize", async () => {
+      try {
+        await runOptimizeStream(body, {
+          onProgress: (event) => {
+            if (event.type === "optimize_round") {
+              optRound = {
+                round: event.round,
+                rounds: event.rounds,
+                best_value: event.best_value,
+              };
+            }
+            renderProgress();
+          },
+          onResult: (data) => renderOptimizeResult(data),
+          onError: (message) => {
+            showOptError(message);
+            showBanner(message);
+          },
+        });
+      } catch (err) {
+        showOptError(String(err));
+        showBanner(String(err));
       }
-      body.num_paths = n;
-    }
-    runBtn.disabled = true;
-    iterations = [];
-    optRound = null;
-    phase = "optimize";
-    startedAt = Date.now();
-    renderProgress();
-    timer = setInterval(tickProgress, 500);
-    try {
-      await runOptimizeStream(body, {
-        onProgress: (event) => {
-          if (event.type === "optimize_round") {
-            optRound = {
-              round: event.round,
-              rounds: event.rounds,
-              best_value: event.best_value,
-            };
-          }
-          renderProgress();
-        },
-        onResult: (data) => renderOptimizeResult(data),
-        onError: (message) => {
-          showOptError(message);
-          showBanner(message);
-        },
-      });
-    } catch (err) {
-      showOptError(String(err));
-      showBanner(String(err));
-    } finally {
-      clearInterval(timer);
-      phase = null;
-      optRound = null;
-      renderProgress();
-      runBtn.disabled = false;
-    }
+    });
   };
 }
 

@@ -320,6 +320,16 @@ export function histogramCard(h) {
   return div;
 }
 
+// Significant-digit formatting shared by the sensitivity and optimize
+// cards — derivatives and parameter values span many decades.
+function fmtSig(v) {
+  if (v === null || v === undefined) return "—";
+  if (v === 0) return "0";
+  const a = Math.abs(v);
+  if (a >= 1e5 || a < 1e-3) return v.toExponential(2);
+  return Number(v.toPrecision(4)).toString();
+}
+
 // ------------------------------------------------------------ tornado chart
 // Sensitivity results: one row per probed parameter, ordered by how much
 // one practical step moves the success probability. The diverging bar pair
@@ -345,13 +355,6 @@ export function sensitivityCard(sens) {
     <th class="tornado-col">Δ success / step</th><th></th>
     <th>d success / unit</th><th>d mean $ / unit</th><th>step</th>
     ${hasAd ? "<th>AD d mean $</th>" : ""}</tr>`;
-  const fmtSig = (v) => {
-    if (v === null || v === undefined) return "—";
-    if (v === 0) return "0";
-    const a = Math.abs(v);
-    if (a >= 1e5 || a < 1e-3) return v.toExponential(2);
-    return Number(v.toPrecision(4)).toString();
-  };
   const body = rows.map((r) => {
     const v = r.success_per_step;
     const w = Math.min(100, (Math.abs(v) / maxAbs) * 100);
@@ -378,15 +381,8 @@ export function sensitivityCard(sens) {
 }
 
 // ------------------------------------------------------------ optimize card
-function fmtNum(v) {
-  if (v === null || v === undefined) return "—";
-  const a = Math.abs(v);
-  if (a !== 0 && (a >= 1e6 || a < 1e-3)) return v.toExponential(2);
-  return Number(v.toPrecision(5)).toString();
-}
-
-// Optimizer result: best point metrics, the round-1 coarse sweep as a
-// success-vs-value curve with the refined optimum marked, and the final
+// Optimizer result: best point metrics, the round-1 coarse sweep as an
+// objective-vs-value curve with the refined optimum marked, and the final
 // bracket.
 export function optimizeCard(opt) {
   const div = card(
@@ -398,12 +394,12 @@ export function optimizeCard(opt) {
   const grid = document.createElement("div");
   grid.className = "metrics";
   const items = [
-    ["Best value", fmtNum(opt.best.value)],
-    ["At base value", fmtNum(opt.base_value)],
+    ["Best value", fmtSig(opt.best.value)],
+    ["At base value", fmtSig(opt.base_value)],
     ["Success at best", `${pct(opt.best.success_probability, 2)} ±${opt.success_sigma.toFixed(2)}`],
     ["Median final", fmtMoney(opt.best.median_final_balance)],
     ["Mean final", fmtMoney(opt.best.mean_final_balance)],
-    ["Refined bracket", `${fmtNum(opt.interval[0])} – ${fmtNum(opt.interval[1])}`],
+    ["Refined bracket", `${fmtSig(opt.interval[0])} – ${fmtSig(opt.interval[1])}`],
   ];
   for (const [k, v] of items) {
     const m = document.createElement("div");
@@ -417,20 +413,28 @@ export function optimizeCard(opt) {
   div.appendChild(holder);
   const plot = makeChart(holder, { height: 240 });
   const xs = opt.curve.map((p) => p.value);
-  const ys = opt.curve.map((p) => p.success_probability);
+  // Plot the REQUESTED objective — a median/mean-optimal marker must land
+  // on the peak of the curve it is drawn over.
+  const isSuccess = opt.objective === "success_probability";
+  const ys = opt.curve.map((p) => p[opt.objective]);
   const x = linScale(
     [xs[0], xs[xs.length - 1] === xs[0] ? xs[0] + 1 : xs[xs.length - 1]],
     [0, plot.innerW],
   );
-  const y = linScale([0, 100], [plot.innerH, 0]);
-  drawAxes(plot, x, y, { yFmt: (v) => `${v}%`, xFmt: fmtNum });
+  const y = isSuccess
+    ? linScale([0, 100], [plot.innerH, 0])
+    : linScale([0, Math.max(...ys, 1) * 1.05], [plot.innerH, 0]);
+  drawAxes(plot, x, y, {
+    yFmt: isSuccess ? (v) => `${v}%` : fmtMoney,
+    xFmt: fmtSig,
+  });
   drawVLine(plot, opt.best.value, x, {
-    stroke: cssVar("--good"), label: `best ${fmtNum(opt.best.value)}`,
+    stroke: cssVar("--good"), label: `best ${fmtSig(opt.best.value)}`,
   });
   drawLine(plot, xs, ys, x, y, {});
   attachHover(plot, xs, x, (i) => [
-    `<b>${opt.param} = ${fmtNum(xs[i])}</b>`,
-    `success ${ys[i].toFixed(2)}%`,
+    `<b>${opt.param} = ${fmtSig(xs[i])}</b>`,
+    `success ${opt.curve[i].success_probability.toFixed(2)}%`,
     `median ${fmtMoney(opt.curve[i].median_final_balance)}`,
   ]);
   return div;

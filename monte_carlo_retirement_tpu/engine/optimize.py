@@ -127,15 +127,25 @@ def optimize_param(
             [int(working_months)] * len(variants),
             n,
             seed=seed,
+            # One dispatch per round (the module's design claim) — K is
+            # host-bounded at 257, whose (k, n) grid intermediates stay
+            # comfortably inside HBM even at 1M paths.
+            chunk_size=len(xs),
             backend=backend,
             mesh=mesh,
             progress_callback=progress_callback,
         )
 
     curve: List[OptimizePoint] = []
-    best_idx = 0
     evaluations = 0
-    res: Optional[ScenarioBatchResult] = None
+    # The GLOBAL best across rounds. Zooming re-grids around each round's
+    # argmax, and with an even point count the new grid need not re-sample
+    # it — so the returned optimum must be tracked across rounds, never
+    # read off the final grid alone.
+    best_key = None
+    best: Optional[OptimizePoint] = None
+    best_bracket = (lo, hi)
+    best_sigma = 0.0
     xs = np.linspace(lo, hi, points)
     for r in range(rounds):
         res = evaluate(xs)
@@ -147,6 +157,20 @@ def optimize_param(
         best_idx = int(
             max(range(len(xs)), key=lambda i: (obj[i], med[i]))
         )
+        key = (float(obj[best_idx]), float(med[best_idx]))
+        if best_key is None or key > best_key:
+            best_key = key
+            best = OptimizePoint(
+                value=float(xs[best_idx]),
+                success_probability=float(res.success_probability[best_idx]),
+                median_final_balance=float(med[best_idx]),
+                mean_final_balance=float(res.mean_final_balance[best_idx]),
+            )
+            best_bracket = (
+                float(xs[max(0, best_idx - 1)]),
+                float(xs[min(len(xs) - 1, best_idx + 1)]),
+            )
+            best_sigma = float(res.success_sigma[best_idx])
         if r == 0:
             curve = [
                 OptimizePoint(
@@ -162,8 +186,8 @@ def optimize_param(
                 "type": "optimize_round",
                 "round": r + 1,
                 "rounds": rounds,
-                "best_value": float(xs[best_idx]),
-                "best_objective": float(obj[best_idx]),
+                "best_value": best.value,
+                "best_objective": best_key[0],
                 "interval": [float(xs[0]), float(xs[-1])],
             })
         if r + 1 < rounds:
@@ -171,23 +195,14 @@ def optimize_param(
             new_hi = float(xs[min(len(xs) - 1, best_idx + 1)])
             xs = np.linspace(new_lo, new_hi, points)
 
-    assert res is not None
-    best = OptimizePoint(
-        value=float(xs[best_idx]),
-        success_probability=float(res.success_probability[best_idx]),
-        median_final_balance=float(res.median_final_balance[best_idx]),
-        mean_final_balance=float(res.mean_final_balance[best_idx]),
-    )
+    assert best is not None
     return OptimizeResult(
         param=param,
         objective=objective,
         best=best,
-        interval=(
-            float(xs[max(0, best_idx - 1)]),
-            float(xs[min(len(xs) - 1, best_idx + 1)]),
-        ),
+        interval=best_bracket,
         curve=curve,
         rounds=rounds,
         evaluations=evaluations,
-        success_sigma=float(res.success_sigma[best_idx]),
+        success_sigma=best_sigma,
     )

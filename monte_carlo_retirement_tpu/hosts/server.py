@@ -174,15 +174,13 @@ async def simulate(request: web.Request) -> web.Response:
     return web.json_response(validated)
 
 
-async def simulate_stream(request: web.Request) -> web.StreamResponse:
-    body = await request.json()
-    try:
-        req, config = _parse_request(body)
-    except (ValidationError, ValueError) as exc:
-        raise web.HTTPUnprocessableEntity(text=f"Invalid configuration: {exc}")
-
-    log.info("Received streaming simulation request for '%s'", config.Nickname)
-
+async def _run_sse(request: web.Request, worker_body) -> web.StreamResponse:
+    """Shared SSE transport (the reference's stream protocol shape,
+    backend/server.py:322-413): run ``worker_body(emit)`` in the default
+    executor, bridge thread→async via ``loop.call_soon_threadsafe`` into a
+    queue, frame each event as ``data: {json}\\n\\n`` until the ``None``
+    sentinel. Exceptions out of the worker become one ``error`` event; the
+    sentinel always fires."""
     response = web.StreamResponse(
         status=200,
         headers={
@@ -201,59 +199,7 @@ async def simulate_stream(request: web.Request) -> web.StreamResponse:
 
     def worker() -> None:
         try:
-            simulator = RetirementMonteCarloSimulator(config)
-            search_curve: List[dict] = []
-            if req.working_months_override is not None:
-                required = req.working_months_override
-                emit({
-                    "type": "phase",
-                    "phase": "final_sim",
-                    "message": f"Using override: {required} months",
-                })
-            else:
-                emit({
-                    "type": "phase",
-                    "phase": "search",
-                    "message": "Estimating required working months…",
-                })
-                required, achieved, search_curve = (
-                    simulator.find_minimum_working_months(
-                        verbose=True, progress_callback=emit
-                    )
-                )
-                if required == -1:
-                    emit({
-                        "type": "error",
-                        "message": (
-                            f"Target {config.target_probability:.1f}% not met. "
-                            f"Highest: {achieved:.1f}%"
-                        ),
-                    })
-                    return
-                emit({
-                    "type": "search_complete",
-                    "working_months": required,
-                    "working_years": round(required / MONTHS_PER_YEAR, 1),
-                    "probability": round(achieved, 2),
-                })
-
-            emit({
-                "type": "phase",
-                "phase": "final_sim",
-                "message": (
-                    f"Running {config.num_simulations_main} final simulations "
-                    f"with {required} working months…"
-                ),
-            })
-            simulator.use_final_seeds()
-            result = build_result(
-                config, simulator, required, search_curve=search_curve,
-                include_raw=req.include_raw_paths,
-            )
-            validated = SimulationResponse.model_validate(result).model_dump(
-                mode="json"
-            )
-            emit({"type": "result", "data": validated})
+            worker_body(emit)
         except Exception as exc:
             emit({"type": "error", "message": str(exc)})
         finally:
@@ -269,6 +215,73 @@ async def simulate_stream(request: web.Request) -> web.StreamResponse:
         await response.write(frame.encode("utf-8"))
     await response.write_eof()
     return response
+
+
+async def simulate_stream(request: web.Request) -> web.StreamResponse:
+    body = await request.json()
+    try:
+        req, config = _parse_request(body)
+    except (ValidationError, ValueError) as exc:
+        raise web.HTTPUnprocessableEntity(text=f"Invalid configuration: {exc}")
+
+    log.info("Received streaming simulation request for '%s'", config.Nickname)
+
+    def worker_body(emit) -> None:
+        simulator = RetirementMonteCarloSimulator(config)
+        search_curve: List[dict] = []
+        if req.working_months_override is not None:
+            required = req.working_months_override
+            emit({
+                "type": "phase",
+                "phase": "final_sim",
+                "message": f"Using override: {required} months",
+            })
+        else:
+            emit({
+                "type": "phase",
+                "phase": "search",
+                "message": "Estimating required working months…",
+            })
+            required, achieved, search_curve = (
+                simulator.find_minimum_working_months(
+                    verbose=True, progress_callback=emit
+                )
+            )
+            if required == -1:
+                emit({
+                    "type": "error",
+                    "message": (
+                        f"Target {config.target_probability:.1f}% not met. "
+                        f"Highest: {achieved:.1f}%"
+                    ),
+                })
+                return
+            emit({
+                "type": "search_complete",
+                "working_months": required,
+                "working_years": round(required / MONTHS_PER_YEAR, 1),
+                "probability": round(achieved, 2),
+            })
+
+        emit({
+            "type": "phase",
+            "phase": "final_sim",
+            "message": (
+                f"Running {config.num_simulations_main} final simulations "
+                f"with {required} working months…"
+            ),
+        })
+        simulator.use_final_seeds()
+        result = build_result(
+            config, simulator, required, search_curve=search_curve,
+            include_raw=req.include_raw_paths,
+        )
+        validated = SimulationResponse.model_validate(result).model_dump(
+            mode="json"
+        )
+        emit({"type": "result", "data": validated})
+
+    return await _run_sse(request, worker_body)
 
 
 async def grid(request: web.Request) -> web.Response:
@@ -378,10 +391,7 @@ async def optimize(request: web.Request) -> web.Response:
     log.info(
         "Optimize complete: best %s=%.6g (%s=%.4g)",
         validated["param"], validated["best"]["value"],
-        validated["objective"],
-        validated["best"][validated["objective"]]
-        if validated["objective"] in validated["best"]
-        else float("nan"),
+        validated["objective"], validated["best"][validated["objective"]],
     )
     return web.json_response(validated)
 
@@ -403,54 +413,22 @@ async def optimize_stream(request: web.Request) -> web.StreamResponse:
             text=f"Invalid optimize request: {exc}"
         )
 
-    response = web.StreamResponse(
-        status=200,
-        headers={
-            "Content-Type": "text/event-stream",
-            "Cache-Control": "no-cache",
-            "Connection": "keep-alive",
-        },
-    )
-    await response.prepare(request)
+    def worker_body(emit) -> None:
+        emit({
+            "type": "phase",
+            "phase": "optimize",
+            "message": (
+                f"Optimizing {req.param} "
+                f"({req.points} points x {req.rounds} rounds)…"
+            ),
+        })
+        result = run_optimize_request(req, prepared, progress_callback=emit)
+        validated = OptimizeResponse.model_validate(result).model_dump(
+            mode="json"
+        )
+        emit({"type": "result", "data": validated})
 
-    loop = asyncio.get_event_loop()
-    queue: asyncio.Queue = asyncio.Queue()
-
-    def emit(event: Optional[dict]) -> None:
-        loop.call_soon_threadsafe(queue.put_nowait, event)
-
-    def worker() -> None:
-        try:
-            emit({
-                "type": "phase",
-                "phase": "optimize",
-                "message": (
-                    f"Optimizing {req.param} "
-                    f"({req.points} points x {req.rounds} rounds)…"
-                ),
-            })
-            result = run_optimize_request(
-                req, prepared, progress_callback=emit
-            )
-            validated = OptimizeResponse.model_validate(result).model_dump(
-                mode="json"
-            )
-            emit({"type": "result", "data": validated})
-        except Exception as exc:
-            emit({"type": "error", "message": str(exc)})
-        finally:
-            emit(None)
-
-    loop.run_in_executor(None, worker)
-
-    while True:
-        event = await queue.get()
-        if event is None:
-            break
-        frame = f"data: {json.dumps(event, allow_nan=False)}\n\n"
-        await response.write(frame.encode("utf-8"))
-    await response.write_eof()
-    return response
+    return await _run_sse(request, worker_body)
 
 
 async def grid_stream(request: web.Request) -> web.StreamResponse:
@@ -470,53 +448,21 @@ async def grid_stream(request: web.Request) -> web.StreamResponse:
     except (ValidationError, ValueError) as exc:
         raise web.HTTPUnprocessableEntity(text=f"Invalid grid request: {exc}")
 
-    response = web.StreamResponse(
-        status=200,
-        headers={
-            "Content-Type": "text/event-stream",
-            "Cache-Control": "no-cache",
-            "Connection": "keep-alive",
-        },
-    )
-    await response.prepare(request)
+    def worker_body(emit) -> None:
+        emit({
+            "type": "phase",
+            "phase": "grid",
+            "message": f"Running {len(req.variants)} scenario variants…",
+        })
+        result = run_prepared_grid(
+            prepared, req.chunk_size, progress_callback=emit
+        )
+        validated = GridResponse.model_validate(result).model_dump(
+            mode="json"
+        )
+        emit({"type": "result", "data": validated})
 
-    loop = asyncio.get_event_loop()
-    queue: asyncio.Queue = asyncio.Queue()
-
-    def emit(event: Optional[dict]) -> None:
-        loop.call_soon_threadsafe(queue.put_nowait, event)
-
-    def worker() -> None:
-        try:
-            emit({
-                "type": "phase",
-                "phase": "grid",
-                "message": (
-                    f"Running {len(req.variants)} scenario variants…"
-                ),
-            })
-            result = run_prepared_grid(
-                prepared, req.chunk_size, progress_callback=emit
-            )
-            validated = GridResponse.model_validate(result).model_dump(
-                mode="json"
-            )
-            emit({"type": "result", "data": validated})
-        except Exception as exc:
-            emit({"type": "error", "message": str(exc)})
-        finally:
-            emit(None)
-
-    loop.run_in_executor(None, worker)
-
-    while True:
-        event = await queue.get()
-        if event is None:
-            break
-        frame = f"data: {json.dumps(event, allow_nan=False)}\n\n"
-        await response.write(frame.encode("utf-8"))
-    await response.write_eof()
-    return response
+    return await _run_sse(request, worker_body)
 
 
 # ---------------------------------------------------------------------------

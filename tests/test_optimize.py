@@ -81,6 +81,22 @@ def test_refinement_converges_on_injected_peak(monkeypatch):
     assert res.curve[0].value == 0.0 and res.curve[-1].value == 1.0
 
 
+def test_even_points_never_regress_past_a_found_peak(monkeypatch):
+    """With an EVEN point count the zoom grid need not re-sample the
+    previous argmax; the returned best must still be the best point ever
+    evaluated (global tracking), not the last round's inferior grid."""
+    peak = 1.0 / 3.0  # exactly on the round-1 grid {0, 1/3, 2/3, 1}
+    obj = lambda x: 100.0 - abs(x - peak) * 90.0  # noqa: E731 - narrow peak
+    monkeypatch.setattr(O, "run_scenario_grid", _fake_grid(obj))
+    res = O.optimize_param(
+        _cfg(), W, "allocation_inv1_pct", points=4, rounds=3,
+    )
+    # round 2 grid linspace(0, 2/3, 4) = {0, 2/9, 4/9, 2/3} misses 1/3
+    assert res.best.value == pytest.approx(peak)
+    assert res.best.success_probability == pytest.approx(100.0)
+    assert res.interval[0] <= peak <= res.interval[1]
+
+
 def test_plateau_ties_break_by_median(monkeypatch):
     """Success saturates at 100% on plateaus; the argmax must prefer the
     highest median final balance among exact ties (CRN-deterministic)."""
