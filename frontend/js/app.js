@@ -6,7 +6,8 @@ import {
 } from "./api.js";
 import { ConfigEditor } from "./editor.js";
 import {
-  gridCard, histogramCard, optimizeCard, ruinCard, searchCurveCard,
+  gridCard, histogramCard, optimizeCard, optimizeJointCard, ruinCard,
+  searchCurveCard,
   sensitivityCard, summaryCard, trajectoryCard, withdrawalRateCard,
 } from "./views.js";
 
@@ -174,7 +175,9 @@ function renderOptimizeResult(opt) {
   lastRenderFn = () => renderOptimizeResult(opt);
   emptyState.classList.add("hidden");
   resultsDiv.innerHTML = "";
-  resultsDiv.appendChild(optimizeCard(opt));
+  resultsDiv.appendChild(
+    opt.params ? optimizeJointCard(opt) : optimizeCard(opt),
+  );
 }
 
 // ------------------------------------------------------------------ run
@@ -454,6 +457,17 @@ function initOptimizePanel() {
           <input id="opt-hi" type="number" step="any" placeholder="(field max)" />
         </label>
       </div>
+      <label class="field">Second parameter (optional — joint 2-D grid)
+        <input id="opt-param2" type="text" placeholder="(none)" />
+      </label>
+      <div class="grid-run-row">
+        <label class="field">Lower bound
+          <input id="opt-lo2" type="number" step="any" placeholder="(field min)" />
+        </label>
+        <label class="field">Upper bound
+          <input id="opt-hi2" type="number" step="any" placeholder="(field max)" />
+        </label>
+      </div>
       <div class="grid-run-row">
         <label class="field">Working months
           <input id="opt-months" type="number" min="0" step="1" value="240" />
@@ -478,17 +492,32 @@ function initOptimizePanel() {
     if (!param) { showOptError("Name a config field to optimize."); return; }
     const months = readMonths("opt-months", showOptError);
     if (months === null) return;
-    const body = { config, working_months: months, param };
-    for (const [id, key] of [["opt-lo", "lo"], ["opt-hi", "hi"]]) {
+    const readBound = (id, key, into) => {
       const raw = document.getElementById(id).value.trim();
-      if (raw !== "") {
-        const v = Number(raw);
-        if (!Number.isFinite(v)) {
-          showOptError(`${key} must be a number.`);
-          return;
-        }
-        body[key] = v;
+      if (raw === "") return true;
+      const v = Number(raw);
+      if (!Number.isFinite(v)) {
+        showOptError(`${key} must be a number.`);
+        return false;
       }
+      into[key] = v;
+      return true;
+    };
+    const param2 = document.getElementById("opt-param2").value.trim();
+    const body = { config, working_months: months };
+    if (param2) {
+      // Joint 2-D form: one product-grid dispatch per round.
+      const spec1 = { name: param };
+      const spec2 = { name: param2 };
+      if (!readBound("opt-lo", "lo", spec1)) return;
+      if (!readBound("opt-hi", "hi", spec1)) return;
+      if (!readBound("opt-lo2", "lo", spec2)) return;
+      if (!readBound("opt-hi2", "hi", spec2)) return;
+      body.params = [spec1, spec2];
+    } else {
+      body.param = param;
+      if (!readBound("opt-lo", "lo", body)) return;
+      if (!readBound("opt-hi", "hi", body)) return;
     }
     if (!readOptionalPaths("opt-paths", body, showOptError)) return;
     await runAnalysisPanel(runBtn, "optimize", async () => {
@@ -499,7 +528,9 @@ function initOptimizePanel() {
               optRound = {
                 round: event.round,
                 rounds: event.rounds,
-                best_value: event.best_value,
+                best_value: event.best_value !== undefined
+                  ? event.best_value
+                  : (event.best_values || []).join(", "),
               };
             }
             renderProgress();

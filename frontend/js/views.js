@@ -3,7 +3,7 @@
 
 import {
   attachHover, cssVar, drawAxes, drawBand, drawBars, drawHLine, drawLine,
-  drawMarker, drawVLine, fmtMoney, linScale, makeChart, ticks,
+  drawMarker, drawVLine, el, fmtMoney, linScale, makeChart, ticks,
 } from "./charts.js";
 
 function card(title, sub) {
@@ -411,12 +411,24 @@ export function optimizeCard(opt) {
 
   const holder = document.createElement("div");
   div.appendChild(holder);
+  drawObjectiveCurve(holder, opt, opt.param, opt.curve.map((p) => ({
+    value: p.value,
+    success_probability: p.success_probability,
+    median_final_balance: p.median_final_balance,
+    objective_value: p[opt.objective],
+  })), opt.best.value);
+  return div;
+}
+
+// Round-1 coarse sweep as an objective-vs-value curve with the refined
+// optimum marked; shared by the scalar card and the 1-field joint card.
+function drawObjectiveCurve(holder, opt, paramName, points, bestValue) {
   const plot = makeChart(holder, { height: 240 });
-  const xs = opt.curve.map((p) => p.value);
+  const xs = points.map((p) => p.value);
   // Plot the REQUESTED objective — a median/mean-optimal marker must land
   // on the peak of the curve it is drawn over.
   const isSuccess = opt.objective === "success_probability";
-  const ys = opt.curve.map((p) => p[opt.objective]);
+  const ys = points.map((p) => p.objective_value);
   const x = linScale(
     [xs[0], xs[xs.length - 1] === xs[0] ? xs[0] + 1 : xs[xs.length - 1]],
     [0, plot.innerW],
@@ -428,16 +440,135 @@ export function optimizeCard(opt) {
     yFmt: isSuccess ? (v) => `${v}%` : fmtMoney,
     xFmt: fmtSig,
   });
-  drawVLine(plot, opt.best.value, x, {
-    stroke: cssVar("--good"), label: `best ${fmtSig(opt.best.value)}`,
+  drawVLine(plot, bestValue, x, {
+    stroke: cssVar("--good"), label: `best ${fmtSig(bestValue)}`,
   });
   drawLine(plot, xs, ys, x, y, {});
   attachHover(plot, xs, x, (i) => [
-    `<b>${opt.param} = ${fmtSig(xs[i])}</b>`,
-    `success ${opt.curve[i].success_probability.toFixed(2)}%`,
-    `median ${fmtMoney(opt.curve[i].median_final_balance)}`,
+    `<b>${paramName} = ${fmtSig(xs[i])}</b>`,
+    `success ${points[i].success_probability.toFixed(2)}%`,
+    `median ${fmtMoney(points[i].median_final_balance)}`,
   ]);
+}
+
+// ------------------------------------------------ joint optimize card
+// Joint optimizer result (1 or 2 fields): best point metrics per field
+// plus the round-1 product grid — a sequential single-hue success heatmap
+// for two fields (cells carry hover tooltips; the ringed cell is the
+// refined optimum), or the same objective curve as the scalar card for
+// one.
+export function optimizeJointCard(opt) {
+  const names = opt.params;
+  const div = card(
+    "Optimize: " + names.join(" × "),
+    `maximize ${opt.objective} · ${opt.evaluations} evaluations × `
+      + `${opt.num_paths.toLocaleString()} paths at ${opt.working_months} `
+      + `working months`,
+  );
+  const grid = document.createElement("div");
+  grid.className = "metrics";
+  const items = [];
+  names.forEach((name, d) => {
+    items.push([`Best ${name}`,
+      `${fmtSig(opt.best.values[d])} (base ${fmtSig(opt.base_values[d])})`]);
+  });
+  items.push(
+    ["Success at best",
+     `${pct(opt.best.success_probability, 2)} ±${opt.success_sigma.toFixed(2)}`],
+    ["Median final", fmtMoney(opt.best.median_final_balance)],
+    ["Mean final", fmtMoney(opt.best.mean_final_balance)],
+  );
+  names.forEach((name, d) => {
+    items.push([`${name} bracket`,
+      `${fmtSig(opt.intervals[d][0])} – ${fmtSig(opt.intervals[d][1])}`]);
+  });
+  for (const [k, v] of items) {
+    const m = document.createElement("div");
+    m.className = "metric";
+    m.innerHTML = `<div class="k">${esc(k)}</div><div class="v">${esc(v)}</div>`;
+    grid.appendChild(m);
+  }
+  div.appendChild(grid);
+
+  const holder = document.createElement("div");
+  div.appendChild(holder);
+  if (names.length === 1) {
+    drawObjectiveCurve(holder, opt, names[0], opt.surface.map((p) => ({
+      value: p.values[0],
+      success_probability: p.success_probability,
+      median_final_balance: p.median_final_balance,
+      objective_value: p[opt.objective],
+    })), opt.best.values[0]);
+  } else {
+    drawSurfaceHeatmap(holder, opt);
+  }
   return div;
+}
+
+// K x K round-1 surface: x = second field, y = first field (C-order rows
+// of the response), one accent hue ramped light→dark by objective value.
+function drawSurfaceHeatmap(holder, opt) {
+  const K = opt.points_per_axis;
+  const [name0, name1] = opt.params;
+  const plot = makeChart(holder, { height: 300 });
+  const vals0 = [];
+  const vals1 = [];
+  for (let i = 0; i < K; i++) {
+    vals0.push(opt.surface[i * K].values[0]);
+    vals1.push(opt.surface[i].values[1]);
+  }
+  const isSuccess = opt.objective === "success_probability";
+  const zs = opt.surface.map((p) => p[opt.objective]);
+  const zLo = arrMin(zs);
+  const zHi = arrMax(zs);
+  // Cells are uniform in value space (linspace grids), so value scales
+  // with half-step edges place them exactly.
+  const step0 = (vals0[K - 1] - vals0[0]) / Math.max(K - 1, 1) || 1;
+  const step1 = (vals1[K - 1] - vals1[0]) / Math.max(K - 1, 1) || 1;
+  const x = linScale(
+    [vals1[0] - step1 / 2, vals1[K - 1] + step1 / 2], [0, plot.innerW],
+  );
+  const y = linScale(
+    [vals0[0] - step0 / 2, vals0[K - 1] + step0 / 2], [plot.innerH, 0],
+  );
+  drawAxes(plot, x, y, { xFmt: fmtSig, yFmt: fmtSig });
+  const accent = cssVar("--accent");
+  const cw = plot.innerW / K;
+  const ch = plot.innerH / K;
+  const fmtZ = (v) => (isSuccess ? `${v.toFixed(2)}%` : fmtMoney(v));
+  opt.surface.forEach((p, idx) => {
+    const i = Math.floor(idx / K);
+    const j = idx % K;
+    // 2px surface gap between cells; opacity ramps the single hue so the
+    // surface reads light→dark in both themes.
+    const frac = zHi > zLo ? (zs[idx] - zLo) / (zHi - zLo) : 1;
+    const rect = el("rect", {
+      x: x(vals1[j] - step1 / 2) + 1,
+      y: y(vals0[i] + step0 / 2) + 1,
+      width: Math.max(cw - 2, 1),
+      height: Math.max(ch - 2, 1),
+      rx: 2,
+      fill: accent,
+      opacity: (0.08 + 0.87 * frac).toFixed(3),
+    });
+    const tip = el("title");
+    tip.textContent =
+      `${name0} = ${fmtSig(p.values[0])}, ${name1} = ${fmtSig(p.values[1])}`
+      + ` → ${fmtZ(zs[idx])}`;
+    rect.appendChild(tip);
+    plot.g.appendChild(rect);
+  });
+  // Ring the refined optimum's cell center.
+  plot.g.appendChild(el("circle", {
+    cx: x(opt.best.values[1]), cy: y(opt.best.values[0]), r: 5,
+    fill: "none", stroke: cssVar("--good"), "stroke-width": 2,
+  }));
+  const note = document.createElement("div");
+  note.className = "sub";
+  note.textContent =
+    `${name1} across, ${name0} up; darker = higher ${opt.objective}; `
+    + `ring = refined optimum (${fmtZ(zLo)} – ${fmtZ(zHi)})`;
+  holder.appendChild(note);
 }
 
 // -------------------------------------------------------------- grid table

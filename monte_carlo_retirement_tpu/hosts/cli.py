@@ -24,11 +24,12 @@ Extra flags beyond the reference:
                     scenario grid at the searched (or --override) month
                     count, prints the derivative table, honors --json-out
                     with the SensitivityResponse payload.
-  --optimize SPEC   optimize mode: SPEC is PARAM or PARAM:LO:HI; maximizes
-                    success probability over that config field by batched
-                    grid refinement at the searched (or --override) month
-                    count, honors --json-out with the OptimizeResponse
-                    payload.
+  --optimize SPEC   optimize mode: SPEC is PARAM[:LO:HI], or two such
+                    specs comma-separated for a joint 2-D product-grid
+                    refinement; maximizes success probability over the
+                    field(s) by batched grid refinement at the searched
+                    (or --override) month count, honors --json-out with
+                    the Optimize(Joint)Response payload.
 """
 
 from __future__ import annotations
@@ -76,13 +77,24 @@ def _parse_args(argv) -> argparse.Namespace:
                              "tornado set); uses --override months or runs "
                              "the search first, prints the derivative "
                              "table, honors --json-out")
-    parser.add_argument("--optimize", default=None, metavar="PARAM[:LO:HI]",
+    parser.add_argument("--optimize", default=None,
+                        metavar="PARAM[:LO:HI][,PARAM2[:LO:HI]]",
                         help="optimize mode: maximize success probability "
-                             "over one config field (optional LO:HI search "
-                             "interval, required for unbounded fields); "
+                             "over one config field, or two jointly via a "
+                             "product grid (optional LO:HI search "
+                             "intervals, required for unbounded fields); "
                              "uses --override months or runs the search "
                              "first, prints the refinement result, honors "
                              "--json-out")
+    parser.add_argument("--opt-points", default=None, type=int,
+                        metavar="K",
+                        help="optimize mode: grid points per axis per "
+                             "refinement round (default 17 single-field, "
+                             "13 per axis jointly)")
+    parser.add_argument("--opt-rounds", default=None, type=int,
+                        metavar="R",
+                        help="optimize mode: refinement rounds, each one "
+                             "batched dispatch (default 3)")
     args = parser.parse_args(argv)
     if args.override is not None and args.override < 0:
         parser.error("--override must be a nonnegative month count")
@@ -226,12 +238,14 @@ def _run_sensitivity_mode(args, config_raw: dict, config: Config) -> None:
 
 
 def _run_optimize_mode(args, config_raw: dict, config: Config) -> None:
-    """Optimize CLI: maximize success probability over one config field at
+    """Optimize CLI: maximize success probability over one config field —
+    or two jointly (comma-separated specs, a product grid per round) — at
     the searched (or overridden) working-month count."""
     from .optimize import (
         OptimizeRequest,
-        OptimizeResponse,
         prepare_optimize,
+        request_target,
+        response_model,
         run_optimize_request,
     )
 
@@ -240,19 +254,35 @@ def _run_optimize_mode(args, config_raw: dict, config: Config) -> None:
         return
 
     spec = args.optimize
-    parts = spec.split(":")
-    body = {"config": config_raw, "working_months": months,
-            "param": parts[0]}
-    if len(parts) == 3:
-        try:
-            body["lo"], body["hi"] = float(parts[1]), float(parts[2])
-        except ValueError:
-            log.error("Invalid optimize bounds in %r (want PARAM[:LO:HI])",
-                      spec)
+    entries = []
+    for part in spec.split(","):
+        fields = part.split(":")
+        entry = {"name": fields[0]}
+        if len(fields) == 3:
+            try:
+                entry["lo"], entry["hi"] = float(fields[1]), float(fields[2])
+            except ValueError:
+                log.error(
+                    "Invalid optimize bounds in %r (want PARAM[:LO:HI])",
+                    part,
+                )
+                return
+        elif len(fields) != 1:
+            log.error("Invalid --optimize spec %r (want PARAM[:LO:HI])",
+                      part)
             return
-    elif len(parts) != 1:
-        log.error("Invalid --optimize spec %r (want PARAM[:LO:HI])", spec)
-        return
+        entries.append(entry)
+    body = {"config": config_raw, "working_months": months}
+    if len(entries) == 1:  # single-field form (scalar response shape)
+        body["param"] = entries[0]["name"]
+        body["lo"] = entries[0].get("lo")
+        body["hi"] = entries[0].get("hi")
+    else:
+        body["params"] = entries
+    if args.opt_points is not None:
+        body["points"] = args.opt_points
+    if args.opt_rounds is not None:
+        body["rounds"] = args.opt_rounds
     try:
         request = OptimizeRequest(**body)
         prepared = prepare_optimize(request)
@@ -261,13 +291,23 @@ def _run_optimize_mode(args, config_raw: dict, config: Config) -> None:
         return
 
     def progress(event: dict) -> None:
-        if event.get("type") == "optimize_round":
+        if event.get("type") != "optimize_round":
+            return
+        if "best_value" in event:
             log.info(
                 "optimize round %d/%d: best %s=%.6g (objective %.4g) in "
                 "[%.6g, %.6g]",
                 event["round"], event["rounds"], request.param,
                 event["best_value"], event["best_objective"],
                 event["interval"][0], event["interval"][1],
+            )
+        else:
+            log.info(
+                "optimize round %d/%d: best %s=%s (objective %.4g) in %s",
+                event["round"], event["rounds"], request_target(request),
+                [round(v, 6) for v in event["best_values"]],
+                event["best_objective"],
+                [[round(b, 6) for b in iv] for iv in event["intervals"]],
             )
 
     try:
@@ -277,28 +317,54 @@ def _run_optimize_mode(args, config_raw: dict, config: Config) -> None:
     except ValueError as exc:
         log.error("Optimization cannot run: %s", exc)
         return
-    payload = OptimizeResponse.model_validate(payload).model_dump(mode="json")
+    payload = response_model(request).model_validate(payload).model_dump(
+        mode="json"
+    )
 
     best = payload["best"]
     log.info(
         "--- Optimize: %s over '%s' at %d months x %s paths ---",
-        payload["objective"], payload["param"], months,
+        payload["objective"], request_target(request), months,
         f"{payload['num_paths']:,}",
     )
-    log.info(
-        "best %s = %.6g (base %.6g): success %.2f%% ± %.2f, median final "
-        "%s, mean final %s (%d evaluations, refined interval "
-        "[%.6g, %.6g])",
-        payload["param"], best["value"], payload["base_value"],
-        best["success_probability"], payload["success_sigma"],
-        f"{best['median_final_balance']:,.0f}",
-        f"{best['mean_final_balance']:,.0f}",
-        payload["evaluations"], payload["interval"][0],
-        payload["interval"][1],
-    )
-    log.info("round-1 sweep: %s",
-             " ".join(f"{p['value']:.3g}:{p['success_probability']:.1f}%"
-                      for p in payload["curve"]))
+    if "params" in payload:
+        log.info(
+            "best %s = %s (base %s): success %.2f%% ± %.2f, median final "
+            "%s, mean final %s (%d evaluations, refined intervals %s)",
+            " x ".join(payload["params"]),
+            [round(v, 6) for v in best["values"]],
+            [round(v, 6) for v in payload["base_values"]],
+            best["success_probability"], payload["success_sigma"],
+            f"{best['median_final_balance']:,.0f}",
+            f"{best['mean_final_balance']:,.0f}",
+            payload["evaluations"],
+            [[round(b, 6) for b in iv] for iv in payload["intervals"]],
+        )
+        k = payload["points_per_axis"]
+        log.info(
+            "round-1 surface (%d x %d, rows = %s ascending): %s",
+            k, k, payload["params"][0],
+            " ".join(
+                f"{p['values'][0]:.3g},{p['values'][1]:.3g}:"
+                f"{p['success_probability']:.1f}%"
+                for p in payload["surface"][:: max(1, k + 1)]
+            ),  # the grid diagonal keeps the log line bounded
+        )
+    else:
+        log.info(
+            "best %s = %.6g (base %.6g): success %.2f%% ± %.2f, median final "
+            "%s, mean final %s (%d evaluations, refined interval "
+            "[%.6g, %.6g])",
+            payload["param"], best["value"], payload["base_value"],
+            best["success_probability"], payload["success_sigma"],
+            f"{best['median_final_balance']:,.0f}",
+            f"{best['mean_final_balance']:,.0f}",
+            payload["evaluations"], payload["interval"][0],
+            payload["interval"][1],
+        )
+        log.info("round-1 sweep: %s",
+                 " ".join(f"{p['value']:.3g}:{p['success_probability']:.1f}%"
+                          for p in payload["curve"]))
     if args.json_out:
         with open(args.json_out, "w", encoding="utf-8") as fh:
             json.dump(payload, fh, indent=2, allow_nan=False)

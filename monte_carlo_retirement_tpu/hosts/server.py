@@ -17,8 +17,9 @@ Beyond the reference surface:
   POST /api/grid                (scenario grid; + /api/grid/stream SSE)
   POST /api/sensitivity         (per-parameter derivatives of success
                                  probability / final-balance stats)
-  POST /api/optimize            (maximize a metric over one config field
-                                 by batched grid refinement;
+  POST /api/optimize            (maximize a metric over one config field,
+                                 or two jointly via a product grid, by
+                                 batched grid refinement;
                                  + /api/optimize/stream SSE)
 
 The simulation itself runs in a worker thread; SSE progress events cross the
@@ -45,8 +46,9 @@ from .payload import build_result
 from .schemas import SimulationRequest, SimulationResponse
 from .optimize import (
     OptimizeRequest,
-    OptimizeResponse,
     prepare_optimize,
+    request_target,
+    response_model,
     run_optimize_request,
 )
 from .sensitivity import (
@@ -375,7 +377,8 @@ async def optimize(request: web.Request) -> web.Response:
         )
 
     log.info(
-        "Received optimize request: %s over '%s'", req.objective, req.param
+        "Received optimize request: %s over '%s'",
+        req.objective, request_target(req),
     )
     try:
         result = await asyncio.to_thread(run_optimize_request, req, prepared)
@@ -385,14 +388,22 @@ async def optimize(request: web.Request) -> web.Response:
         log.exception("Optimization failed")
         raise web.HTTPInternalServerError(text=f"Optimize error: {exc}")
 
-    validated = OptimizeResponse.model_validate(result).model_dump(
+    validated = response_model(req).model_validate(result).model_dump(
         mode="json"
     )
-    log.info(
-        "Optimize complete: best %s=%.6g (%s=%.4g)",
-        validated["param"], validated["best"]["value"],
-        validated["objective"], validated["best"][validated["objective"]],
-    )
+    if "params" in validated:
+        log.info(
+            "Optimize complete: best %s=%s (%s=%.4g)",
+            " x ".join(validated["params"]),
+            validated["best"]["values"],
+            validated["objective"], validated["best"][validated["objective"]],
+        )
+    else:
+        log.info(
+            "Optimize complete: best %s=%.6g (%s=%.4g)",
+            validated["param"], validated["best"]["value"],
+            validated["objective"], validated["best"][validated["objective"]],
+        )
     return web.json_response(validated)
 
 
@@ -414,16 +425,18 @@ async def optimize_stream(request: web.Request) -> web.StreamResponse:
         )
 
     def worker_body(emit) -> None:
+        points = req.points if req.points is not None \
+            else (17 if req.params is None else 13)
         emit({
             "type": "phase",
             "phase": "optimize",
             "message": (
-                f"Optimizing {req.param} "
-                f"({req.points} points x {req.rounds} rounds)…"
+                f"Optimizing {request_target(req)} "
+                f"({points} points/axis x {req.rounds} rounds)…"
             ),
         })
         result = run_optimize_request(req, prepared, progress_callback=emit)
-        validated = OptimizeResponse.model_validate(result).model_dump(
+        validated = response_model(req).model_validate(result).model_dump(
             mode="json"
         )
         emit({"type": "result", "data": validated})

@@ -280,6 +280,47 @@ def test_optimize_card_metrics_and_curve(fe):
     assert any(lbl.startswith("best ") for lbl in labels)
 
 
+def test_optimize_joint_card_heatmap(fe):
+    """optimizeJointCard on a REAL joint engine payload: per-field metric
+    tiles and the round-1 K x K surface as a single-hue heatmap with one
+    cell per grid row, per-cell tooltips and the optimum ring."""
+    from monte_carlo_retirement_tpu.hosts.optimize import (
+        OptimizeRequest, run_optimize_request,
+    )
+
+    req = OptimizeRequest(
+        config=base_config_dict(num_simulations_main=64, retirement_years=3,
+                                seed=4),
+        working_months=12,
+        params=[
+            {"name": "allocation_inv1_pct"},
+            {"name": "equity_inflation_correlation", "lo": -0.5, "hi": 0.5},
+        ],
+        points=3,
+        rounds=2,
+        num_paths=128,
+    )
+    opt = _floatify(run_optimize_request(req))
+    card = fe.call("views.js", "optimizeJointCard", opt)
+    text = card.textContent
+    assert ("Optimize: allocation_inv1_pct × equity_inflation_correlation"
+            in text)
+    assert "18 evaluations" in text
+    assert "Best allocation_inv1_pct" in text
+    assert "equity_inflation_correlation bracket" in text
+    svg = card.querySelector("svg")
+    assert svg is not None
+    rects = svg.getElementsByTagName("rect")
+    assert len(rects) == 9  # one cell per round-1 grid row
+    # every cell carries a hover tooltip naming both field values
+    tips = [t.textContent for t in svg.getElementsByTagName("title")]
+    assert len(tips) == 9
+    assert all("allocation_inv1_pct" in t and "→" in t for t in tips)
+    # the refined optimum is ringed
+    assert len(svg.getElementsByTagName("circle")) == 1
+    assert "darker = higher success_probability" in text
+
+
 class _Reader:
     def __init__(self, chunks):
         self._chunks = list(chunks)
@@ -584,6 +625,59 @@ def test_app_optimize_panel_flow():
     assert results.querySelector("svg") is not None
     assert doc.getElementById("opt-run").disabled is False
     assert doc.getElementById("progress-panel").className.endswith("hidden")
+
+
+def test_app_optimize_panel_joint_flow():
+    """Filling the second parameter switches the panel to the joint form:
+    the request body carries `params`, joint optimize_round events drive
+    the progress line, and the heatmap card renders."""
+    import json as _j
+
+    K = 3
+    vals0 = [0.0, 0.5, 1.0]
+    vals1 = [-0.5, 0.0, 0.5]
+    surface = [
+        {"values": [v0, v1],
+         "success_probability": 80.0 + 10.0 * v0 - 5.0 * abs(v1),
+         "median_final_balance": 1e6, "mean_final_balance": 1.1e6}
+        for v0 in vals0 for v1 in vals1
+    ]
+    opt_result = {
+        "scenario": "t", "working_months": 240.0, "num_paths": 64.0,
+        "params": ["allocation_inv1_pct", "equity_inflation_correlation"],
+        "objective": "success_probability",
+        "base_values": [0.6, 0.0], "rounds": 2.0, "evaluations": 18.0,
+        "points_per_axis": float(K), "success_sigma": 0.4,
+        "best": {"values": [1.0, 0.0], "success_probability": 90.0,
+                 "median_final_balance": 1.2e6, "mean_final_balance": 1.4e6},
+        "intervals": [[0.5, 1.0], [-0.25, 0.25]],
+        "surface": surface,
+    }
+    frames = [
+        'data: {"type": "phase", "phase": "optimize", "message": "go"}\n\n',
+        'data: {"type": "optimize_round", "round": 1, "rounds": 2,'
+        ' "best_values": [1.0, 0.0], "best_objective": 90.0,'
+        ' "intervals": [[0.0, 1.0], [-0.5, 0.5]]}\n\n',
+        "data: " + _j.dumps({"type": "result", "data": _floatify(opt_result)})
+        + "\n\n",
+    ]
+    fetch = _RoutedFetch(_floatify(base_config_dict()), frames)
+    fe = load_frontend(ALL_MODULES, fetch=fetch, load_page=True)
+    doc = fe.document
+    doc.getElementById("opt-param2").value = "equity_inflation_correlation"
+    doc.getElementById("opt-lo2").value = "-0.5"
+    doc.getElementById("opt-hi2").value = "0.5"
+    doc.getElementById("opt-run").dispatch(fe.interp, "click")
+    assert any(u.endswith("/api/optimize/stream") for u in fetch.calls)
+    results = doc.getElementById("results")
+    text = results.textContent
+    assert ("Optimize: allocation_inv1_pct × equity_inflation_correlation"
+            in text)
+    assert "Best allocation_inv1_pct" in text
+    svg = results.querySelector("svg")
+    assert svg is not None
+    assert len(svg.getElementsByTagName("rect")) == 9
+    assert doc.getElementById("opt-run").disabled is False
 
 
 def test_app_optimize_panel_rejects_empty_param():

@@ -268,6 +268,259 @@ def test_cli_optimize_mode(tmp_path, monkeypatch):
     assert "optimize round 3/3" in text
 
 
+def _fake_grid_2d(objective_fn):
+    """run_scenario_grid stand-in reading TWO probed fields per variant."""
+
+    def runner(variants, months, n, seed=0, backend=None, mesh=None,
+               progress_callback=None, chunk_size=None):
+        xs = np.array([v.allocation_inv1_pct for v in variants])
+        ys = np.array([v.equity_inflation_correlation for v in variants])
+        obj = np.array(
+            [objective_fn(x, y) for x, y in zip(xs, ys)], dtype=float
+        )
+        med = obj * 1e4
+        return ScenarioBatchResult(
+            success_probability=obj,
+            median_final_balance=med,
+            mean_final_balance=med * 1.1,
+            success_sigma=np.full(len(xs), 0.5),
+            final_balance_percentiles=np.tile(
+                med[:, None], (1, len(GRID_FINAL_PERCENTILES))
+            ),
+        )
+
+    return runner
+
+
+JOINT = ["allocation_inv1_pct", "equity_inflation_correlation"]
+
+
+def test_joint_refinement_converges_on_injected_2d_peak(monkeypatch):
+    """Three rounds x 5x5 points over a separable concave surface: each
+    round's argmax cell is the nearest grid point per axis, so the answer
+    lands within half the round-3 spacing of the true peak on BOTH axes
+    and both refined brackets contain it."""
+    peak = (0.37, -0.22)
+    monkeypatch.setattr(
+        O, "run_scenario_grid",
+        _fake_grid_2d(
+            lambda x, y: 100.0
+            - 100.0 * (x - peak[0]) ** 2
+            - 50.0 * (y - peak[1]) ** 2
+        ),
+    )
+    events = []
+    res = O.optimize_params(
+        _cfg(), W, JOINT, points=5, rounds=3,
+        progress_callback=events.append,
+    )
+    assert res.evaluations == 75 and res.points_per_axis == 5
+    assert res.params == tuple(JOINT)
+    # C-order surface over the full bounds: the SECOND axis varies fastest
+    assert res.surface[0].values == (0.0, -1.0)
+    assert res.surface[1].values == (0.0, -0.5)
+    assert res.surface[-1].values == (1.0, 1.0)
+    assert len(res.surface) == 25
+    for d, (rng, pk) in enumerate([(1.0, peak[0]), (2.0, peak[1])]):
+        spacing_r3 = rng * (2.0 / 4.0) ** 2 / 4.0
+        assert abs(res.best.values[d] - pk) <= spacing_r3 / 2 * 1.01
+        assert res.intervals[d][0] <= pk <= res.intervals[d][1]
+        # The bracket updates only on STRICT improvement: a later round
+        # that re-samples the incumbent exactly ties and keeps the earlier
+        # bracket, so the guaranteed width bound is the ROUND-2 spacing.
+        spacing_r2 = rng * (2.0 / 4.0) / 4.0
+        assert res.intervals[d][1] - res.intervals[d][0] \
+            <= 2 * spacing_r2 * 1.01
+    # joint progress events carry per-axis payloads and NO legacy keys
+    rounds = [e for e in events if e["type"] == "optimize_round"]
+    assert len(rounds) == 3
+    assert all(len(e["best_values"]) == 2 and len(e["intervals"]) == 2
+               for e in rounds)
+    assert all("best_value" not in e and "interval" not in e
+               for e in rounds)
+
+
+def test_joint_validation_errors():
+    cfg = _cfg()
+    with pytest.raises(ValueError, match="1 or 2 parameters"):
+        O.optimize_params(cfg, W, JOINT + ["monthly_expenses"])
+    with pytest.raises(ValueError, match="Duplicate"):
+        O.optimize_params(cfg, W, [JOINT[0], JOINT[0]])
+    with pytest.raises(ValueError, match="rows per round"):
+        O.optimize_params(cfg, W, JOINT, points=17)
+    with pytest.raises(ValueError, match="bounds must align"):
+        O.optimize_params(cfg, W, [JOINT[0]], bounds=[None, None])
+    with pytest.raises(ValueError, match="no upper bound"):
+        O.optimize_params(cfg, W, ["monthly_expenses", JOINT[0]])
+
+
+def test_joint_real_evaluation_crn_matches_direct_grid():
+    """A single-round 3x3 product sweep must equal a direct scenario-grid
+    run of the same variants in the same (C-order) row order."""
+    from monte_carlo_retirement_tpu.config import Config
+    from monte_carlo_retirement_tpu.engine.scenario_batch import (
+        run_scenario_grid,
+    )
+
+    cfg = _cfg()
+    res = O.optimize_params(
+        cfg, W, JOINT, num_paths=N, seed=SEED, points=3, rounds=1,
+    )
+    rows = [(x, y)
+            for x in np.linspace(0.0, 1.0, 3)
+            for y in np.linspace(-1.0, 1.0, 3)]
+    base = cfg.model_dump()
+    base.pop("allocation_inv2_pct", None)
+    direct = run_scenario_grid(
+        [Config(**{**base, JOINT[0]: x, JOINT[1]: y}) for x, y in rows],
+        [W] * len(rows), N, seed=SEED,
+    )
+    assert len(res.surface) == 9
+    for i, p in enumerate(res.surface):
+        assert p.values == pytest.approx(rows[i])
+        assert p.success_probability == pytest.approx(
+            float(direct.success_probability[i]), abs=1e-9
+        )
+        assert p.median_final_balance == pytest.approx(
+            float(direct.median_final_balance[i]), rel=1e-7
+        )
+
+
+def test_optimize_joint_endpoint_end_to_end():
+    import asyncio
+
+    async def scenario():
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from monte_carlo_retirement_tpu.hosts.optimize import (
+            OptimizeJointResponse,
+        )
+        from monte_carlo_retirement_tpu.hosts.server import create_app
+
+        client = TestClient(TestServer(create_app()))
+        await client.start_server()
+        try:
+            base = base_config_dict(
+                num_simulations_main=64, retirement_years=3, seed=5
+            )
+            body = {
+                "config": base,
+                "working_months": 12,
+                "params": [
+                    {"name": JOINT[0]},
+                    {"name": JOINT[1], "lo": -0.5, "hi": 0.5},
+                ],
+                "points": 3,
+                "rounds": 2,
+            }
+            resp = await client.post("/api/optimize", json=body)
+            assert resp.status == 200, await resp.text()
+            data = await resp.json()
+            OptimizeJointResponse.model_validate(data)
+            assert data["params"] == JOINT
+            assert data["evaluations"] == 18
+            assert len(data["surface"]) == 9
+            assert data["points_per_axis"] == 3
+            assert 0.0 <= data["best"]["values"][0] <= 1.0
+            assert -0.5 <= data["best"]["values"][1] <= 0.5
+            # per-axis bound respected in the round-1 surface too
+            assert data["surface"][0]["values"] == [0.0, -0.5]
+            assert data["surface"][-1]["values"] == [1.0, 0.5]
+
+            # Both request forms at once -> 422
+            resp = await client.post(
+                "/api/optimize", json={**body, "param": JOINT[0]}
+            )
+            assert resp.status == 422
+            assert "exactly one" in await resp.text()
+
+            # Neither form -> 422
+            neither = {k: v for k, v in body.items() if k != "params"}
+            resp = await client.post("/api/optimize", json=neither)
+            assert resp.status == 422
+
+            # Top-level lo/hi belong to the single-field form -> 422
+            resp = await client.post(
+                "/api/optimize", json={**body, "lo": 0.1}
+            )
+            assert resp.status == 422
+            assert "single-field" in await resp.text()
+
+            # Joint row cap: 17^2 = 289 > 257 -> 422
+            resp = await client.post(
+                "/api/optimize", json={**body, "points": 17}
+            )
+            assert resp.status == 422
+            assert "rows per round" in await resp.text()
+
+            # Duplicate names -> 422
+            resp = await client.post(
+                "/api/optimize",
+                json={**body, "params": [{"name": JOINT[0]}] * 2},
+            )
+            assert resp.status == 422
+            assert "Duplicate" in await resp.text()
+
+            # SSE variant: joint optimize_round events carry best_values
+            resp = await client.post("/api/optimize/stream", json=body)
+            assert resp.status == 200
+            text = (await resp.read()).decode()
+            events = [json.loads(line[len("data: "):])
+                      for line in text.split("\n\n")
+                      if line.startswith("data: ")]
+            kinds = [e["type"] for e in events]
+            assert kinds[0] == "phase"
+            rounds = [e for e in events if e["type"] == "optimize_round"]
+            assert len(rounds) == 2
+            assert all(len(e["best_values"]) == 2 for e in rounds)
+            assert kinds[-1] == "result"
+            OptimizeJointResponse.model_validate(events[-1]["data"])
+        finally:
+            await client.close()
+
+    asyncio.run(scenario())
+
+
+def test_cli_optimize_joint_mode(tmp_path, monkeypatch):
+    """--optimize with two comma-separated specs: joint product-grid
+    refinement from the CLI, joint payload written and schema-valid."""
+    import sys
+
+    from monte_carlo_retirement_tpu.hosts import cli
+    from monte_carlo_retirement_tpu.hosts.optimize import (
+        OptimizeJointResponse,
+    )
+
+    cfg_path = tmp_path / "scenario.json"
+    cfg_path.write_text(json.dumps(base_config_dict(
+        scenario="opt joint cli", retirement_years=3,
+        num_simulations_main=64, seed=9,
+    )))
+    out_path = tmp_path / "opt_joint.json"
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["cli", str(cfg_path), "--optimize",
+         f"{JOINT[0]}:0.2:0.9,{JOINT[1]}:-0.5:0.5",
+         "--opt-points", "3", "--opt-rounds", "2",
+         "--override", "12", "--json-out", str(out_path)],
+    )
+    cli.main()
+    payload = OptimizeJointResponse.model_validate(
+        json.loads(out_path.read_text())
+    )
+    assert payload.params == JOINT
+    assert payload.evaluations == 18
+    assert 0.2 <= payload.best.values[0] <= 0.9
+    assert -0.5 <= payload.best.values[1] <= 0.5
+    logs = list(tmp_path.glob("ret_proj_log_*.log"))
+    text = logs[0].read_text()
+    assert (f"Optimize: success_probability over "
+            f"'{JOINT[0]} x {JOINT[1]}'") in text
+    assert "optimize round 2/2" in text
+    assert "round-1 surface (3 x 3" in text
+
+
 def test_cli_optimize_flag_conflicts(monkeypatch):
     import sys
 
