@@ -434,18 +434,19 @@ function initSensitivityPanel() {
 }
 
 // --------------------------------------------------------------- optimize
-// Maximize success probability over one config field: each refinement
-// round is one batched CRN grid dispatch over K points, zooming into the
-// argmax neighborhood.
+// Maximize success probability over one config field — or two jointly
+// via a K x K product grid: each refinement round is one batched CRN
+// grid dispatch, zooming every axis into the argmax neighborhood.
 function initOptimizePanel() {
   const holder = document.getElementById("optimize-panel");
   if (!holder) return;
   holder.innerHTML = `
     <details class="grid-setup">
       <summary>Optimize</summary>
-      <div class="sub">Find the value of one config field that maximizes
-        the success probability (batched grid refinement around the
-        current scenario; bounds default to the field's hard limits).</div>
+      <div class="sub">Find the value of one config field — or of two
+        jointly over a product grid — that maximizes the success
+        probability (batched grid refinement around the current scenario;
+        bounds default to each field's hard limits).</div>
       <label class="field">Parameter (config field)
         <input id="opt-param" type="text" value="allocation_inv1_pct" />
       </label>

@@ -95,6 +95,12 @@ class JointOptimizeResult(NamedTuple):
 MAX_JOINT_ROWS = 257
 
 
+def default_points(n_params: int) -> int:
+    """Default grid points per axis — the ONE place the rule lives (the
+    hosts echo it in messages and cap checks)."""
+    return 17 if n_params == 1 else 13
+
+
 def _bounds_for(param: str, lo: Optional[float], hi: Optional[float]):
     spec = SENSITIVITY_PARAMS[param]
     lo = spec.lo if lo is None else float(lo)
@@ -157,7 +163,7 @@ def optimize_params(
             f"{sorted(OBJECTIVES)}"
         )
     ndim = len(params)
-    points = int(points) if points is not None else (17 if ndim == 1 else 13)
+    points = int(points) if points is not None else default_points(ndim)
     rounds = int(rounds)
     if points < 3:
         raise ValueError("points must be >= 3")

@@ -103,6 +103,11 @@ def _parse_args(argv) -> argparse.Namespace:
                             ("--optimize", args.optimize)) if v is not None]
     if len(modes) > 1:
         parser.error(f"{' and '.join(modes)} are mutually exclusive")
+    if args.optimize is None:
+        for flag, value in (("--opt-points", args.opt_points),
+                            ("--opt-rounds", args.opt_rounds)):
+            if value is not None:
+                parser.error(f"{flag} requires --optimize")
     return args
 
 

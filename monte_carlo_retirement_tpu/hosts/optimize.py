@@ -16,6 +16,7 @@ from ..config import Config
 from ..engine.optimize import (
     MAX_JOINT_ROWS,
     OBJECTIVES,
+    default_points,
     optimize_param,
     optimize_params,
 )
@@ -174,7 +175,8 @@ def prepare_optimize(request: OptimizeRequest):
             )
         for p in request.params:
             _bounds_for(p.name, p.lo, p.hi)  # raises ValueError
-        points = request.points if request.points is not None else 13
+        points = (request.points if request.points is not None
+                  else default_points(len(names)))
         if len(names) > 1 and points ** len(names) > MAX_JOINT_ROWS:
             raise ValueError(
                 f"points={points} over {len(names)} parameters is "
@@ -209,7 +211,8 @@ def run_optimize_request(
         objective=request.objective,
         lo=request.lo,
         hi=request.hi,
-        points=request.points if request.points is not None else 17,
+        points=(request.points if request.points is not None
+                else default_points(1)),
         rounds=request.rounds,
         progress_callback=progress_callback,
     )

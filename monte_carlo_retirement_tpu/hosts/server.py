@@ -46,6 +46,7 @@ from .payload import build_result
 from .schemas import SimulationRequest, SimulationResponse
 from .optimize import (
     OptimizeRequest,
+    default_points,
     prepare_optimize,
     request_target,
     response_model,
@@ -426,7 +427,7 @@ async def optimize_stream(request: web.Request) -> web.StreamResponse:
 
     def worker_body(emit) -> None:
         points = req.points if req.points is not None \
-            else (17 if req.params is None else 13)
+            else default_points(1 if req.params is None else len(req.params))
         emit({
             "type": "phase",
             "phase": "optimize",

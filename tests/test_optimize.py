@@ -475,6 +475,24 @@ def test_optimize_joint_endpoint_end_to_end():
             assert all(len(e["best_values"]) == 2 for e in rounds)
             assert kinds[-1] == "result"
             OptimizeJointResponse.model_validate(events[-1]["data"])
+
+            # A SINGLE-entry params list keeps the 1-D default of 17
+            # points — the phase message must agree with the actual run.
+            single = {
+                "config": base, "working_months": 12, "rounds": 1,
+                "params": [{"name": JOINT[0]}],
+            }
+            resp = await client.post("/api/optimize/stream", json=single)
+            assert resp.status == 200
+            text = (await resp.read()).decode()
+            events = [json.loads(line[len("data: "):])
+                      for line in text.split("\n\n")
+                      if line.startswith("data: ")]
+            assert "17 points/axis" in events[0]["message"]
+            data = events[-1]["data"]
+            OptimizeJointResponse.model_validate(data)
+            assert data["evaluations"] == 17
+            assert data["points_per_axis"] == 17
         finally:
             await client.close()
 
@@ -530,5 +548,13 @@ def test_cli_optimize_flag_conflicts(monkeypatch):
         sys, "argv",
         ["cli", "x.json", "--sensitivity", "--optimize", "allocation_inv1_pct"],
     )
+    with pytest.raises(SystemExit):
+        cli.main()
+
+    # --opt-points / --opt-rounds make no sense without --optimize
+    monkeypatch.setattr(sys, "argv", ["cli", "x.json", "--opt-points", "5"])
+    with pytest.raises(SystemExit):
+        cli.main()
+    monkeypatch.setattr(sys, "argv", ["cli", "x.json", "--opt-rounds", "2"])
     with pytest.raises(SystemExit):
         cli.main()
