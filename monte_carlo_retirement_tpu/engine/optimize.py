@@ -208,7 +208,9 @@ def optimize_params(
             # One dispatch per round (the module's design claim) — the row
             # count is host-bounded (257 in 1-D serving, MAX_JOINT_ROWS
             # jointly), whose (k, n) grid intermediates stay comfortably
-            # inside HBM even at 1M paths.
+            # inside HBM even at 1M paths. Above that path scale the
+            # grid's MCRT_GRID_CELL_BUDGET guard splits the round into
+            # exact CRN-preserving chunks.
             chunk_size=len(rows),
             backend=backend,
             mesh=mesh,

@@ -258,6 +258,20 @@ def run_scenario_grid(
     if chunk_size is None:
         chunk_size = int(os.environ.get("MCRT_GRID_CHUNK", "16"))
     chunk_size = max(1, int(chunk_size))
+    # Device-OOM guard, the grid analog of MCRT_MAX_DEVICE_PATHS: one
+    # dispatch materialises two (k, n) f32 tables on device, so bound
+    # k x n cells per dispatch and shrink oversized chunks. Scenario
+    # chunking is exact under grid-wide CRN (draws depend only on
+    # (stream, block, month)), so splitting never changes results; the
+    # pipeline window below holds up to window+1 dispatches live — size
+    # the budget with that in mind. 256M cells ≈ 2 GB of output tables
+    # (e.g. 169 scenarios x 1M paths in one dispatch, or a 16M-path grid
+    # auto-split to 16 scenarios per dispatch).
+    cell_budget = int(
+        os.environ.get("MCRT_GRID_CELL_BUDGET", str(256 * 1024 * 1024))
+    )
+    if n > 0:
+        chunk_size = max(1, min(chunk_size, cell_budget // n))
 
     if backend is None:
         backend = os.environ.get("MCRT_GRID_BACKEND", "auto")

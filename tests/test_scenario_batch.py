@@ -323,3 +323,45 @@ def test_grid_pipeline_window_invariance(monkeypatch):
     assert [e["done"] for e in ev0] == [2, 4, 5]
     assert [e["done"] for e in ev3] == [2, 4, 5]
     assert all(e["type"] == "grid_chunk" for e in ev0 + ev3)
+
+
+def test_grid_cell_budget_shrinks_chunks_exactly(monkeypatch):
+    """MCRT_GRID_CELL_BUDGET (the grid's device-OOM guard) caps k x n
+    cells per dispatch by shrinking the chunk size; grid-wide CRN makes
+    the split EXACTLY equal to the one-dispatch run, and the progress
+    protocol reports the smaller chunks."""
+    from monte_carlo_retirement_tpu.engine.scenario_batch import (
+        run_scenario_grid,
+    )
+
+    cfgs = [
+        make_config(monthly_expenses=e, retirement_years=3, seed=5)
+        for e in (1_000.0, 2_500.0, 4_000.0, 5_500.0)
+    ]
+    months = [12, 12, 18, 24]
+    n = 32
+
+    def run_with(budget):
+        if budget is not None:
+            monkeypatch.setenv("MCRT_GRID_CELL_BUDGET", str(budget))
+        else:
+            monkeypatch.delenv("MCRT_GRID_CELL_BUDGET", raising=False)
+        events = []
+        out = run_scenario_grid(
+            cfgs, months, n, seed=2, chunk_size=4, backend="scan",
+            progress_callback=events.append,
+        )
+        return out, events
+
+    whole, ev_whole = run_with(None)
+    assert [e["done"] for e in ev_whole] == [4]
+    # Budget of 2 x n cells -> chunks of 2 scenarios.
+    split, ev_split = run_with(2 * n)
+    assert [e["done"] for e in ev_split] == [2, 4]
+    for a, b in zip(whole, split):
+        np.testing.assert_array_equal(a, b)
+    # A budget below one row's cells still dispatches single rows.
+    tiny, ev_tiny = run_with(1)
+    assert [e["done"] for e in ev_tiny] == [1, 2, 3, 4]
+    for a, b in zip(whole, tiny):
+        np.testing.assert_array_equal(a, b)
