@@ -415,7 +415,8 @@ export function optimizeCard(opt) {
     value: p.value,
     success_probability: p.success_probability,
     median_final_balance: p.median_final_balance,
-    objective_value: p[opt.objective],
+    objective_value: p.objective_value !== undefined
+      ? p.objective_value : p[opt.objective],
   })), opt.best.value);
   return div;
 }
@@ -497,7 +498,8 @@ export function optimizeJointCard(opt) {
       value: p.values[0],
       success_probability: p.success_probability,
       median_final_balance: p.median_final_balance,
-      objective_value: p[opt.objective],
+      objective_value: p.objective_value !== undefined
+        ? p.objective_value : p[opt.objective],
     })), opt.best.values[0]);
   } else {
     drawSurfaceHeatmap(holder, opt);
@@ -518,7 +520,9 @@ function drawSurfaceHeatmap(holder, opt) {
     vals1.push(opt.surface[i].values[1]);
   }
   const isSuccess = opt.objective === "success_probability";
-  const zs = opt.surface.map((p) => p[opt.objective]);
+  const zs = opt.surface.map((p) => (
+    p.objective_value !== undefined ? p.objective_value : p[opt.objective]
+  ));
   const zLo = arrMin(zs);
   const zHi = arrMax(zs);
   // Cells are uniform in value space (linspace grids), so value scales

@@ -42,12 +42,17 @@ __all__ = [
     "optimize_params",
 ]
 
-# objective name -> (extractor, higher_is_better). All are maximized;
-# decision-grade metrics only (success% ties are broken by median final).
+# objective name -> extractor over a ScenarioBatchResult. All are
+# maximized; decision-grade metrics only (success% ties are broken by
+# median final). The percentile objectives optimize the DOWNSIDE of the
+# final-balance distribution (p5/p25 over all paths, ruined paths at 0) —
+# the risk-averse counterparts to the median/mean.
 OBJECTIVES = {
     "success_probability": lambda r: r.success_probability,
     "median_final_balance": lambda r: r.median_final_balance,
     "mean_final_balance": lambda r: r.mean_final_balance,
+    "p5_final_balance": lambda r: r.final_balance_percentiles[:, 0],
+    "p25_final_balance": lambda r: r.final_balance_percentiles[:, 1],
 }
 
 
@@ -56,6 +61,10 @@ class OptimizePoint(NamedTuple):
     success_probability: float
     median_final_balance: float
     mean_final_balance: float
+    # The REQUESTED objective's value at this point — equal to one of the
+    # fields above for the classic objectives, the percentile readout for
+    # the risk-averse ones (which the points don't otherwise carry).
+    objective_value: float = float("nan")
 
 
 class OptimizeResult(NamedTuple):
@@ -74,6 +83,7 @@ class JointOptimizePoint(NamedTuple):
     success_probability: float
     median_final_balance: float
     mean_final_balance: float
+    objective_value: float = float("nan")  # the requested objective here
 
 
 class JointOptimizeResult(NamedTuple):
@@ -217,12 +227,13 @@ def optimize_params(
             progress_callback=progress_callback,
         )
 
-    def point(rows, res, med, i) -> JointOptimizePoint:
+    def point(rows, res, med, obj, i) -> JointOptimizePoint:
         return JointOptimizePoint(
             values=tuple(float(v) for v in rows[i]),
             success_probability=float(res.success_probability[i]),
             median_final_balance=float(med[i]),
             mean_final_balance=float(res.mean_final_balance[i]),
+            objective_value=float(obj[i]),
         )
 
     surface: List[JointOptimizePoint] = []
@@ -253,7 +264,7 @@ def optimize_params(
         key = (float(obj[best_idx]), float(med[best_idx]))
         if best_key is None or key > best_key:
             best_key = key
-            best = point(rows, res, med, best_idx)
+            best = point(rows, res, med, obj, best_idx)
             best_brackets = [
                 (
                     float(axes[d][max(0, cell[d] - 1)]),
@@ -263,7 +274,8 @@ def optimize_params(
             ]
             best_sigma = float(res.success_sigma[best_idx])
         if r == 0:
-            surface = [point(rows, res, med, i) for i in range(len(rows))]
+            surface = [point(rows, res, med, obj, i)
+                       for i in range(len(rows))]
         if progress_callback is not None:
             event = {
                 "type": "optimize_round",
@@ -345,6 +357,7 @@ def optimize_param(
             success_probability=p.success_probability,
             median_final_balance=p.median_final_balance,
             mean_final_balance=p.mean_final_balance,
+            objective_value=p.objective_value,
         )
 
     return OptimizeResult(

@@ -26,10 +26,12 @@ Extra flags beyond the reference:
                     with the SensitivityResponse payload.
   --optimize SPEC   optimize mode: SPEC is PARAM[:LO:HI], or two such
                     specs comma-separated for a joint 2-D product-grid
-                    refinement; maximizes success probability over the
-                    field(s) by batched grid refinement at the searched
-                    (or --override) month count, honors --json-out with
-                    the Optimize(Joint)Response payload.
+                    refinement; maximizes success probability (or the
+                    --opt-objective metric, e.g. p5_final_balance) over
+                    the field(s) by batched grid refinement at the
+                    searched (or --override) month count, honors
+                    --json-out with the Optimize(Joint)Response payload.
+                    --opt-points/--opt-rounds size the refinement.
 """
 
 from __future__ import annotations
@@ -95,6 +97,10 @@ def _parse_args(argv) -> argparse.Namespace:
                         metavar="R",
                         help="optimize mode: refinement rounds, each one "
                              "batched dispatch (default 3)")
+    parser.add_argument("--opt-objective", default=None, metavar="NAME",
+                        help="optimize mode: metric to maximize (default "
+                             "success_probability; also "
+                             "median/mean/p5/p25_final_balance)")
     args = parser.parse_args(argv)
     if args.override is not None and args.override < 0:
         parser.error("--override must be a nonnegative month count")
@@ -105,7 +111,8 @@ def _parse_args(argv) -> argparse.Namespace:
         parser.error(f"{' and '.join(modes)} are mutually exclusive")
     if args.optimize is None:
         for flag, value in (("--opt-points", args.opt_points),
-                            ("--opt-rounds", args.opt_rounds)):
+                            ("--opt-rounds", args.opt_rounds),
+                            ("--opt-objective", args.opt_objective)):
             if value is not None:
                 parser.error(f"{flag} requires --optimize")
     return args
@@ -288,6 +295,8 @@ def _run_optimize_mode(args, config_raw: dict, config: Config) -> None:
         body["points"] = args.opt_points
     if args.opt_rounds is not None:
         body["rounds"] = args.opt_rounds
+    if args.opt_objective is not None:
+        body["objective"] = args.opt_objective
     try:
         request = OptimizeRequest(**body)
         prepared = prepare_optimize(request)

@@ -81,6 +81,7 @@ class OptimizePointModel(BaseModel):
     success_probability: float
     median_final_balance: float
     mean_final_balance: float
+    objective_value: float  # the requested objective at this point
 
 
 class OptimizeResponse(BaseModel):
@@ -103,6 +104,7 @@ class JointPointModel(BaseModel):
     success_probability: float
     median_final_balance: float
     mean_final_balance: float
+    objective_value: float  # the requested objective at this point
 
 
 class OptimizeJointResponse(BaseModel):
@@ -223,6 +225,7 @@ def run_optimize_request(
             "success_probability": round(p.success_probability, 3),
             "median_final_balance": round(p.median_final_balance, 2),
             "mean_final_balance": round(p.mean_final_balance, 2),
+            "objective_value": round(p.objective_value, 4),
         }
 
     return {
@@ -268,6 +271,7 @@ def _run_joint(
             "success_probability": round(p.success_probability, 3),
             "median_final_balance": round(p.median_final_balance, 2),
             "mean_final_balance": round(p.mean_final_balance, 2),
+            "objective_value": round(p.objective_value, 4),
         }
 
     base_dump = config.model_dump()

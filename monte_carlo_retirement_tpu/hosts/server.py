@@ -397,13 +397,13 @@ async def optimize(request: web.Request) -> web.Response:
             "Optimize complete: best %s=%s (%s=%.4g)",
             " x ".join(validated["params"]),
             validated["best"]["values"],
-            validated["objective"], validated["best"][validated["objective"]],
+            validated["objective"], validated["best"]["objective_value"],
         )
     else:
         log.info(
             "Optimize complete: best %s=%.6g (%s=%.4g)",
             validated["param"], validated["best"]["value"],
-            validated["objective"], validated["best"][validated["objective"]],
+            validated["objective"], validated["best"]["objective_value"],
         )
     return web.json_response(validated)
 

@@ -194,6 +194,21 @@ def test_optimize_endpoint_end_to_end():
             assert data["evaluations"] == 10
             assert 0.0 <= data["best"]["value"] <= 1.0
             assert len(data["curve"]) == 5
+            # objective_value mirrors the requested objective's field
+            assert data["best"]["objective_value"] == pytest.approx(
+                data["best"]["success_probability"], abs=1e-3
+            )
+
+            # A risk-averse percentile objective serves end-to-end
+            resp = await client.post(
+                "/api/optimize",
+                json={**body, "objective": "p5_final_balance", "rounds": 1},
+            )
+            assert resp.status == 200, await resp.text()
+            p5data = await resp.json()
+            OptimizeResponse.model_validate(p5data)
+            assert p5data["objective"] == "p5_final_balance"
+            assert all("objective_value" in p for p in p5data["curve"])
 
             # Unknown parameter -> 422
             resp = await client.post(
@@ -266,6 +281,40 @@ def test_cli_optimize_mode(tmp_path, monkeypatch):
     text = logs[0].read_text()
     assert "Optimize: success_probability over 'allocation_inv1_pct'" in text
     assert "optimize round 3/3" in text
+
+
+def test_downside_objective_uses_percentile_column(monkeypatch):
+    """p5_final_balance optimizes the 5th-percentile final balance: with
+    an injected result where p5 DISAGREES with success/median, the argmax
+    must follow the percentile column, and every reported point carries
+    the requested objective's value."""
+
+    def runner(variants, months, n, seed=0, backend=None, mesh=None,
+               progress_callback=None, chunk_size=None):
+        xs = np.array([v.allocation_inv1_pct for v in variants])
+        success = 100.0 - xs * 10.0  # decreasing: would pick x=0
+        med = np.full(len(xs), 1e6)  # flat: no tie-break signal
+        p5 = 1e5 + xs * 1e5  # increasing: p5 picks x=1
+        pcts = np.tile(med[:, None], (1, len(GRID_FINAL_PERCENTILES)))
+        pcts[:, 0] = p5
+        return ScenarioBatchResult(
+            success_probability=success,
+            median_final_balance=med,
+            mean_final_balance=med,
+            success_sigma=np.full(len(xs), 0.5),
+            final_balance_percentiles=pcts,
+        )
+
+    monkeypatch.setattr(O, "run_scenario_grid", runner)
+    res = O.optimize_param(
+        _cfg(), W, "allocation_inv1_pct", points=5, rounds=1,
+        objective="p5_final_balance",
+    )
+    assert res.objective == "p5_final_balance"
+    assert res.best.value == 1.0
+    assert res.best.objective_value == pytest.approx(2e5)
+    for p in res.curve:
+        assert p.objective_value == pytest.approx(1e5 + p.value * 1e5)
 
 
 def _fake_grid_2d(objective_fn):
@@ -551,10 +600,15 @@ def test_cli_optimize_flag_conflicts(monkeypatch):
     with pytest.raises(SystemExit):
         cli.main()
 
-    # --opt-points / --opt-rounds make no sense without --optimize
+    # --opt-points / --opt-rounds / --opt-objective need --optimize
     monkeypatch.setattr(sys, "argv", ["cli", "x.json", "--opt-points", "5"])
     with pytest.raises(SystemExit):
         cli.main()
     monkeypatch.setattr(sys, "argv", ["cli", "x.json", "--opt-rounds", "2"])
+    with pytest.raises(SystemExit):
+        cli.main()
+    monkeypatch.setattr(
+        sys, "argv", ["cli", "x.json", "--opt-objective", "mean_final_balance"]
+    )
     with pytest.raises(SystemExit):
         cli.main()
