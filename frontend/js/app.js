@@ -470,6 +470,17 @@ function initOptimizePanel() {
         </label>
       </div>
       <div class="grid-run-row">
+        <label class="field">Objective
+          <select id="opt-objective">
+            <option value="success_probability" selected>success probability</option>
+            <option value="median_final_balance">median final balance</option>
+            <option value="mean_final_balance">mean final balance</option>
+            <option value="p5_final_balance">p5 final balance (downside)</option>
+            <option value="p25_final_balance">p25 final balance</option>
+          </select>
+        </label>
+      </div>
+      <div class="grid-run-row">
         <label class="field">Working months
           <input id="opt-months" type="number" min="0" step="1" value="240" />
         </label>
@@ -521,6 +532,7 @@ function initOptimizePanel() {
       if (!readBound("opt-hi", "hi", body)) return;
     }
     if (!readOptionalPaths("opt-paths", body, showOptError)) return;
+    body.objective = document.getElementById("opt-objective").value;
     await runAnalysisPanel(runBtn, "optimize", async () => {
       try {
         await runOptimizeStream(body, {

@@ -464,9 +464,13 @@ class _RoutedFetch:
         self.sse_frames = sse_frames
         self.validate_ok = validate_ok
         self.calls = []
+        self.bodies = []  # raw POST bodies (JSON strings), call-aligned
 
     def __call__(self, url, opts=None):
         self.calls.append(str(url))
+        self.bodies.append(
+            opts.get("body") if isinstance(opts, dict) else None
+        )
         if url.endswith("/api/config/default"):
             return _JsonResponse(self.default_config)
         if url.endswith("/api/validate"):
@@ -669,6 +673,16 @@ def test_app_optimize_panel_joint_flow():
     doc.getElementById("opt-hi2").value = "0.5"
     doc.getElementById("opt-run").dispatch(fe.interp, "click")
     assert any(u.endswith("/api/optimize/stream") for u in fetch.calls)
+    sent = _j.loads(fetch.bodies[-1])
+    assert [p["name"] for p in sent["params"]] == [
+        "allocation_inv1_pct", "equity_inflation_correlation",
+    ]
+    assert sent["params"][1] == {
+        "name": "equity_inflation_correlation", "lo": -0.5, "hi": 0.5,
+    }
+    assert "param" not in sent
+    # the objective select's DOM default flows through
+    assert sent["objective"] == "success_probability"
     results = doc.getElementById("results")
     text = results.textContent
     assert ("Optimize: allocation_inv1_pct × equity_inflation_correlation"
@@ -678,6 +692,47 @@ def test_app_optimize_panel_joint_flow():
     assert svg is not None
     assert len(svg.getElementsByTagName("rect")) == 9
     assert doc.getElementById("opt-run").disabled is False
+
+
+def test_app_optimize_panel_downside_objective():
+    """Choosing a percentile objective in the select posts it, and the
+    result card plots objective_value on a money axis."""
+    import json as _j
+
+    opt_result = {
+        "scenario": "t", "working_months": 240.0, "num_paths": 64.0,
+        "param": "allocation_inv1_pct", "objective": "p5_final_balance",
+        "base_value": 0.6, "rounds": 1.0, "evaluations": 5.0,
+        "success_sigma": 0.4,
+        "best": {"value": 0.5, "success_probability": 97.5,
+                 "median_final_balance": 1.2e6, "mean_final_balance": 1.4e6,
+                 "objective_value": 4.2e5},
+        "interval": [0.25, 0.75],
+        "curve": [
+            {"value": v, "success_probability": 90.0,
+             "median_final_balance": 1e6, "mean_final_balance": 1.1e6,
+             "objective_value": 4e5 - abs(v - 0.5) * 1e5}
+            for v in (0.0, 0.25, 0.5, 0.75, 1.0)
+        ],
+    }
+    frames = [
+        'data: {"type": "phase", "phase": "optimize", "message": "go"}\n\n',
+        "data: " + _j.dumps({"type": "result", "data": _floatify(opt_result)})
+        + "\n\n",
+    ]
+    fetch = _RoutedFetch(_floatify(base_config_dict()), frames)
+    fe = load_frontend(ALL_MODULES, fetch=fetch, load_page=True)
+    doc = fe.document
+    doc.getElementById("opt-objective").value = "p5_final_balance"
+    doc.getElementById("opt-run").dispatch(fe.interp, "click")
+    sent = _j.loads(fetch.bodies[-1])
+    assert sent["objective"] == "p5_final_balance"
+    results = doc.getElementById("results")
+    assert "maximize p5_final_balance" in results.textContent
+    svg = results.querySelector("svg")
+    # money-formatted y axis (objective is a balance, not a percent)
+    labels = _texts(svg, "text")
+    assert any("$" in lbl or "k" in lbl or "M" in lbl for lbl in labels)
 
 
 def test_app_optimize_panel_rejects_empty_param():

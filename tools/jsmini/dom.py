@@ -363,10 +363,22 @@ class _FragmentParser(HTMLParser):
             elif k in ("disabled", "checked", "open"):
                 setattr(el, k, True)
 
+    def _maybe_select_default(self, el):
+        # Real DOM: a <select>'s value is its `selected` option's value,
+        # else the first option's.
+        if el._tag != "option":
+            return
+        for anc in reversed(self.stack):
+            if anc._tag == "select":
+                if "selected" in el.attributes or not anc.value:
+                    anc.value = el.attributes.get("value", "")
+                break
+
     def handle_starttag(self, tag, attrs):
         el = Element(tag, self.doc)
         self._apply_attrs(el, attrs)
         self._add(el)
+        self._maybe_select_default(el)
         if tag not in VOID_TAGS:
             self.stack.append(el)
 
@@ -374,6 +386,7 @@ class _FragmentParser(HTMLParser):
         el = Element(tag, self.doc)
         self._apply_attrs(el, attrs)
         self._add(el)
+        self._maybe_select_default(el)
 
     def handle_endtag(self, tag):
         while self.stack:
