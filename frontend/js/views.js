@@ -447,6 +447,7 @@ function drawObjectiveCurve(holder, opt, paramName, points, bestValue) {
   drawLine(plot, xs, ys, x, y, {});
   attachHover(plot, xs, x, (i) => [
     `<b>${paramName} = ${fmtSig(xs[i])}</b>`,
+    ...(isSuccess ? [] : [`${opt.objective} ${fmtMoney(ys[i])}`]),
     `success ${points[i].success_probability.toFixed(2)}%`,
     `median ${fmtMoney(points[i].median_final_balance)}`,
   ]);

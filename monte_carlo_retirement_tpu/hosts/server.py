@@ -32,6 +32,7 @@ import asyncio
 import json
 import logging
 import os
+import threading
 from typing import List, Optional
 
 from aiohttp import web
@@ -60,6 +61,24 @@ from .sensitivity import (
 )
 
 log = logging.getLogger("mcrt.server")
+
+# Bound the engine work running concurrently across requests. XLA already
+# serializes device EXECUTION, but output buffers are allocated at
+# DISPATCH time (docs/NOTES.md: a 1M-path full-statistics run holds ~GBs
+# of series; grid chunks ~2 GB of tables each), so an unbounded burst of
+# clients can exhaust HBM while their dispatches queue. Validation and
+# payload shaping stay concurrent — only the device-dispatching section
+# waits for a slot. MCRT_MAX_CONCURRENT_RUNS tunes it (read at import).
+_ENGINE_SLOTS = threading.BoundedSemaphore(
+    max(1, int(os.environ.get("MCRT_MAX_CONCURRENT_RUNS", "4")))
+)
+
+
+def _with_engine_slot(fn, *args, **kwargs):
+    """Run ``fn`` while holding one engine-concurrency slot (worker-thread
+    context: a plain blocking acquire is correct here)."""
+    with _ENGINE_SLOTS:
+        return fn(*args, **kwargs)
 
 _PACKAGE_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PROJECT_ROOT = os.path.dirname(_PACKAGE_ROOT)
@@ -163,8 +182,8 @@ async def simulate(request: web.Request) -> web.Response:
     log.info("Received simulation request for scenario '%s'", config.Nickname)
     try:
         result = await asyncio.to_thread(
-            _run_simulation, config, req.working_months_override,
-            req.include_raw_paths,
+            _with_engine_slot, _run_simulation, config,
+            req.working_months_override, req.include_raw_paths,
         )
     except ValueError as exc:
         raise web.HTTPBadRequest(text=str(exc))
@@ -284,7 +303,12 @@ async def simulate_stream(request: web.Request) -> web.StreamResponse:
         )
         emit({"type": "result", "data": validated})
 
-    return await _run_sse(request, worker_body)
+    # The search + final run both dispatch device work; hold one
+    # engine-concurrency slot for the body (a queued stream stays open
+    # and emits once a slot frees).
+    return await _run_sse(
+        request, lambda emit: _with_engine_slot(worker_body, emit)
+    )
 
 
 async def grid(request: web.Request) -> web.Response:
@@ -308,7 +332,7 @@ async def grid(request: web.Request) -> web.Response:
     )
     try:
         result = await asyncio.to_thread(
-            run_prepared_grid, prepared, req.chunk_size
+            _with_engine_slot, run_prepared_grid, prepared, req.chunk_size
         )
     except ValueError as exc:
         # Valid request the engine cannot serve (mixed statics, bad months).
@@ -345,7 +369,7 @@ async def sensitivity(request: web.Request) -> web.Response:
     )
     try:
         result = await asyncio.to_thread(
-            run_sensitivity_request, req, prepared
+            _with_engine_slot, run_sensitivity_request, req, prepared
         )
     except ValueError as exc:
         raise web.HTTPBadRequest(text=str(exc))
@@ -382,7 +406,9 @@ async def optimize(request: web.Request) -> web.Response:
         req.objective, request_target(req),
     )
     try:
-        result = await asyncio.to_thread(run_optimize_request, req, prepared)
+        result = await asyncio.to_thread(
+            _with_engine_slot, run_optimize_request, req, prepared
+        )
     except ValueError as exc:
         raise web.HTTPBadRequest(text=str(exc))
     except Exception as exc:  # pragma: no cover - unexpected engine failure
@@ -436,7 +462,9 @@ async def optimize_stream(request: web.Request) -> web.StreamResponse:
                 f"({points} points/axis x {req.rounds} rounds)…"
             ),
         })
-        result = run_optimize_request(req, prepared, progress_callback=emit)
+        result = _with_engine_slot(
+            run_optimize_request, req, prepared, progress_callback=emit
+        )
         validated = response_model(req).model_validate(result).model_dump(
             mode="json"
         )
@@ -468,8 +496,9 @@ async def grid_stream(request: web.Request) -> web.StreamResponse:
             "phase": "grid",
             "message": f"Running {len(req.variants)} scenario variants…",
         })
-        result = run_prepared_grid(
-            prepared, req.chunk_size, progress_callback=emit
+        result = _with_engine_slot(
+            run_prepared_grid, prepared, req.chunk_size,
+            progress_callback=emit,
         )
         validated = GridResponse.model_validate(result).model_dump(
             mode="json"

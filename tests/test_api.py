@@ -387,6 +387,63 @@ def test_concurrent_simulate_requests():
     _run(scenario())
 
 
+def test_engine_slot_serialization_is_transparent(monkeypatch):
+    """With MCRT_MAX_CONCURRENT_RUNS effectively 1 (a single engine
+    slot), overlapping requests queue for the device instead of
+    dispatching together — and still both return their own correct
+    results. Verifies the slot is actually contended and released."""
+    import threading
+
+    from monte_carlo_retirement_tpu.hosts import server as server_mod
+
+    acquired = []
+    real = threading.BoundedSemaphore(1)
+
+    class _Spy:
+        def __enter__(self):
+            real.acquire()
+            acquired.append(1)
+            return self
+
+        def __exit__(self, *exc):
+            real.release()
+
+    monkeypatch.setattr(server_mod, "_ENGINE_SLOTS", _Spy())
+
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            cfg_a = make_config(
+                num_simulations_main=4, retirement_years=1,
+                monthly_expenses=0.0, seed=11,
+            ).model_dump(by_alias=True)
+            cfg_b = make_config(
+                num_simulations_main=4, retirement_years=1,
+                monthly_expenses=50_000.0, initial_balance=1_000.0, seed=12,
+            ).model_dump(by_alias=True)
+            resp_a, resp_b = await asyncio.gather(
+                client.post(
+                    "/api/simulate",
+                    json={"config": cfg_a, "working_months_override": 12},
+                ),
+                client.post(
+                    "/api/simulate",
+                    json={"config": cfg_b, "working_months_override": 12},
+                ),
+            )
+            assert resp_a.status == 200 and resp_b.status == 200
+            a = SimulationResponse.model_validate(await resp_a.json())
+            b = SimulationResponse.model_validate(await resp_b.json())
+            assert a.summary.success_probability == 100.0
+            assert b.summary.success_probability == 0.0
+        finally:
+            await client.close()
+
+    _run(scenario())
+    assert len(acquired) == 2  # both requests passed through the slot
+
+
 def test_build_result_without_success_column_uses_balance_fallback():
     """Summary frames lacking a Success column (the reference's documented
     fallback, backend/server.py + simulation.py:1130-1136) must flow through
