@@ -353,7 +353,8 @@ export function sensitivityCard(sens) {
   const maxAbs = Math.max(...rows.map((r) => Math.abs(r.success_per_step)), 1e-12);
   const header = `<tr><th>parameter</th><th>value</th>
     <th class="tornado-col">Δ success / step</th><th></th>
-    <th>d success / unit</th><th>d mean $ / unit</th><th>step</th>
+    <th>d success / unit</th><th>d mean $ / unit</th>
+    <th>d p5 $ / unit</th><th>step</th>
     ${hasAd ? "<th>AD d mean $</th>" : ""}</tr>`;
   const body = rows.map((r) => {
     const v = r.success_per_step;
@@ -370,6 +371,7 @@ export function sensitivityCard(sens) {
       <td class="${v < 0 ? "bad" : "good"}">${v >= 0 ? "+" : ""}${v.toFixed(3)}%</td>
       <td>${fmtSig(r.d_success)}</td>
       <td>${fmtSig(r.d_mean_final)}</td>
+      <td>${fmtSig(r.d_p5_final)}</td>
       <td>${fmtSig(r.practical_step)}</td>
       ${hasAd ? `<td>${fmtSig(r.ad_d_mean_final)}</td>` : ""}
     </tr>`;

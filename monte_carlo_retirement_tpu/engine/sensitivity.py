@@ -103,6 +103,7 @@ class SensitivityRow(NamedTuple):
     d_success: float  # d success% / d param (per unit)
     d_median_final: float
     d_mean_final: float
+    d_p5_final: float  # downside: d (5th-pct final balance) / d param
     success_per_step: float  # success% change over one practical step
     practical_step: float  # 1% of value (dollar) / the abs step (rate)
     success_sigma: float  # per-row binomial MC sigma (CRN bound is tighter)
@@ -224,6 +225,7 @@ def sensitivity_fd(
     p = np.asarray(res.success_probability, dtype=float)
     med = np.asarray(res.median_final_balance, dtype=float)
     mean = np.asarray(res.mean_final_balance, dtype=float)
+    p5 = np.asarray(res.final_balance_percentiles[:, 0], dtype=float)
     sig = np.asarray(res.success_sigma, dtype=float)
 
     rows: List[SensitivityRow] = []
@@ -236,6 +238,7 @@ def sensitivity_fd(
         d_succ = (p[ip] - p[im]) / h
         d_med = (med[ip] - med[im]) / h
         d_mean = (mean[ip] - mean[im]) / h
+        d_p5 = (p5[ip] - p5[im]) / h
         step = _practical_step(v, spec, abs_step)
         rows.append(
             SensitivityRow(
@@ -249,6 +252,7 @@ def sensitivity_fd(
                 d_success=float(d_succ),
                 d_median_final=float(d_med),
                 d_mean_final=float(d_mean),
+                d_p5_final=float(d_p5),
                 success_per_step=float(d_succ * step),
                 practical_step=float(step),
                 success_sigma=float(sig[0]),

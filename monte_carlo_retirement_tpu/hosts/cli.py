@@ -235,13 +235,15 @@ def _run_sensitivity_mode(args, config_raw: dict, config: Config) -> None:
         rows[0]["success_base"], rows[0]["success_sigma"],
     )
     header = (f"{'parameter':<{name_w}} {'value':>14} {'Δ/step':>9} "
-              f"{'d succ/unit':>13} {'d mean$/unit':>13} {'step':>11}")
+              f"{'d succ/unit':>13} {'d mean$/unit':>13} "
+              f"{'d p5$/unit':>13} {'step':>11}")
     log.info(header)
     for r in rows:
         log.info(
             f"{r['param']:<{name_w}} {r['base_value']:>14,.4g} "
             f"{r['success_per_step']:>+8.3f}% {r['d_success']:>13.4g} "
-            f"{r['d_mean_final']:>13.4g} {r['practical_step']:>11.4g}"
+            f"{r['d_mean_final']:>13.4g} {r['d_p5_final']:>13.4g} "
+            f"{r['practical_step']:>11.4g}"
         )
     if args.json_out:
         with open(args.json_out, "w", encoding="utf-8") as fh:

@@ -67,6 +67,7 @@ class SensitivityRowModel(BaseModel):
     d_success: float  # d success% per unit of the parameter
     d_median_final: float
     d_mean_final: float
+    d_p5_final: float  # downside: d (5th-pct final balance) per unit
     success_per_step: float  # success% change over one practical step
     practical_step: float
     success_sigma: float
@@ -139,6 +140,7 @@ def run_sensitivity_request(
             "d_success": _sig(r.d_success),
             "d_median_final": _sig(r.d_median_final),
             "d_mean_final": _sig(r.d_mean_final),
+            "d_p5_final": _sig(r.d_p5_final),
             "success_per_step": _sig(r.success_per_step),
             "practical_step": _sig(r.practical_step),
             "success_sigma": _sig(r.success_sigma, 3),

@@ -113,6 +113,12 @@ def test_fd_derivative_matches_manual_two_point_difference():
         manual.mean_final_balance[0] - manual.mean_final_balance[1]
     ) / (2 * h)
     assert row.d_mean_final == pytest.approx(float(d_mean_manual), rel=1e-7)
+    # downside column: d (5th-percentile final) from the same grid rows
+    d_p5_manual = (
+        manual.final_balance_percentiles[0, 0]
+        - manual.final_balance_percentiles[1, 0]
+    ) / (2 * h)
+    assert row.d_p5_final == pytest.approx(float(d_p5_manual), rel=1e-7)
 
 
 def test_boundary_parameters_probe_one_sided():
