@@ -413,14 +413,25 @@ export function optimizeCard(opt) {
 
   const holder = document.createElement("div");
   div.appendChild(holder);
-  drawObjectiveCurve(holder, opt, opt.param, opt.curve.map((p) => ({
-    value: p.value,
+  drawObjectiveCurve(
+    holder, opt, opt.param,
+    opt.curve.map((p) => toCurvePoint(p, p.value, opt.objective)),
+    opt.best.value,
+  );
+  return div;
+}
+
+// Adapt a response point (scalar `value` or joint `values[0]`) for the
+// objective curve: prefer the explicit objective_value, falling back to
+// the named field for payloads predating it.
+function toCurvePoint(p, value, objective) {
+  return {
+    value,
     success_probability: p.success_probability,
     median_final_balance: p.median_final_balance,
     objective_value: p.objective_value !== undefined
-      ? p.objective_value : p[opt.objective],
-  })), opt.best.value);
-  return div;
+      ? p.objective_value : p[objective],
+  };
 }
 
 // Round-1 coarse sweep as an objective-vs-value curve with the refined
@@ -497,13 +508,11 @@ export function optimizeJointCard(opt) {
   const holder = document.createElement("div");
   div.appendChild(holder);
   if (names.length === 1) {
-    drawObjectiveCurve(holder, opt, names[0], opt.surface.map((p) => ({
-      value: p.values[0],
-      success_probability: p.success_probability,
-      median_final_balance: p.median_final_balance,
-      objective_value: p.objective_value !== undefined
-        ? p.objective_value : p[opt.objective],
-    })), opt.best.values[0]);
+    drawObjectiveCurve(
+      holder, opt, names[0],
+      opt.surface.map((p) => toCurvePoint(p, p.values[0], opt.objective)),
+      opt.best.values[0],
+    );
   } else {
     drawSurfaceHeatmap(holder, opt);
   }

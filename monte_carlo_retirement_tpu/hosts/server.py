@@ -29,10 +29,11 @@ thread boundary via ``loop.call_soon_threadsafe`` into an asyncio queue.
 from __future__ import annotations
 
 import asyncio
+import concurrent.futures
+import functools
 import json
 import logging
 import os
-import threading
 from typing import List, Optional
 
 from aiohttp import web
@@ -66,19 +67,24 @@ log = logging.getLogger("mcrt.server")
 # serializes device EXECUTION, but output buffers are allocated at
 # DISPATCH time (docs/NOTES.md: a 1M-path full-statistics run holds ~GBs
 # of series; grid chunks ~2 GB of tables each), so an unbounded burst of
-# clients can exhaust HBM while their dispatches queue. Validation and
-# payload shaping stay concurrent — only the device-dispatching section
-# waits for a slot. MCRT_MAX_CONCURRENT_RUNS tunes it (read at import).
-_ENGINE_SLOTS = threading.BoundedSemaphore(
-    max(1, int(os.environ.get("MCRT_MAX_CONCURRENT_RUNS", "4")))
+# clients can exhaust HBM while their dispatches queue. The bound is the
+# size of a DEDICATED executor — excess engine work waits in its queue
+# without consuming the default pool's threads, so request validation
+# (and fast 422s) never stall behind running simulations. Validation and
+# payload shaping stay on the default pool; only engine work lands here.
+# MCRT_MAX_CONCURRENT_RUNS tunes it (read at import).
+_ENGINE_POOL = concurrent.futures.ThreadPoolExecutor(
+    max_workers=max(1, int(os.environ.get("MCRT_MAX_CONCURRENT_RUNS", "4"))),
+    thread_name_prefix="mcrt-engine",
 )
 
 
-def _with_engine_slot(fn, *args, **kwargs):
-    """Run ``fn`` while holding one engine-concurrency slot (worker-thread
-    context: a plain blocking acquire is correct here)."""
-    with _ENGINE_SLOTS:
-        return fn(*args, **kwargs)
+async def _run_engine(fn, *args, **kwargs):
+    """Await ``fn(*args, **kwargs)`` on the bounded engine executor."""
+    loop = asyncio.get_event_loop()
+    return await loop.run_in_executor(
+        _ENGINE_POOL, functools.partial(fn, *args, **kwargs)
+    )
 
 _PACKAGE_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _PROJECT_ROOT = os.path.dirname(_PACKAGE_ROOT)
@@ -181,8 +187,8 @@ async def simulate(request: web.Request) -> web.Response:
 
     log.info("Received simulation request for scenario '%s'", config.Nickname)
     try:
-        result = await asyncio.to_thread(
-            _with_engine_slot, _run_simulation, config,
+        result = await _run_engine(
+            _run_simulation, config,
             req.working_months_override, req.include_raw_paths,
         )
     except ValueError as exc:
@@ -196,13 +202,17 @@ async def simulate(request: web.Request) -> web.Response:
     return web.json_response(validated)
 
 
-async def _run_sse(request: web.Request, worker_body) -> web.StreamResponse:
+async def _run_sse(
+    request: web.Request, worker_body, preamble: Optional[dict] = None
+) -> web.StreamResponse:
     """Shared SSE transport (the reference's stream protocol shape,
-    backend/server.py:322-413): run ``worker_body(emit)`` in the default
-    executor, bridge thread→async via ``loop.call_soon_threadsafe`` into a
-    queue, frame each event as ``data: {json}\\n\\n`` until the ``None``
-    sentinel. Exceptions out of the worker become one ``error`` event; the
-    sentinel always fires."""
+    backend/server.py:322-413): run ``worker_body(emit)`` on the bounded
+    engine executor, bridge thread→async via ``loop.call_soon_threadsafe``
+    into a queue, frame each event as ``data: {json}\\n\\n`` until the
+    ``None`` sentinel. Exceptions out of the worker become one ``error``
+    event; the sentinel always fires. ``preamble`` is emitted from the
+    async side BEFORE the worker is dispatched, so a stream queued behind
+    busy engine slots still shows its phase immediately."""
     response = web.StreamResponse(
         status=200,
         headers={
@@ -227,7 +237,9 @@ async def _run_sse(request: web.Request, worker_body) -> web.StreamResponse:
         finally:
             emit(None)
 
-    loop.run_in_executor(None, worker)
+    if preamble is not None:
+        queue.put_nowait(preamble)
+    loop.run_in_executor(_ENGINE_POOL, worker)
 
     while True:
         event = await queue.get()
@@ -248,22 +260,25 @@ async def simulate_stream(request: web.Request) -> web.StreamResponse:
 
     log.info("Received streaming simulation request for '%s'", config.Nickname)
 
+    if req.working_months_override is not None:
+        preamble = {
+            "type": "phase",
+            "phase": "final_sim",
+            "message": f"Using override: {req.working_months_override} months",
+        }
+    else:
+        preamble = {
+            "type": "phase",
+            "phase": "search",
+            "message": "Estimating required working months…",
+        }
+
     def worker_body(emit) -> None:
         simulator = RetirementMonteCarloSimulator(config)
         search_curve: List[dict] = []
         if req.working_months_override is not None:
             required = req.working_months_override
-            emit({
-                "type": "phase",
-                "phase": "final_sim",
-                "message": f"Using override: {required} months",
-            })
         else:
-            emit({
-                "type": "phase",
-                "phase": "search",
-                "message": "Estimating required working months…",
-            })
             required, achieved, search_curve = (
                 simulator.find_minimum_working_months(
                     verbose=True, progress_callback=emit
@@ -303,12 +318,7 @@ async def simulate_stream(request: web.Request) -> web.StreamResponse:
         )
         emit({"type": "result", "data": validated})
 
-    # The search + final run both dispatch device work; hold one
-    # engine-concurrency slot for the body (a queued stream stays open
-    # and emits once a slot frees).
-    return await _run_sse(
-        request, lambda emit: _with_engine_slot(worker_body, emit)
-    )
+    return await _run_sse(request, worker_body, preamble=preamble)
 
 
 async def grid(request: web.Request) -> web.Response:
@@ -331,8 +341,8 @@ async def grid(request: web.Request) -> web.Response:
         "Received grid request: %d variants", len(req.variants)
     )
     try:
-        result = await asyncio.to_thread(
-            _with_engine_slot, run_prepared_grid, prepared, req.chunk_size
+        result = await _run_engine(
+            run_prepared_grid, prepared, req.chunk_size
         )
     except ValueError as exc:
         # Valid request the engine cannot serve (mixed statics, bad months).
@@ -368,9 +378,7 @@ async def sensitivity(request: web.Request) -> web.Response:
         "Received sensitivity request: %d parameters", len(prepared[1])
     )
     try:
-        result = await asyncio.to_thread(
-            _with_engine_slot, run_sensitivity_request, req, prepared
-        )
+        result = await _run_engine(run_sensitivity_request, req, prepared)
     except ValueError as exc:
         raise web.HTTPBadRequest(text=str(exc))
     except Exception as exc:  # pragma: no cover - unexpected engine failure
@@ -406,9 +414,7 @@ async def optimize(request: web.Request) -> web.Response:
         req.objective, request_target(req),
     )
     try:
-        result = await asyncio.to_thread(
-            _with_engine_slot, run_optimize_request, req, prepared
-        )
+        result = await _run_engine(run_optimize_request, req, prepared)
     except ValueError as exc:
         raise web.HTTPBadRequest(text=str(exc))
     except Exception as exc:  # pragma: no cover - unexpected engine failure
@@ -451,26 +457,25 @@ async def optimize_stream(request: web.Request) -> web.StreamResponse:
             text=f"Invalid optimize request: {exc}"
         )
 
+    points = req.points if req.points is not None \
+        else default_points(1 if req.params is None else len(req.params))
+    preamble = {
+        "type": "phase",
+        "phase": "optimize",
+        "message": (
+            f"Optimizing {request_target(req)} "
+            f"({points} points/axis x {req.rounds} rounds)…"
+        ),
+    }
+
     def worker_body(emit) -> None:
-        points = req.points if req.points is not None \
-            else default_points(1 if req.params is None else len(req.params))
-        emit({
-            "type": "phase",
-            "phase": "optimize",
-            "message": (
-                f"Optimizing {request_target(req)} "
-                f"({points} points/axis x {req.rounds} rounds)…"
-            ),
-        })
-        result = _with_engine_slot(
-            run_optimize_request, req, prepared, progress_callback=emit
-        )
+        result = run_optimize_request(req, prepared, progress_callback=emit)
         validated = response_model(req).model_validate(result).model_dump(
             mode="json"
         )
         emit({"type": "result", "data": validated})
 
-    return await _run_sse(request, worker_body)
+    return await _run_sse(request, worker_body, preamble=preamble)
 
 
 async def grid_stream(request: web.Request) -> web.StreamResponse:
@@ -490,22 +495,22 @@ async def grid_stream(request: web.Request) -> web.StreamResponse:
     except (ValidationError, ValueError) as exc:
         raise web.HTTPUnprocessableEntity(text=f"Invalid grid request: {exc}")
 
+    preamble = {
+        "type": "phase",
+        "phase": "grid",
+        "message": f"Running {len(req.variants)} scenario variants…",
+    }
+
     def worker_body(emit) -> None:
-        emit({
-            "type": "phase",
-            "phase": "grid",
-            "message": f"Running {len(req.variants)} scenario variants…",
-        })
-        result = _with_engine_slot(
-            run_prepared_grid, prepared, req.chunk_size,
-            progress_callback=emit,
+        result = run_prepared_grid(
+            prepared, req.chunk_size, progress_callback=emit
         )
         validated = GridResponse.model_validate(result).model_dump(
             mode="json"
         )
         emit({"type": "result", "data": validated})
 
-    return await _run_sse(request, worker_body)
+    return await _run_sse(request, worker_body, preamble=preamble)
 
 
 # ---------------------------------------------------------------------------
@@ -606,7 +611,9 @@ def _warmup() -> None:
 
 async def _start_warmup(app: web.Application):
     if os.environ.get("MCRT_WARMUP", "1") != "0":
-        asyncio.get_event_loop().run_in_executor(None, _warmup)
+        # On the bounded engine pool: warmup is full-scale device work, so
+        # it must count against the HBM concurrency budget like any run.
+        asyncio.get_event_loop().run_in_executor(_ENGINE_POOL, _warmup)
 
 
 def create_app() -> web.Application:

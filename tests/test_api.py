@@ -387,28 +387,26 @@ def test_concurrent_simulate_requests():
     _run(scenario())
 
 
-def test_engine_slot_serialization_is_transparent(monkeypatch):
-    """With MCRT_MAX_CONCURRENT_RUNS effectively 1 (a single engine
-    slot), overlapping requests queue for the device instead of
+def test_engine_pool_serialization_is_transparent(monkeypatch):
+    """With MCRT_MAX_CONCURRENT_RUNS effectively 1 (a one-thread engine
+    pool), overlapping requests queue for the device instead of
     dispatching together — and still both return their own correct
-    results. Verifies the slot is actually contended and released."""
-    import threading
+    results. Verifies engine work actually lands on the bounded pool."""
+    import concurrent.futures
 
     from monte_carlo_retirement_tpu.hosts import server as server_mod
 
     acquired = []
-    real = threading.BoundedSemaphore(1)
 
-    class _Spy:
-        def __enter__(self):
-            real.acquire()
+    class _SpyPool(concurrent.futures.ThreadPoolExecutor):
+        def submit(self, fn, *args, **kwargs):
             acquired.append(1)
-            return self
+            return super().submit(fn, *args, **kwargs)
 
-        def __exit__(self, *exc):
-            real.release()
-
-    monkeypatch.setattr(server_mod, "_ENGINE_SLOTS", _Spy())
+    monkeypatch.setattr(
+        server_mod, "_ENGINE_POOL",
+        _SpyPool(max_workers=1, thread_name_prefix="mcrt-engine-test"),
+    )
 
     async def scenario():
         client = _client_fixture()
@@ -441,7 +439,7 @@ def test_engine_slot_serialization_is_transparent(monkeypatch):
             await client.close()
 
     _run(scenario())
-    assert len(acquired) == 2  # both requests passed through the slot
+    assert len(acquired) == 2  # both requests ran on the engine pool
 
 
 def test_build_result_without_success_column_uses_balance_fallback():

@@ -364,21 +364,26 @@ class _FragmentParser(HTMLParser):
                 setattr(el, k, True)
 
     def _maybe_select_default(self, el):
-        # Real DOM: a <select>'s value is its `selected` option's value,
-        # else the first option's.
+        # Real DOM select semantics: the value is the `selected` option's,
+        # else the FIRST option's — even when that value is "" — and an
+        # option without a value attribute falls back to its text content.
+        # Runs when the option CLOSES so the text fallback sees its text.
         if el._tag != "option":
             return
+        value = el.attributes.get("value")
+        el.value = value if value is not None else el.textContent
         for anc in reversed(self.stack):
             if anc._tag == "select":
-                if "selected" in el.attributes or not anc.value:
-                    anc.value = el.attributes.get("value", "")
+                n_before = getattr(anc, "_option_count", 0)
+                anc._option_count = n_before + 1
+                if "selected" in el.attributes or n_before == 0:
+                    anc.value = el.value
                 break
 
     def handle_starttag(self, tag, attrs):
         el = Element(tag, self.doc)
         self._apply_attrs(el, attrs)
         self._add(el)
-        self._maybe_select_default(el)
         if tag not in VOID_TAGS:
             self.stack.append(el)
 
@@ -391,6 +396,8 @@ class _FragmentParser(HTMLParser):
     def handle_endtag(self, tag):
         while self.stack:
             top = self.stack.pop()
+            if top._tag == "option":
+                self._maybe_select_default(top)
             if top._tag == tag:
                 break
 
