@@ -735,6 +735,27 @@ def test_app_optimize_panel_downside_objective():
     assert any("$" in lbl or "k" in lbl or "M" in lbl for lbl in labels)
 
 
+def test_dom_select_value_semantics():
+    """The DOM stub's <select> matches real browsers: the `selected`
+    option wins, else the FIRST option — even when its value is "" — and
+    an option without a value attribute falls back to its text."""
+    from tools.jsmini.dom import Document
+
+    doc = Document()
+    host = doc.createElement("div")
+    host.innerHTML = (
+        '<select id="a"><option value="">(none)</option>'
+        '<option value="x">X</option></select>'
+        '<select id="b"><option value="x">X</option>'
+        '<option value="y" selected>Y</option></select>'
+        '<select id="c"><option>plain text</option></select>'
+    )
+    sel_a, sel_b, sel_c = host.getElementsByTagName("select")
+    assert sel_a.value == ""  # first option wins despite empty value
+    assert sel_b.value == "y"  # selected overrides first
+    assert sel_c.value == "plain text"  # text-content fallback
+
+
 def test_app_optimize_panel_rejects_empty_param():
     fe = _boot()
     doc = fe.document
