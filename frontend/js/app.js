@@ -479,6 +479,14 @@ function initOptimizePanel() {
             <option value="p25_final_balance">p25 final balance</option>
           </select>
         </label>
+        <label class="field">Points / axis
+          <input id="opt-points" type="number" min="3" max="257" step="1"
+            placeholder="(17; 13 joint)" />
+        </label>
+        <label class="field">Rounds
+          <input id="opt-rounds" type="number" min="1" max="8" step="1"
+            placeholder="(3)" />
+        </label>
       </div>
       <div class="grid-run-row">
         <label class="field">Working months
@@ -533,6 +541,17 @@ function initOptimizePanel() {
     }
     if (!readOptionalPaths("opt-paths", body, showOptError)) return;
     body.objective = document.getElementById("opt-objective").value;
+    for (const [id, key, lo, hi] of [["opt-points", "points", 3, 257],
+                                     ["opt-rounds", "rounds", 1, 8]]) {
+      const raw = document.getElementById(id).value.trim();
+      if (raw === "") continue;
+      const v = Number(raw);
+      if (!Number.isInteger(v) || v < lo || v > hi) {
+        showOptError(`${key} must be an integer in [${lo}, ${hi}].`);
+        return;
+      }
+      body[key] = v;
+    }
     await runAnalysisPanel(runBtn, "optimize", async () => {
       try {
         await runOptimizeStream(body, {

@@ -724,9 +724,12 @@ def test_app_optimize_panel_downside_objective():
     fe = load_frontend(ALL_MODULES, fetch=fetch, load_page=True)
     doc = fe.document
     doc.getElementById("opt-objective").value = "p5_final_balance"
+    doc.getElementById("opt-points").value = "5"
+    doc.getElementById("opt-rounds").value = "1"
     doc.getElementById("opt-run").dispatch(fe.interp, "click")
     sent = _j.loads(fetch.bodies[-1])
     assert sent["objective"] == "p5_final_balance"
+    assert sent["points"] == 5 and sent["rounds"] == 1
     results = doc.getElementById("results")
     assert "maximize p5_final_balance" in results.textContent
     svg = results.querySelector("svg")
