@@ -18,6 +18,15 @@ export async function getDefaultConfig() {
   return resp.json();
 }
 
+// Discovery for the analysis panels: the config fields the sensitivity /
+// optimize endpoints accept (with hard bounds), the optimizer objectives,
+// and the default tornado set.
+export async function getAnalysisMeta() {
+  const resp = await fetch(`${BASE}/api/analysis/meta`);
+  if (!resp.ok) throw new Error(`analysis meta: HTTP ${resp.status}`);
+  return resp.json();
+}
+
 export async function validateConfig(config) {
   const resp = await fetch(`${BASE}/api/validate`, {
     method: "POST",

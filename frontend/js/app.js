@@ -1,8 +1,8 @@
 // App shell: theme, SSE orchestration, progress panel, result rendering.
 
 import {
-  getDefaultConfig, hasOverride, runGridStream, runOptimizeStream,
-  runSensitivity, runSimulationStream, validateConfig,
+  getAnalysisMeta, getDefaultConfig, hasOverride, runGridStream,
+  runOptimizeStream, runSensitivity, runSimulationStream, validateConfig,
 } from "./api.js";
 import { ConfigEditor } from "./editor.js";
 import {
@@ -585,6 +585,24 @@ initTheme();
 initGridPanel();
 initSensitivityPanel();
 initOptimizePanel();
+// Parameter-name completion for the analysis panels (discovery endpoint;
+// the panels keep working as plain text inputs if it is unavailable).
+getAnalysisMeta()
+  .then((meta) => {
+    const dl = document.createElement("datalist");
+    dl.id = "param-names";
+    for (const p of meta.parameters) {
+      const o = document.createElement("option");
+      o.value = p.name;
+      dl.appendChild(o);
+    }
+    document.body.appendChild(dl);
+    for (const id of ["opt-param", "opt-param2"]) {
+      const el = document.getElementById(id);
+      if (el) el.setAttribute("list", "param-names");
+    }
+  })
+  .catch(() => {});
 getDefaultConfig()
   .then((config) => editor.setDefault(config))
   .catch((err) => {

@@ -154,6 +154,32 @@ async def health(_request: web.Request) -> web.Response:
     return web.json_response({"status": "ok"})
 
 
+async def analysis_meta(_request: web.Request) -> web.Response:
+    """GET /api/analysis/meta — discovery for the analysis surfaces: the
+    config fields the sensitivity/optimize endpoints accept (with their
+    hard bounds; an unbounded `hi` is null and needs an explicit search
+    interval), the optimizer's objectives, and the default tornado set.
+    Lets clients populate pickers instead of hardcoding field names."""
+    from ..engine.optimize import MAX_JOINT_ROWS, OBJECTIVES
+    from ..engine.sensitivity import DEFAULT_PARAMS, SENSITIVITY_PARAMS
+
+    params = [
+        {
+            "name": name,
+            "lo": spec.lo,
+            "hi": None if spec.hi == float("inf") else spec.hi,
+            "kind": spec.kind,
+        }
+        for name, spec in sorted(SENSITIVITY_PARAMS.items())
+    ]
+    return web.json_response({
+        "parameters": params,
+        "objectives": sorted(OBJECTIVES),
+        "default_sensitivity_params": list(DEFAULT_PARAMS),
+        "max_joint_rows": MAX_JOINT_ROWS,
+    })
+
+
 async def default_config(_request: web.Request) -> web.Response:
     if not os.path.exists(DEFAULT_CONFIG_PATH):
         raise web.HTTPNotFound(text="Default config.json not found.")
@@ -619,6 +645,7 @@ async def _start_warmup(app: web.Application):
 def create_app() -> web.Application:
     app = web.Application(middlewares=[cors_middleware])
     app.router.add_get("/api/health", health)
+    app.router.add_get("/api/analysis/meta", analysis_meta)
     app.router.add_get("/api/config/default", default_config)
     app.router.add_post("/api/validate", validate)
     app.router.add_post("/api/simulate", simulate)

@@ -350,6 +350,33 @@ def test_build_result_below_cap_keeps_reference_shape(monkeypatch):
     assert result["ruin_histogram"]["year_counts"] is None
 
 
+def test_analysis_meta_endpoint():
+    """GET /api/analysis/meta — discovery of the analysis surfaces: field
+    bounds (unbounded hi is null), objectives, the default tornado set."""
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            resp = await client.get("/api/analysis/meta")
+            assert resp.status == 200
+            meta = await resp.json()
+            by_name = {p["name"]: p for p in meta["parameters"]}
+            assert by_name["allocation_inv1_pct"] == {
+                "name": "allocation_inv1_pct", "lo": 0.0, "hi": 1.0,
+                "kind": "rate",
+            }
+            assert by_name["monthly_expenses"]["hi"] is None
+            assert by_name["equity_inflation_correlation"]["lo"] == -1.0
+            assert "p5_final_balance" in meta["objectives"]
+            assert "success_probability" in meta["objectives"]
+            assert "monthly_expenses" in meta["default_sensitivity_params"]
+            assert meta["max_joint_rows"] == 257
+        finally:
+            await client.close()
+
+    _run(scenario())
+
+
 def test_concurrent_simulate_requests():
     """Two overlapping /api/simulate requests with different scenarios must
     both succeed with their own results — per-request engines, no shared

@@ -473,6 +473,18 @@ class _RoutedFetch:
         )
         if url.endswith("/api/config/default"):
             return _JsonResponse(self.default_config)
+        if url.endswith("/api/analysis/meta"):
+            return _JsonResponse(_floatify({
+                "parameters": [
+                    {"name": "allocation_inv1_pct", "lo": 0.0, "hi": 1.0,
+                     "kind": "rate"},
+                    {"name": "monthly_expenses", "lo": 0.0, "hi": None,
+                     "kind": "dollar"},
+                ],
+                "objectives": ["success_probability"],
+                "default_sensitivity_params": ["monthly_expenses"],
+                "max_joint_rows": 257,
+            }))
         if url.endswith("/api/validate"):
             if self.validate_ok:
                 return _JsonResponse({"valid": True, "scenario": "t"})
@@ -519,6 +531,15 @@ def test_full_app_boot_and_simulation_flow(result_payload):
     editor_el = doc.getElementById("config-editor")
     assert "Initial balance" in editor_el.textContent
     assert any(u.endswith("/api/config/default") for u in fetch.calls)
+
+    # Discovery: the analysis panels got parameter-name completion.
+    assert any(u.endswith("/api/analysis/meta") for u in fetch.calls)
+    dl = doc.getElementById("param-names")
+    assert dl is not None
+    opts = [o.value for o in dl.getElementsByTagName("option")]
+    assert "allocation_inv1_pct" in opts and "monthly_expenses" in opts
+    assert doc.getElementById("opt-param").attributes.get("list") \
+        == "param-names"
 
     # The user overrides the working months and runs.
     override = doc.getElementById("override-input")
