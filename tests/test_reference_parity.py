@@ -678,3 +678,125 @@ def test_search_unreachable_equals_reference(ref):
     # probes the cap month itself), so bound rather than equate it.
     assert p_ref < 95.0 and p_ours < 95.0
     assert abs(p_ours - p_ref) < 1.0
+
+
+def test_funding_predicate_conditioning_regime(ref):
+    """Pin the fuzz-campaign discovery (long trial 457, docs/PARITY.md
+    §Funding-predicate conditioning): at ~$1e13 balances the reference's
+    ABSOLUTE-epsilon funding predicates (simulation.py:429, :788) compare
+    one-ulp round-off against 1e-6, so ruin TIMING is arithmetic-order
+    chaos by its own semantics. The engines must still agree exactly on
+    everything the predicate does not poison: the whole accumulation
+    trajectory and the retirement-start state. Both report failure; the
+    year they flag is deliberately NOT pinned (it flips with codegen/
+    op-order), which is exactly why the fuzz harness skips paths above
+    its $1e9 conditioning bound.
+    """
+    import math
+
+    import jax
+    import jax.numpy as jnp
+
+    from monte_carlo_retirement_tpu.engine.kernel import simulate_paths
+    from monte_carlo_retirement_tpu.models.retirement import SimParams
+    from monte_carlo_retirement_tpu.ops.shocks import stream_keys
+    from monte_carlo_retirement_tpu.timing import expected_trajectory_length
+
+    ref_sim_mod, ref_cfg_mod = ref
+    # The exact trial-457 scenario (fuzz seed 54772, --long): 70 working
+    # years of ~19% returns and ~15% inflation compound to a $16T start.
+    cfg = make_config(
+        initial_balance=1742277.67551259,
+        monthly_contribution=5602.910923481522,
+        contribution_growth_rate_annual=0.002312411474798033,
+        monthly_expenses=8080.62264111494,
+        current_age=69.6332689119508,
+        retirement_years=11,
+        allocation_inv1_pct=0.043214052778261514,
+        inv1_returns_mean=0.19173717002537935,
+        inv1_returns_volatility=0.011263527128595852,
+        inv1_annual_tax_on_gains_rate=0.0028930873951657386,
+        inv1_realized_gains_tax_rate=0.48370835685498503,
+        inv1_use_realized_gains_tax_system=True,
+        inv2_premium_over_inflation_mean=0.13894755370130002,
+        inv2_premium_over_inflation_volatility=0.0,
+        inv2_annual_tax_on_gains_rate=0.15444230320398217,
+        inv2_realized_gains_tax_rate=0.40206134969964163,
+        inv2_use_realized_gains_tax_system=False,
+        inflation_rate_mean=0.14620175879936925,
+        inflation_rate_volatility=0.0,
+        equity_inflation_correlation=0.0,
+        other_income_streams=[{
+            "name": "s0",
+            "monthly_amount_today": 0.0,
+            "start_at_age": 66.05397466502797,
+            "duration_years": 23,
+            "inflation_indexed": True,
+            "tax_rate": 0.46485204220037923,
+        }],
+        seed=68982147,
+    )
+    working_months, R, n_paths, p = 840, 11, 8, 4
+    T = working_months + 12 * R
+
+    params = SimParams.from_config(cfg, dtype=jnp.float64)
+    _, key = stream_keys(cfg.seed)
+    L = expected_trajectory_length(working_months, R)
+    outs = simulate_paths(
+        params, jnp.int32(working_months), key,
+        n_paths=n_paths, t_scan=T, retirement_years=R, traj_len=L,
+        dtype=jnp.float64,
+    )
+    raw = np.stack([
+        np.asarray(jax.random.normal(
+            jax.random.fold_in(key, m), (n_paths, 3), dtype=jnp.float64,
+        ))
+        for m in range(1, T + 1)
+    ])
+
+    base = cfg.model_dump(by_alias=True)
+    base["num_processes"] = 1
+    sim = ref_sim_mod.RetirementMonteCarloSimulator(
+        ref_cfg_mod.Config(**base)
+    )
+    rho = float(cfg.equity_inflation_correlation)
+    rho_c = math.sqrt(max(0.0, 1.0 - rho * rho))
+    z = raw[:, p, :]
+
+    def draw(n_months, path_seed, z=z):
+        z_eq = z[:n_months, 0]
+        return np.column_stack(
+            (z_eq, rho * z_eq + rho_c * z[:n_months, 1], z[:n_months, 2])
+        )
+
+    sim._draw_shock_path = draw
+    theirs = sim._run_single_simulation_path(working_months, 0)
+
+    # The scenario genuinely sits above the harness's conditioning bound.
+    start_ours = float(np.asarray(outs.start_balance)[p])
+    assert start_ours > 1e12
+
+    # In-domain agreement: retirement-start state + the full accumulation
+    # trajectory (indices 0..70 = the 70 working years) match to f64
+    # op-ordering round-off even at $1e13 scale.
+    np.testing.assert_allclose(
+        start_ours, theirs["Start Balance"], rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(np.asarray(outs.inflation_at_retirement)[p]),
+        theirs["Inflation At Retirement"], rtol=1e-10,
+    )
+    traj_ours = np.asarray(outs.trajectory)[p]
+    traj_ref = np.asarray(theirs["Trajectory"], dtype=float)
+    n_working_years = 70  # full working years before the retirement point
+    np.testing.assert_allclose(
+        traj_ours[: n_working_years + 1], traj_ref[: n_working_years + 1],
+        rtol=1e-8,
+    )
+
+    # Beyond the predicate's validity domain both engines flag failure —
+    # the timing is round-off chaos and is NOT asserted.
+    assert bool(np.asarray(outs.success)[p]) is False
+    assert theirs["Success"] is False
+    assert float(np.asarray(outs.years_to_ruin)[p]) <= R
+    assert theirs["YearsToRuin"] <= R
