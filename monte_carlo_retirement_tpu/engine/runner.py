@@ -186,7 +186,17 @@ class Engine:
         self.statics = statics_from_config(self.config)
         self.search_key, self.final_key = stream_keys(self.main_seed)
         # Optional jax.sharding.Mesh with a 'paths' axis: shards the path
-        # batch over devices (data-parallel over ICI).
+        # batch over devices (data-parallel over ICI). MCRT_MESH=auto opts
+        # serving into a mesh over every local device when the caller did
+        # not pass one (hosts construct engines mesh-less; on a multi-chip
+        # host this knob is how they scale out without code changes).
+        if mesh is None and os.environ.get("MCRT_MESH", "").lower() in (
+            "auto", "local", "1",
+        ):
+            if len(jax.devices()) > 1:
+                from ..parallel.mesh import make_mesh
+
+                mesh = make_mesh()
         self.mesh = mesh
         log.info(
             "Engine initialized for scenario '%s' with main seed: %d",

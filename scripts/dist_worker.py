@@ -1,0 +1,136 @@
+"""Multi-host SPMD worker: one process of an (H hosts x D devices) job.
+
+This is both the documented multi-host driver example and the executable
+half of tests/test_distributed.py. Every process of the job runs this
+same program (JAX multi-controller SPMD):
+
+    MCRT_COORDINATOR=host0:PORT MCRT_NUM_PROCESSES=H MCRT_PROCESS_ID=h \
+        python scripts/dist_worker.py
+
+On a real TPU pod the MCRT_* variables come from the pod launcher (or are
+omitted entirely — ``initialize()``'s auto-detection reads the pod
+metadata) and the devices are real chips. In the test rig each process
+fakes D virtual CPU devices (MCRT_LOCAL_DEVICE_COUNT) and the collectives
+run over gloo — same program, same mesh construction, same invariants.
+
+Prints one ``RESULT {json}`` line: the replicated reduced summary plus
+this process's addressable per-path shards (global offsets attached), so
+the parent can reassemble the global vector and pin it bit-for-bit
+against a single-process run.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from monte_carlo_retirement_tpu.parallel.distributed import (  # noqa: E402
+    force_local_device_count,
+    initialize_from_env,
+    is_coordinator,
+)
+
+force_local_device_count(int(os.environ.get("MCRT_LOCAL_DEVICE_COUNT", "2")))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+if not initialize_from_env():
+    print("RESULT " + json.dumps({"error": "MCRT_COORDINATOR not set"}))
+    sys.exit(2)
+
+import jax.numpy as jnp  # noqa: E402
+
+from monte_carlo_retirement_tpu.config import Config, load_config_from_json  # noqa: E402
+from monte_carlo_retirement_tpu.engine.runner import _run_jit  # noqa: E402
+from monte_carlo_retirement_tpu.models.retirement import SimParams  # noqa: E402
+from monte_carlo_retirement_tpu.ops.shocks import stream_keys  # noqa: E402
+from monte_carlo_retirement_tpu.parallel.mesh import make_mesh, pad_to_devices  # noqa: E402
+
+
+def main() -> None:
+    n_devices = jax.device_count()
+    mesh = make_mesh()  # global: spans every process's devices
+
+    raw = load_config_from_json(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "config.json")
+    )
+    raw["retirement_years"] = 5
+    raw["seed"] = 1234
+    # A sustainable draw so outcomes are non-degenerate (mixed successes,
+    # nonzero percentile tables) — the same overrides bench.py uses.
+    raw["initial_balance"] = 120_000.0
+    raw["monthly_expenses"] = 5_000.0
+    config = Config(**raw)
+    params = SimParams.from_config(config, dtype=jnp.float64)
+    _, final_key = stream_keys(int(config.seed))
+
+    n_paths = pad_to_devices(64, n_devices)
+    outs, summary = _run_jit(
+        params,
+        jnp.asarray(24, dtype=jnp.int32),
+        final_key,
+        jnp.arange(5, dtype=jnp.int32),
+        n_paths=n_paths,
+        t_scan=120,
+        retirement_years=5,
+        traj_len=11,
+        dtype=jnp.float64,
+        mesh=mesh,
+    )
+
+    # Replicated reductions: identical on every process by construction.
+    summary_host = jax.device_get(
+        {
+            "success_probability": summary.success_probability,
+            "median_start_balance": summary.median_start_balance,
+            "final_balance_percentiles": summary.final_balance_percentiles,
+            "trajectory_percentiles": summary.trajectory_percentiles,
+            "wr_percentiles": summary.wr_percentiles,
+        }
+    )
+
+    # This process's addressable slices of the globally sharded outputs.
+    shards = [
+        {
+            "start": int(s.index[0].start or 0),
+            "final_balance": [float(v) for v in jax.device_get(s.data)],
+        }
+        for s in outs.final_balance.addressable_shards
+    ]
+
+    def _clean(obj):
+        if isinstance(obj, list):
+            return [_clean(v) for v in obj]
+        return None if obj != obj else obj  # NaN -> None (JSON-safe)
+
+    def _listify(v):
+        import numpy as np
+
+        arr = np.asarray(v)
+        return _clean(arr.tolist())
+
+    print(
+        "RESULT "
+        + json.dumps(
+            {
+                "process": jax.process_index(),
+                "num_processes": jax.process_count(),
+                "coordinator": is_coordinator(),
+                "global_devices": n_devices,
+                "n_paths": n_paths,
+                "summary": {k: _listify(v) for k, v in summary_host.items()},
+                "shards": shards,
+            },
+            allow_nan=False,
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,225 @@
+"""Multi-host (DCN) tests: TWO REAL OS PROCESSES over gloo collectives.
+
+The virtual-mesh tests (test_sharding, test_pallas_parity) prove sharding
+correctness across devices *within* one process. These tests prove the
+multi-controller story across processes — the thing a TPU pod deployment
+actually runs: ``jax.distributed.initialize`` forms a global runtime, the
+'paths' mesh spans both processes' devices, the engine executes one SPMD
+program, and cross-process collectives reduce the summary.
+
+Pinned invariants:
+  * both processes compute the IDENTICAL replicated summary;
+  * the union of the processes' addressable per-path shards reproduces a
+    single-process run bit-for-bit (device-count-invariant RNG + kernel);
+  * the cross-process collective reductions agree with the local ones.
+
+Reference analog: none — the reference's widest scale-out is a
+single-host multiprocessing.Pool (backend/simulation.py:982-1010).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "scripts", "dist_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _launch_pair():
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            MCRT_COORDINATOR=f"127.0.0.1:{port}",
+            MCRT_NUM_PROCESSES="2",
+            MCRT_PROCESS_ID=str(pid),
+            MCRT_LOCAL_DEVICE_COUNT="2",
+            MCRT_WARMUP="0",
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, WORKER],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+                cwd=REPO,
+            )
+        )
+    results = []
+    for p in procs:
+        out, err = p.communicate(timeout=420)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, f"no RESULT line:\n{out[-1000:]}\n{err[-2000:]}"
+        results.append(json.loads(lines[0][len("RESULT "):]))
+    return results
+
+
+@pytest.fixture(scope="module")
+def pair_results():
+    return _launch_pair()
+
+
+def _single_process_reference(n_paths: int):
+    """The same tiny workload the workers run, unsharded in this process."""
+    from monte_carlo_retirement_tpu.config import Config, load_config_from_json
+    from monte_carlo_retirement_tpu.engine.runner import _run_jit
+    from monte_carlo_retirement_tpu.models.retirement import SimParams
+    from monte_carlo_retirement_tpu.ops.shocks import stream_keys
+
+    raw = load_config_from_json(os.path.join(REPO, "config.json"))
+    raw["retirement_years"] = 5
+    raw["seed"] = 1234
+    raw["initial_balance"] = 120_000.0
+    raw["monthly_expenses"] = 5_000.0
+    config = Config(**raw)
+    params = SimParams.from_config(config, dtype=jnp.float64)
+    _, final_key = stream_keys(int(config.seed))
+    return _run_jit(
+        params,
+        jnp.asarray(24, dtype=jnp.int32),
+        final_key,
+        jnp.arange(5, dtype=jnp.int32),
+        n_paths=n_paths,
+        t_scan=120,
+        retirement_years=5,
+        traj_len=11,
+        dtype=jnp.float64,
+        mesh=None,
+    )
+
+
+def test_two_process_global_mesh_formed(pair_results):
+    r0, r1 = sorted(pair_results, key=lambda r: r["process"])
+    assert r0["num_processes"] == r1["num_processes"] == 2
+    assert r0["global_devices"] == r1["global_devices"] == 4
+    assert r0["coordinator"] and not r1["coordinator"]
+    # Each process holds only its half of the global paths axis, and the
+    # halves are disjoint: the work was actually split across processes.
+    starts0 = {s["start"] for s in r0["shards"]}
+    starts1 = {s["start"] for s in r1["shards"]}
+    assert starts0 == {0, 16} and starts1 == {32, 48}
+
+
+def test_replicated_summary_identical_across_processes(pair_results):
+    r0, r1 = pair_results
+    assert json.dumps(r0["summary"], sort_keys=True) == json.dumps(
+        r1["summary"], sort_keys=True
+    )
+
+
+def test_cross_process_run_matches_single_process(pair_results):
+    """(H x D) mesh == 1 process, bit-for-bit per path, exact reductions."""
+    n_paths = pair_results[0]["n_paths"]
+    outs, summary = _single_process_reference(n_paths)
+
+    # Reassemble the global final-balance vector from both processes'
+    # addressable shards; every element must match the unsharded run.
+    got = np.full((n_paths,), np.nan)
+    for r in pair_results:
+        for s in r["shards"]:
+            vals = np.asarray(s["final_balance"])
+            got[s["start"]: s["start"] + len(vals)] = vals
+    assert not np.isnan(got).any()
+    np.testing.assert_allclose(
+        got, np.asarray(outs.final_balance), rtol=1e-12, atol=0
+    )
+
+    # The gloo-reduced summary agrees with the local reduction. Success is
+    # a 0/1 sum (exact in f64 regardless of reduction order); quantile
+    # bisection counts are integral too, so the tables are exact.
+    s0 = pair_results[0]["summary"]
+    assert s0["success_probability"] == pytest.approx(
+        float(summary.success_probability), abs=1e-9
+    )
+    # A mixed outcome (some ruins, some survivals) so the reductions are
+    # non-degenerate — guard against the scenario drifting trivial.
+    assert 0.0 < s0["success_probability"] < 100.0
+    np.testing.assert_allclose(
+        np.asarray(s0["final_balance_percentiles"], dtype=np.float64),
+        np.asarray(summary.final_balance_percentiles),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s0["trajectory_percentiles"], dtype=np.float64),
+        np.asarray(summary.trajectory_percentiles),
+        rtol=1e-12,
+    )
+    wr_got = np.asarray(
+        [[np.nan if v is None else v for v in row]
+         for row in s0["wr_percentiles"]],
+        dtype=np.float64,
+    )
+    wr_ref = np.asarray(summary.wr_percentiles)
+    np.testing.assert_allclose(wr_got, wr_ref, rtol=1e-12, equal_nan=True)
+
+
+def test_initialize_from_env_requires_complete_triplet(monkeypatch):
+    from monte_carlo_retirement_tpu.parallel import distributed
+
+    monkeypatch.setenv(distributed.ENV_COORDINATOR, "127.0.0.1:1")
+    monkeypatch.delenv(distributed.ENV_NUM_PROCESSES, raising=False)
+    monkeypatch.delenv(distributed.ENV_PROCESS_ID, raising=False)
+    with pytest.raises(ValueError, match="all three are required"):
+        distributed.initialize_from_env()
+
+
+def test_initialize_from_env_noop_when_unset(monkeypatch):
+    from monte_carlo_retirement_tpu.parallel import distributed
+
+    monkeypatch.delenv(distributed.ENV_COORDINATOR, raising=False)
+    assert distributed.initialize_from_env() is False
+
+
+def test_coordinator_helpers_single_process():
+    from monte_carlo_retirement_tpu.parallel import distributed
+
+    assert distributed.is_distributed() is False
+    assert distributed.is_coordinator() is True
+    assert jax.process_count() == 1
+
+
+def test_engine_mesh_auto_env(monkeypatch):
+    """MCRT_MESH=auto opts a mesh-less Engine into all local devices —
+    the no-code-change scale-out knob for multi-chip serving hosts."""
+    from monte_carlo_retirement_tpu.engine.runner import Engine
+    from tests.conftest import make_config
+
+    monkeypatch.setenv("MCRT_MESH", "auto")
+    eng = Engine(make_config(retirement_years=5), dtype=jnp.float64)
+    assert eng.mesh is not None
+    assert eng.mesh.devices.size == 8
+    outs = eng.run(12, 16, stream="final")
+    assert np.isfinite(np.asarray(outs.final_balance)).all()
+
+    monkeypatch.delenv("MCRT_MESH")
+    assert Engine(make_config(), dtype=jnp.float64).mesh is None
+
+
+def test_force_local_device_count_replaces_flag(monkeypatch):
+    from monte_carlo_retirement_tpu.parallel import distributed
+
+    monkeypatch.setenv(
+        "XLA_FLAGS", "--foo=1 --xla_force_host_platform_device_count=8"
+    )
+    distributed.force_local_device_count(2)
+    flags = os.environ["XLA_FLAGS"]
+    assert flags.count("xla_force_host_platform_device_count") == 1
+    assert "--xla_force_host_platform_device_count=2" in flags
+    assert "--foo=1" in flags
