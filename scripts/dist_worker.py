@@ -103,6 +103,22 @@ def main() -> None:
         for s in outs.final_balance.addressable_shards
     ]
 
+    # The SERVING path, multi-host: Engine.run(reduced=True) fetches only
+    # replicated reduced tables (percentiles + device-binned histograms),
+    # which every process can read — per-path arrays never leave the
+    # devices, so nothing non-addressable is touched.
+    from monte_carlo_retirement_tpu.engine.runner import Engine
+
+    eng = Engine(config, dtype=jnp.float64, mesh=mesh)
+    rr = eng.run(24, n_paths, stream="final", reduced=True)
+    reduced = {
+        "success_probability": rr.success_probability,
+        "swr": rr.swr,
+        "final_balance_percentiles": rr.final_balance_percentiles.tolist(),
+        "finals_hist_counts": rr.bins.finals_hist_counts.tolist(),
+        "ruin_counts": rr.bins.ruin_counts.tolist(),
+    }
+
     def _clean(obj):
         if isinstance(obj, list):
             return [_clean(v) for v in obj]
@@ -124,6 +140,7 @@ def main() -> None:
                 "global_devices": n_devices,
                 "n_paths": n_paths,
                 "summary": {k: _listify(v) for k, v in summary_host.items()},
+                "reduced": {k: _clean(v) for k, v in reduced.items()},
                 "shards": shards,
             },
             allow_nan=False,

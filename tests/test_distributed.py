@@ -170,6 +170,42 @@ def test_cross_process_run_matches_single_process(pair_results):
     np.testing.assert_allclose(wr_got, wr_ref, rtol=1e-12, equal_nan=True)
 
 
+def test_multihost_reduced_serving_matches_single_process(pair_results):
+    """Engine.run(reduced=True) — the serving fast path — works under a
+    cross-process mesh (it fetches only replicated reduced tables) and
+    reproduces the single-process result exactly."""
+    from monte_carlo_retirement_tpu.config import Config, load_config_from_json
+    from monte_carlo_retirement_tpu.engine.runner import Engine
+
+    raw = load_config_from_json(os.path.join(REPO, "config.json"))
+    raw["retirement_years"] = 5
+    raw["seed"] = 1234
+    raw["initial_balance"] = 120_000.0
+    raw["monthly_expenses"] = 5_000.0
+    n_paths = pair_results[0]["n_paths"]
+    rr = Engine(Config(**raw), dtype=jnp.float64).run(
+        24, n_paths, stream="final", reduced=True
+    )
+
+    for r in pair_results:
+        red = r["reduced"]
+        assert red["success_probability"] == pytest.approx(
+            rr.success_probability, abs=1e-9
+        )
+        assert red["swr"] == pytest.approx(rr.swr, rel=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(red["final_balance_percentiles"]),
+            rr.final_balance_percentiles,
+            rtol=1e-12,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(red["finals_hist_counts"]), rr.bins.finals_hist_counts
+        )
+        np.testing.assert_array_equal(
+            np.asarray(red["ruin_counts"]), rr.bins.ruin_counts
+        )
+
+
 def test_initialize_from_env_requires_complete_triplet(monkeypatch):
     from monte_carlo_retirement_tpu.parallel import distributed
 
