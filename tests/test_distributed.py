@@ -248,6 +248,50 @@ def test_engine_mesh_auto_env(monkeypatch):
     assert Engine(make_config(), dtype=jnp.float64).mesh is None
 
 
+def _payloads_close(a, b, path="$"):
+    """Recursive payload equality: floats to 1e-9 relative, rest exact."""
+    if isinstance(a, float) and isinstance(b, float):
+        if a != a and b != b:  # NaN == NaN for payload purposes
+            return
+        assert a == pytest.approx(b, rel=1e-9, abs=1e-12), path
+    elif isinstance(a, dict):
+        assert isinstance(b, dict) and sorted(a) == sorted(b), path
+        for k in a:
+            _payloads_close(a[k], b[k], f"{path}.{k}")
+    elif isinstance(a, list):
+        assert isinstance(b, list) and len(a) == len(b), path
+        for i, (x, y) in enumerate(zip(a, b)):
+            _payloads_close(x, y, f"{path}[{i}]")
+    else:
+        assert a == b, path
+
+
+def test_mesh_auto_serving_payload_matches_meshless(monkeypatch):
+    """The full API payload (pandas assembly) must be invariant to
+    MCRT_MESH=auto sharding the engine over the 8-device mesh."""
+    from monte_carlo_retirement_tpu.engine.simulator import (
+        RetirementMonteCarloSimulator,
+    )
+    from monte_carlo_retirement_tpu.hosts.payload import build_result
+    from monte_carlo_retirement_tpu.hosts.schemas import SimulationResponse
+    from tests.conftest import make_config
+
+    config = make_config(
+        num_simulations_main=48, retirement_years=3, seed=77
+    )
+
+    def payload():
+        sim = RetirementMonteCarloSimulator(config)
+        return build_result(config, sim, required_w_months=24, search_curve=[])
+
+    monkeypatch.delenv("MCRT_MESH", raising=False)
+    base = payload()
+    monkeypatch.setenv("MCRT_MESH", "auto")
+    meshed = payload()
+    SimulationResponse.model_validate(meshed)
+    _payloads_close(base, meshed)
+
+
 def test_force_local_device_count_replaces_flag(monkeypatch):
     from monte_carlo_retirement_tpu.parallel import distributed
 
