@@ -93,7 +93,7 @@ def initialize(
     except RuntimeError as exc:
         if "already initialized" in str(exc).lower():
             _initialized = True
-            return True
+            return jax.process_count() > 1
         raise
     except Exception as exc:  # noqa: BLE001 — surface, then stay local
         if coordinator_address is not None:
@@ -108,7 +108,9 @@ def initialize(
         jax.local_device_count(),
         jax.device_count(),
     )
-    return True
+    # Auto-detection may legitimately come up as a 1-process runtime
+    # (e.g. a single-host pod slice); the contract is "multi-process?".
+    return jax.process_count() > 1
 
 
 def initialize_from_env() -> bool:
