@@ -644,7 +644,13 @@ async def _start_warmup(app: web.Application):
 
 def create_app() -> web.Application:
     app = web.Application(middlewares=[cors_middleware])
+    from .openapi import docs_page, openapi_json
+
     app.router.add_get("/api/health", health)
+    # API docs — the reference's FastAPI host exposes these two routes by
+    # default (reference: backend/server.py:170); parity for aiohttp.
+    app.router.add_get("/openapi.json", openapi_json)
+    app.router.add_get("/docs", docs_page)
     app.router.add_get("/api/analysis/meta", analysis_meta)
     app.router.add_get("/api/config/default", default_config)
     app.router.add_post("/api/validate", validate)

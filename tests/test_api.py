@@ -583,3 +583,67 @@ def test_corrupt_default_config_is_a_server_error(monkeypatch, tmp_path):
             await client.close()
 
     _run(scenario())
+
+
+def test_openapi_spec_covers_every_api_route_and_docs_render():
+    """/openapi.json + /docs — the reference's FastAPI host serves both by
+    default; parity for this aiohttp host. The documented path set is
+    pinned to the RUNNING router, so a new endpoint cannot land
+    undocumented, and every $ref must resolve inside components."""
+    from monte_carlo_retirement_tpu.hosts.server import create_app
+
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            resp = await client.get("/openapi.json")
+            assert resp.status == 200
+            spec = await resp.json()
+            assert spec["openapi"].startswith("3.")
+
+            registered = {
+                r.resource.canonical
+                for r in create_app().router.routes()
+                if r.method in ("GET", "POST")
+                and r.resource is not None
+                and r.resource.canonical.startswith("/api/")
+            }
+            assert set(spec["paths"]) == registered
+
+            components = spec["components"]["schemas"]
+
+            def walk(node):
+                if isinstance(node, dict):
+                    ref = node.get("$ref")
+                    if isinstance(ref, str):
+                        assert ref.rsplit("/", 1)[-1] in components, ref
+                    for value in node.values():
+                        walk(value)
+                elif isinstance(node, list):
+                    for value in node:
+                        walk(value)
+
+            walk(spec)
+            # The models the handlers actually validate with are the ones
+            # documented (drift here would mean hand-written schemas).
+            for name in (
+                "SimulationRequest", "SimulationResponse", "GridRequest",
+                "GridResponse", "SensitivityRequest", "SensitivityResponse",
+                "OptimizeRequest", "OptimizeResponse", "OptimizeJointResponse",
+                "Config",
+            ):
+                assert name in components, name
+
+            resp = await client.get("/docs")
+            assert resp.status == 200
+            assert resp.content_type == "text/html"
+            html = await resp.text()
+            for path in spec["paths"]:
+                assert path in html
+            for needle in ("SimulationRequest", "text/event-stream",
+                           "optimize_round", "/openapi.json"):
+                assert needle in html
+        finally:
+            await client.close()
+
+    _run(scenario())
