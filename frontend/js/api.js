@@ -12,6 +12,25 @@ export function hasOverride(value) {
   return value !== null && value !== undefined && value !== "";
 }
 
+// Error bodies are JSON {"detail": ...} (the reference server's FastAPI
+// shape, which this server mirrors); fall back to the raw text for any
+// other origin (proxies, crashes).
+async function errorDetail(resp) {
+  let text;
+  try {
+    text = await resp.text();
+  } catch {
+    return `HTTP ${resp.status}`;
+  }
+  try {
+    const parsed = JSON.parse(text);
+    if (parsed && typeof parsed.detail === "string") return parsed.detail;
+  } catch {
+    // not JSON — use the raw body
+  }
+  return text || `HTTP ${resp.status}`;
+}
+
 export async function getDefaultConfig() {
   const resp = await fetch(`${BASE}/api/config/default`);
   if (!resp.ok) throw new Error(`default config: HTTP ${resp.status}`);
@@ -33,7 +52,7 @@ export async function validateConfig(config) {
     headers: { "content-type": "application/json" },
     body: JSON.stringify({ config }),
   });
-  if (!resp.ok) throw new Error(await resp.text());
+  if (!resp.ok) throw new Error(await errorDetail(resp));
   return resp.json();
 }
 
@@ -79,7 +98,7 @@ export async function runSensitivity(body) {
     headers: { "content-type": "application/json" },
     body: JSON.stringify(body),
   });
-  if (!resp.ok) throw new Error(await resp.text());
+  if (!resp.ok) throw new Error(await errorDetail(resp));
   return resp.json();
 }
 
@@ -98,13 +117,7 @@ async function streamPost(url, body, { onProgress, onResult, onError }) {
     return;
   }
   if (!resp.ok) {
-    let detail;
-    try {
-      detail = await resp.text();
-    } catch {
-      detail = `HTTP ${resp.status}`;
-    }
-    onError(detail);
+    onError(await errorDetail(resp));
     return;
   }
 

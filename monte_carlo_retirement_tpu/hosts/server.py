@@ -551,8 +551,17 @@ async def cors_middleware(request: web.Request, handler):
         try:
             response = await handler(request)
         except web.HTTPException as exc:
-            exc.headers.update(_cors_headers(request))
-            raise
+            if exc.status >= 400 and request.path.startswith("/api"):
+                # Reference wire shape: FastAPI serializes every HTTP error
+                # as JSON {"detail": ...} (its clients read `err.detail`,
+                # reference frontend/src/api.js:30-31); the handlers raise
+                # plain-text aiohttp exceptions, reshaped here once.
+                response = web.json_response(
+                    {"detail": exc.text or exc.reason}, status=exc.status
+                )
+            else:
+                exc.headers.update(_cors_headers(request))
+                raise
         except json.JSONDecodeError:
             # A malformed request body raises before the handler's own error
             # handling; answer 400 (with CORS headers below) rather than an

@@ -647,3 +647,47 @@ def test_openapi_spec_covers_every_api_route_and_docs_render():
             await client.close()
 
     _run(scenario())
+
+
+def test_api_errors_are_json_detail_bodies():
+    """FastAPI error wire shape: every /api error body is JSON
+    {"detail": ...} — the reference SPA reads `err.detail`
+    (reference frontend/src/api.js:30-31), so text/plain errors would
+    lose the message for reference-built clients."""
+
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            resp = await client.post(
+                "/api/validate", json={"config": {"initial_balance": -1.0}}
+            )
+            assert resp.status == 422
+            assert resp.content_type == "application/json"
+            body = await resp.json()
+            assert "Invalid configuration" in body["detail"]
+
+            resp = await client.post("/api/simulate", json={})
+            assert resp.status == 422
+            assert (await resp.json())["detail"]
+
+            resp = await client.post(
+                "/api/optimize",
+                json={"config": make_config().model_dump(by_alias=True),
+                      "working_months": 0, "param": "no_such_field"},
+            )
+            assert resp.status == 422
+            assert "no_such_field" in (await resp.json())["detail"]
+
+            # Malformed JSON short-circuits in the middleware — same shape.
+            resp = await client.post(
+                "/api/validate",
+                data="{not json",
+                headers={"content-type": "application/json"},
+            )
+            assert resp.status == 400
+            assert "Malformed" in (await resp.json())["detail"]
+        finally:
+            await client.close()
+
+    _run(scenario())
