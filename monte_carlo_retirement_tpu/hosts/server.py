@@ -660,6 +660,7 @@ def create_app() -> web.Application:
     # default (reference: backend/server.py:170); parity for aiohttp.
     app.router.add_get("/openapi.json", openapi_json)
     app.router.add_get("/docs", docs_page)
+    app.router.add_get("/redoc", docs_page)  # FastAPI's second default UI
     app.router.add_get("/api/analysis/meta", analysis_meta)
     app.router.add_get("/api/config/default", default_config)
     app.router.add_post("/api/validate", validate)
