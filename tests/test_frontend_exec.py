@@ -990,3 +990,152 @@ def test_fmt_money_matches_display_rules(fe):
     assert call(fmt, [45_000.0]) == "$45k"
     assert call(fmt, [999.4]) == "$999"
     assert not math.isnan(float(js_str(call(fmt, [0.0])).strip("$") or 0))
+
+
+# ----------------------------------------------------------------------
+# The REFERENCE's own API client, executed against this server's bytes
+# ----------------------------------------------------------------------
+
+REFERENCE_FRONTEND_SRC = "/root/reference/frontend/src"
+
+
+@pytest.fixture(scope="module")
+def reference_client_env(tmp_path_factory):
+    """Load the reference's UNMODIFIED frontend/src/api.js (read from
+    /root/reference at test time — never copied into this repo, same
+    policy as the engine head-to-head suite) under jsmini."""
+    import os
+
+    if not os.path.exists(os.path.join(REFERENCE_FRONTEND_SRC, "api.js")):
+        pytest.skip("reference checkout not present")
+    # load_frontend resolves modules under <frontend_dir>/js; point a tmp
+    # frontend root's js/ at the reference's src/ via symlink.
+    root = tmp_path_factory.mktemp("ref_frontend")
+    (root / "js").symlink_to(REFERENCE_FRONTEND_SRC)
+    return load_frontend(files=["api.js"], frontend_dir=str(root))
+
+
+def _capture_stream_and_default():
+    """Real bytes from THIS server: the SSE stream for an override run and
+    the default-config body."""
+    import asyncio
+    import json as _json
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from monte_carlo_retirement_tpu.hosts.server import create_app
+
+    async def scenario():
+        client = TestClient(TestServer(create_app()))
+        await client.start_server()
+        try:
+            cfg = make_config(
+                num_simulations_main=32, num_simulations_search=16,
+                retirement_years=2, seed=9,
+            ).model_dump(by_alias=True)
+            resp = await client.post(
+                "/api/simulate/stream",
+                json={"config": cfg, "working_months_override": 6},
+            )
+            assert resp.status == 200
+            stream_text = await resp.text()
+
+            resp = await client.get("/api/config/default")
+            assert resp.status == 200
+            default_cfg = await resp.json()
+
+            resp = await client.post(
+                "/api/simulate",
+                json={"config": {"initial_balance": -1.0}},
+            )
+            assert resp.status == 422
+            error_body = await resp.json()
+            return cfg, stream_text, default_cfg, error_body
+        finally:
+            await client.close()
+
+    return asyncio.run(scenario())
+
+
+def test_reference_client_consumes_this_server(reference_client_env):
+    """Wire-compat proof from the CLIENT side: the reference's own
+    `runSimulationStream` / `getDefaultConfig` (reference
+    frontend/src/api.js:1-78), executed unmodified, parse this server's
+    actual response bytes — stream framing, terminal-event contract, and
+    the JSON {"detail"} error shape its error path reads."""
+    fe = reference_client_env
+    cfg, stream_text, default_cfg, error_body = _capture_stream_and_default()
+
+    # --- SSE stream: feed the exact bytes, split mid-frame to exercise
+    # the client's chunk reassembly.
+    cut = len(stream_text) // 2
+    chunks = [stream_text[:cut], stream_text[cut:]]
+    events = []
+    resp = _Response(chunks)
+    fe.set_global("fetch", lambda url, opts=None: resp)
+    fe.interp.call_function(
+        fe.get("api.js", "runSimulationStream"),
+        [
+            _floatify(cfg),
+            "6",  # the reference passes the override as the input's string
+            {
+                "onProgress": lambda e: events.append(("progress", e)),
+                "onResult": lambda d: events.append(("result", d)),
+                "onError": lambda m: events.append(("error", m)),
+            },
+        ],
+    )
+    kinds = [k for k, _ in events]
+    assert kinds[-1] == "result" and "error" not in kinds
+    result = events[-1][1]
+    assert result["summary"]["required_working_months"] == 6.0
+    assert result["summary"]["working_period_is_estimate"] is False
+    assert result["trajectory"]["years"][0] == 0.0
+
+    # --- default config: the reference boot path.
+    class _JsonResponse:
+        ok = True
+
+        def __init__(self, payload):
+            self._payload = payload
+
+        def json(self):
+            return self._payload
+
+    fe.set_global(
+        "fetch", lambda url, opts=None: _JsonResponse(_floatify(default_cfg))
+    )
+    got = fe.interp.call_function(fe.get("api.js", "getDefaultConfig"), [])
+    if hasattr(got, "value"):  # async fn -> resolved Thenable
+        assert got.error is None, got.error
+        got = got.value
+    assert got["initial_balance"] == float(default_cfg["initial_balance"])
+
+    # --- error path: the reference reads err.detail from the JSON body.
+    from tools.jsmini.interp import Thenable
+
+    class _ErrResponse:
+        ok = False
+
+        def json(self):
+            # fetch's res.json() is a promise; the reference chains .catch
+            return Thenable(_floatify(error_body))
+
+    from tools.jsmini.interp import JSThrow
+
+    fe.set_global("fetch", lambda url, opts=None: _ErrResponse())
+    try:
+        outcome = fe.interp.call_function(
+            fe.get("api.js", "runSimulationStream"),
+            [_floatify(cfg), UNDEFINED,
+             {"onProgress": lambda e: None, "onResult": lambda d: None,
+              "onError": lambda m: None}],
+        )
+    except JSThrow as exc:
+        message = str(exc)
+    else:  # a rejected thenable is an equally valid surfacing
+        assert getattr(outcome, "error", None) is not None
+        message = str(outcome.error)
+    # The thrown Error carries the server's JSON detail — the exact field
+    # the reference reads (reference api.js:30-31).
+    assert "Invalid configuration" in message

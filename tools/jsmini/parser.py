@@ -95,7 +95,14 @@ class Parser:
                 return node
             if v == "return":
                 self.next()
-                if self.at(";") or self.at("}"):
+                # ASI: `return` is a restricted production — a line break
+                # after it terminates the statement (so `return\nlet x`
+                # is a bare return, not `return let...`).
+                nxt = self.peek()
+                if (
+                    self.at(";") or self.at("}") or nxt.kind == "eof"
+                    or nxt.line > t.line
+                ):
                     self.eat(";")
                     return ("return", ("undef",))
                 e = self.expression()
