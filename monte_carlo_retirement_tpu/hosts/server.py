@@ -652,7 +652,15 @@ async def _start_warmup(app: web.Application):
 
 
 def create_app() -> web.Application:
-    app = web.Application(middlewares=[cors_middleware])
+    # aiohttp caps request bodies at 1 MiB by default; the reference's
+    # FastAPI host has no such cap, and a MAX_GRID_VARIANTS-sized grid
+    # request with per-variant overrides can legitimately exceed 1 MiB.
+    # 32 MiB clears any valid request by a wide margin while still
+    # bounding memory (MCRT_MAX_BODY_MB to tune).
+    max_body = int(os.environ.get("MCRT_MAX_BODY_MB", "32")) * 1024 * 1024
+    app = web.Application(
+        middlewares=[cors_middleware], client_max_size=max_body
+    )
     from .openapi import docs_page, openapi_json
 
     app.router.add_get("/api/health", health)

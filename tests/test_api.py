@@ -691,3 +691,29 @@ def test_api_errors_are_json_detail_bodies():
             await client.close()
 
     _run(scenario())
+
+
+def test_large_request_bodies_are_not_rejected_at_the_transport():
+    """aiohttp defaults to a 1 MiB body cap; the reference's FastAPI host
+    has none, and a MAX_GRID_VARIANTS-scale grid request can exceed 1 MiB.
+    A >1 MiB body must reach the handler (here: a 422 for one variant too
+    many — NOT a 413 from the transport)."""
+
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            cfg = make_config().model_dump(by_alias=True)
+            variants = [
+                {"name": f"variant-{i:05d}-" + "x" * 280, "overrides": {}}
+                for i in range(4097)  # MAX_GRID_VARIANTS + 1
+            ]
+            body = {"config": cfg, "variants": variants, "working_months": 0}
+            assert len(json.dumps(body)) > 1024 * 1024
+            resp = await client.post("/api/grid", json=body)
+            assert resp.status == 422
+            assert "variant" in (await resp.json())["detail"].lower()
+        finally:
+            await client.close()
+
+    _run(scenario())
