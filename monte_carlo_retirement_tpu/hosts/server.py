@@ -559,6 +559,8 @@ async def cors_middleware(request: web.Request, handler):
                 response = web.json_response(
                     {"detail": exc.text or exc.reason}, status=exc.status
                 )
+                if "Allow" in exc.headers:  # 405 carries its method list
+                    response.headers["Allow"] = exc.headers["Allow"]
             else:
                 exc.headers.update(_cors_headers(request))
                 raise
@@ -573,6 +575,18 @@ async def cors_middleware(request: web.Request, handler):
             log.exception("Unhandled error serving %s", request.path)
             response = web.json_response(
                 {"detail": "Internal server error."}, status=500
+            )
+        if (
+            request.path.startswith("/api")
+            and response.status >= 400
+            and response.content_type != "application/json"
+        ):
+            # Errors RETURNED rather than raised (e.g. the frontend static
+            # fallback answers GET /api/unknown with a plain 404) get the
+            # same JSON shape.
+            response = web.json_response(
+                {"detail": response.reason or "error"},
+                status=response.status,
             )
     response.headers.update(_cors_headers(request))
     return response
@@ -651,6 +665,23 @@ async def _start_warmup(app: web.Application):
         asyncio.get_event_loop().run_in_executor(_ENGINE_POOL, _warmup)
 
 
+async def api_fallback(request: web.Request) -> web.Response:
+    """Unmatched /api path (or wrong method on a real one): the FastAPI
+    taxonomy — 405 with Allow when the path exists, else 404."""
+    allowed = sorted(
+        r.method
+        for r in request.app.router.routes()
+        if r.resource is not None
+        and r.resource.canonical == request.path
+        and r.method not in ("*", "HEAD")
+    )
+    if allowed:
+        raise web.HTTPMethodNotAllowed(
+            request.method, allowed, text="Method Not Allowed"
+        )
+    raise web.HTTPNotFound(text="Not Found")
+
+
 def create_app() -> web.Application:
     # aiohttp caps request bodies at 1 MiB by default; the reference's
     # FastAPI host has no such cap, and a MAX_GRID_VARIANTS-sized grid
@@ -679,6 +710,10 @@ def create_app() -> web.Application:
     app.router.add_post("/api/sensitivity", sensitivity)
     app.router.add_post("/api/optimize", optimize)
     app.router.add_post("/api/optimize/stream", optimize_stream)
+    # Unmatched /api requests must answer as API errors (FastAPI shape),
+    # not fall through to the frontend static root — whose FileResponse
+    # decides its 404 only at prepare time, after the middleware ran.
+    app.router.add_route("*", "/api/{tail:.*}", api_fallback)
     if os.path.isdir(FRONTEND_DIR):
         app.router.add_get("/", index)
         app.router.add_static("/", FRONTEND_DIR)

@@ -717,3 +717,30 @@ def test_large_request_bodies_are_not_rejected_at_the_transport():
             await client.close()
 
     _run(scenario())
+
+
+def test_unmatched_api_paths_answer_as_api_errors():
+    """Unknown /api paths are a JSON 404 and wrong methods a JSON 405 with
+    Allow — the FastAPI taxonomy — instead of falling through to the
+    frontend static root's opaque octet-stream 404."""
+
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            resp = await client.get("/api/no-such-endpoint")
+            assert resp.status == 404
+            assert (await resp.json())["detail"] == "Not Found"
+
+            resp = await client.get("/api/simulate")
+            assert resp.status == 405
+            assert (await resp.json())["detail"] == "Method Not Allowed"
+            assert "POST" in resp.headers.get("Allow", "")
+
+            # Statics are untouched by the fallback.
+            resp = await client.get("/styles.css")
+            assert resp.status == 200 and resp.content_type == "text/css"
+        finally:
+            await client.close()
+
+    _run(scenario())
