@@ -668,17 +668,25 @@ async def _start_warmup(app: web.Application):
 async def api_fallback(request: web.Request) -> web.Response:
     """Unmatched /api path (or wrong method on a real one): the FastAPI
     taxonomy — 405 with Allow when the path exists, else 404."""
-    allowed = sorted(
-        r.method
-        for r in request.app.router.routes()
-        if r.resource is not None
-        and r.resource.canonical == request.path
-        and r.method not in ("*", "HEAD")
-    )
+    def methods_for(path: str):
+        return sorted(
+            r.method
+            for r in request.app.router.routes()
+            if r.resource is not None
+            and r.resource.canonical == path
+            and r.method not in ("*", "HEAD")
+        )
+
+    allowed = methods_for(request.path)
     if allowed:
         raise web.HTTPMethodNotAllowed(
             request.method, allowed, text="Method Not Allowed"
         )
+    # FastAPI redirects trailing-slash variants of real routes (307 keeps
+    # the method and body).
+    stripped = request.path.rstrip("/")
+    if stripped != request.path and request.method in methods_for(stripped):
+        raise web.HTTPTemporaryRedirect(stripped)
     raise web.HTTPNotFound(text="Not Found")
 
 

@@ -737,6 +737,16 @@ def test_unmatched_api_paths_answer_as_api_errors():
             assert (await resp.json())["detail"] == "Method Not Allowed"
             assert "POST" in resp.headers.get("Allow", "")
 
+            # Trailing-slash variants of real routes 307-redirect
+            # (FastAPI's redirect_slashes), preserving method + body.
+            resp = await client.post(
+                "/api/validate/",
+                json={"config": make_config().model_dump(by_alias=True)},
+                allow_redirects=True,
+            )
+            assert resp.status == 200
+            assert (await resp.json())["valid"] is True
+
             # Statics are untouched by the fallback.
             resp = await client.get("/styles.css")
             assert resp.status == 200 and resp.content_type == "text/css"
