@@ -754,3 +754,102 @@ def test_unmatched_api_paths_answer_as_api_errors():
             await client.close()
 
     _run(scenario())
+
+
+def test_request_validation_fuzz_never_500s():
+    """Adversarial request bodies across every POST endpoint must answer
+    4xx (422/400/404), NEVER 5xx — request validation is total."""
+    import random
+
+    rng = random.Random(20260818)
+    base = make_config().model_dump(by_alias=True)
+
+    # Guaranteed-invalid single-field mutations (each violates a pydantic
+    # bound or type, or removes a required field).
+    mutations = [
+        {"initial_balance": -1.0},
+        {"monthly_expenses": "not-a-number"},
+        {"retirement_years": 0},
+        {"current_age": 300.0},
+        {"allocation_inv1_pct": 2.0},
+        {"target_probability": 150.0},
+        {"inv1_returns_volatility": -0.1},
+        {"inv1_returns_mean": None},
+        {"other_income_streams": [{"monthly_amount_today": -5}]},
+        {"monthly_contribution": [1.0]},
+    ]
+
+    def corrupt(cfg):
+        bad = dict(cfg)
+        m = rng.choice(mutations)
+        if rng.random() < 0.3:
+            bad.pop("monthly_expenses")  # a required field
+        bad.update(m)
+        return bad
+
+    bodies = []
+    for _ in range(8):
+        bodies.append({"config": corrupt(base)})
+    bodies += [
+        {},
+        {"config": None},
+        {"config": []},
+        {"config": base, "working_months_override": -3},
+        {"config": base, "working_months_override": "soon"},
+        {"config": base, "include_raw_paths": "yes-please"},
+    ]
+    grid_bodies = [
+        {"config": base, "variants": [], "working_months": 0},
+        {"config": base, "variants": [{"overrides": {}}],
+         "working_months": [0, 1]},
+        {"config": base, "variants": [{"overrides": {"seed": "x"}}],
+         "working_months": 0},
+        {"config": corrupt(base), "variants": [{"overrides": {}}],
+         "working_months": 0},
+        {"config": base, "variants": [{"overrides": {}}],
+         "working_months": 0, "num_paths": 0},
+    ]
+    sensitivity_bodies = [
+        {"config": base, "working_months": 0, "params": ["nope"]},
+        {"config": base, "working_months": 0,
+         "params": ["monthly_expenses", "monthly_expenses"]},
+        {"config": base, "working_months": -1},
+        {"config": base, "working_months": 0, "num_paths": 0},
+        {"config": base, "working_months": 0, "rel_step": 0.0},
+    ]
+    optimize_bodies = [
+        {"config": base, "working_months": 0, "params": ["nope"]},
+        {"config": base, "working_months": 0, "param": "monthly_expenses",
+         "lo": 5.0, "hi": 1.0},
+        {"config": base, "working_months": 0, "param": "monthly_expenses",
+         "points": 1},
+        {"config": base, "working_months": -1},
+        {"config": base, "working_months": 0,
+         "params": [{"name": "monthly_expenses"}] * 3},
+        {"config": base, "working_months": 0, "param": "monthly_expenses",
+         "objective": "nope"},
+        {"config": base, "working_months": 0},  # neither param nor params
+    ]
+
+    async def scenario():
+        client = _client_fixture()
+        await client.start_server()
+        try:
+            cases = (
+                [("/api/simulate", b) for b in bodies]
+                + [("/api/validate", b) for b in bodies]
+                + [("/api/grid", b) for b in grid_bodies]
+                + [("/api/sensitivity", b) for b in sensitivity_bodies]
+                + [("/api/optimize", b) for b in optimize_bodies]
+            )
+            for path, body in cases:
+                resp = await client.post(path, json=body)
+                assert 400 <= resp.status < 500, (
+                    f"{path} {body} -> {resp.status}: "
+                    f"{(await resp.text())[:200]}"
+                )
+                assert (await resp.json())["detail"], (path, body)
+        finally:
+            await client.close()
+
+    _run(scenario())
