@@ -1642,6 +1642,7 @@ def pallas_simulate_full_sharded(
     statics: Statics,
     traj_len: int,
     interpret: bool = False,
+    block_offset=0,
 ):
     """Full-statistics simulation sharded over a 'paths' mesh.
 
@@ -1649,6 +1650,12 @@ def pallas_simulate_full_sharded(
     series on their path axis (same dict layout as ``pallas_simulate_full``,
     n_dev * local_pad entries; caller slices [:n_paths]). Global-block PRNG
     seeding makes an n-device run reproduce the 1-device run bit-for-bit.
+
+    ``block_offset`` (traced, so it reuses the executable) shifts every
+    device's global block ids — Engine._run_chunked uses it to split a
+    beyond-HBM-budget run into mesh-sized chunks whose union is the
+    unchunked run path for path (chunk sizes are multiples of
+    n_dev * block, so per-device padding never interleaves real blocks).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -1676,8 +1683,8 @@ def pallas_simulate_full_sharded(
             )
         }
 
-        def shard_fn(params, w, seed):
-            offset = (
+        def shard_fn(params, w, seed, base_offset):
+            offset = base_offset + (
                 jax.lax.axis_index(axis).astype(jnp.int32)
                 * jnp.int32(local_blocks)
             )
@@ -1696,7 +1703,7 @@ def pallas_simulate_full_sharded(
             jax.shard_map(
                 shard_fn,
                 mesh=mesh,
-                in_specs=(P(), P(), P()),
+                in_specs=(P(), P(), P(), P()),
                 out_specs=out_specs,
                 check_vma=False,
             )
@@ -1706,4 +1713,5 @@ def pallas_simulate_full_sharded(
         params,
         jnp.asarray(working_months, jnp.int32),
         jnp.asarray(seed, jnp.int32),
+        jnp.asarray(block_offset, jnp.int32),
     )

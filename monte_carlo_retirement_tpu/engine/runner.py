@@ -267,6 +267,12 @@ class Engine:
             and self.mesh is None
         )
 
+    def _mesh_devices(self) -> int:
+        """Device count of the Engine's path mesh (1 without a mesh)."""
+        if self.mesh is None:
+            return 1
+        return int(self.mesh.shape[self.mesh.axis_names[0]])
+
     _BACKENDS = ("auto", "scan", "pallas", "pallas_sharded")
 
     def _sharded_eligible(self) -> bool:
@@ -484,6 +490,16 @@ class Engine:
                 working_months, n, stream, reduced, pallas_traj_len,
                 sample_idx,
             )
+        if (
+            run_backend == "pallas_sharded"
+            and n > self._mesh_devices() * max_device_paths()
+        ):
+            # The HBM budget is per chip; a mesh divides paths across its
+            # devices, so the sharded path only chunks past n_dev budgets.
+            return self._run_chunked(
+                working_months, n, stream, reduced, pallas_traj_len,
+                sample_idx, sharded=True,
+            )
         t_start = time.perf_counter()
         if run_backend == "pallas" and reduced:
             # Serving fast path: kernel + every reduction in ONE device
@@ -624,7 +640,7 @@ class Engine:
     # ------------------------------------------------------------------
     def _run_chunked(
         self, working_months, n, stream, reduced, traj_len, sample_idx,
-        interpret: bool = False,
+        interpret: bool = False, sharded: bool = False,
     ) -> RunResult:
         """Split a full-statistics run into device-sized chunks and merge.
 
@@ -637,12 +653,26 @@ class Engine:
         paths. The per-year band tables (trajectory/real/WR percentiles)
         reduce over a stratified iid subsample of chunk_subsample_paths()
         paths: band noise equal to a ~1M-path run's, with no multi-pass
-        chunk merge (see docs/NOTES.md)."""
-        from .pallas_kernel import FULL_BLOCK_ROWS, pallas_simulate_full
+        chunk merge (see docs/NOTES.md).
+
+        With ``sharded=True`` each chunk dispatches the shard_map'd kernel
+        over the Engine mesh: the budget scales to n_dev chips per chunk,
+        and chunk sizes stay multiples of n_dev * block so the per-device
+        block numbering is globally contiguous — the union still equals
+        the single-device unchunked run bit for bit."""
+        from .pallas_kernel import (
+            FULL_BLOCK_ROWS,
+            pallas_simulate_full,
+            pallas_simulate_full_sharded,
+        )
 
         t_start = time.perf_counter()
         block = FULL_BLOCK_ROWS * 128
-        chunk_paths = max(block, (max_device_paths() // block) * block)
+        n_dev = self._mesh_devices() if sharded else 1
+        unit = n_dev * block
+        chunk_paths = max(
+            unit, (n_dev * max_device_paths() // unit) * unit
+        )
         n_chunks = -(-n // chunk_paths)
         n_sub = min(n, chunk_subsample_paths())
         seed = self._stream_seed(stream)
@@ -661,8 +691,7 @@ class Engine:
         for c in range(n_chunks):
             start = c * chunk_paths
             cn = min(chunk_paths, n - start)
-            full = pallas_simulate_full(
-                self.params, w, seed,
+            kernel_kwargs = dict(
                 n_paths=cn,
                 retirement_years=self.retirement_years,
                 n_streams=self.params.n_streams,
@@ -671,7 +700,18 @@ class Engine:
                 interpret=interpret,
                 block_offset=jnp.asarray(block_offset, jnp.int32),
             )
-            block_offset += -(-cn // block)
+            if sharded:
+                from .pallas_kernel import _local_blocks
+
+                full = pallas_simulate_full_sharded(
+                    self.params, w, seed, mesh=self.mesh, **kernel_kwargs
+                )
+                block_offset += n_dev * _local_blocks(cn, n_dev, block)
+            else:
+                full = pallas_simulate_full(
+                    self.params, w, seed, **kernel_kwargs
+                )
+                block_offset += -(-cn // block)
             for name in vec_names:
                 vec_parts[name].append(full[name][:cn])
             cnt = _wr_counts_jit(full["withdrawal_rates"][:cn])
@@ -715,8 +755,9 @@ class Engine:
              None if reduced else vecs)
         )
         log.info(
-            "phase=final_run backend=pallas_chunked paths=%d months=%d "
+            "phase=final_run backend=%s paths=%d months=%d "
             "chunks=%d subsample=%d reduced=%s: %.3f s",
+            "pallas_sharded_chunked" if sharded else "pallas_chunked",
             n, int(working_months), n_chunks, sub_taken, reduced,
             time.perf_counter() - t_start,
         )

@@ -110,6 +110,67 @@ def test_chunked_reduced_bins_exact(monkeypatch):
     assert res.trajectory_percentiles.shape[0] == 7
 
 
+def test_sharded_chunked_union_equals_single_device(monkeypatch):
+    """sharded=True chunking: two mesh-sized chunks of the shard_map'd full
+    kernel reproduce the unchunked SINGLE-DEVICE run bit for bit (chunk
+    sizes are multiples of n_dev * block, so per-device block numbering is
+    globally contiguous across chunks)."""
+    import jax
+
+    from monte_carlo_retirement_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    assert n_dev == 8  # conftest forces 8 virtual CPU devices
+    monkeypatch.setenv("MCRT_MAX_DEVICE_PATHS", str(BLOCK))
+    n, w = 2 * n_dev * BLOCK, 6
+    monkeypatch.setenv("MCRT_CHUNK_SUBSAMPLE", str(n))
+
+    cfg = make_config(retirement_years=2, seed=11)
+    eng = Engine(cfg, dtype=jnp.float32, mesh=mesh)
+    traj_len = eng._pallas_traj_len(w)
+    sample_idx = jnp.arange(5, dtype=jnp.int32)
+
+    res = eng._run_chunked(
+        w, n, "final", False, traj_len, sample_idx,
+        interpret=True, sharded=True,
+    )
+
+    ref = _unchunked_reference(eng, w, n, traj_len)
+    np.testing.assert_array_equal(res.success, ref["success"] > 0.5)
+    np.testing.assert_array_equal(res.final_balance, ref["final_balance"])
+    np.testing.assert_array_equal(res.start_balance, ref["start_balance"])
+    np.testing.assert_array_equal(
+        res.wr_observation_counts,
+        (~np.isnan(ref["withdrawal_rates"])).sum(axis=0),
+    )
+
+
+def test_run_routes_oversized_sharded_to_chunked(monkeypatch):
+    """Engine.run sends a beyond-budget run on a mesh Engine into
+    _run_chunked(sharded=True) with the n_dev-scaled threshold: n_dev
+    budgets fit unchunked, one path more chunks."""
+    from monte_carlo_retirement_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("MCRT_MAX_DEVICE_PATHS", str(BLOCK))
+    mesh = make_mesh()
+    n_dev = 8
+    cfg = make_config(retirement_years=2, seed=11)
+    eng = Engine(cfg, dtype=jnp.float32, mesh=mesh)
+
+    calls = []
+
+    def fake_chunked(working_months, n, stream, reduced, traj_len,
+                     sample_idx, interpret=False, sharded=False):
+        calls.append((n, sharded))
+        return "sentinel"
+
+    monkeypatch.setattr(eng, "_run_chunked", fake_chunked)
+    out = eng.run(6, n_dev * BLOCK + 1, backend="pallas_sharded")
+    assert out == "sentinel"
+    assert calls == [(n_dev * BLOCK + 1, True)]
+
+
 def test_chunked_probe_weighted_merge():
     """The probe's chunk merge (weighted mean over global-block chunks)
     equals the single-dispatch probability."""
