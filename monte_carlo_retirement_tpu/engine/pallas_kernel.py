@@ -1376,6 +1376,7 @@ def pallas_probe_sharded(
     n_streams: int,
     statics: Statics,
     interpret: bool = False,
+    block_offset=0,
 ):
     """Candidate probe data-parallel over a device mesh's first axis.
 
@@ -1387,6 +1388,10 @@ def pallas_probe_sharded(
     block count (pinned by test_pallas_parity). The path count rounds up to
     whole blocks per device; probabilities average over all simulated paths.
     Per-candidate success means reduce with a psum over ICI.
+
+    ``block_offset`` (traced) shifts every device's global block ids so
+    Engine.probe can chunk a beyond-budget path count into mesh-sized
+    dispatches that together cover the same global block sequence.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -1402,8 +1407,8 @@ def pallas_probe_sharded(
     fn = _SHARDED_CACHE.get(key)
     if fn is None:
 
-        def shard_fn(params, months, seed):
-            offset = (
+        def shard_fn(params, months, seed, base_offset):
+            offset = base_offset + (
                 jax.lax.axis_index(axis).astype(jnp.int32)
                 * jnp.int32(local_blocks)
             )
@@ -1425,13 +1430,18 @@ def pallas_probe_sharded(
             jax.shard_map(
                 shard_fn,
                 mesh=mesh,
-                in_specs=(P(), P(), P()),
+                in_specs=(P(), P(), P(), P()),
                 out_specs=P(),
                 check_vma=False,
             )
         )
         _SHARDED_CACHE[key] = fn
-    return fn(params, jnp.asarray(months, jnp.int32), jnp.asarray(seed, jnp.int32))
+    return fn(
+        params,
+        jnp.asarray(months, jnp.int32),
+        jnp.asarray(seed, jnp.int32),
+        jnp.asarray(block_offset, jnp.int32),
+    )
 
 
 def pallas_simulate_sharded(

@@ -415,19 +415,60 @@ class Engine:
                         offset += -(-cn // BLOCK_PATHS)
                     probs = acc
             elif probe_backend == "pallas_sharded":
-                from .pallas_kernel import pallas_probe_sharded
+                from .pallas_kernel import (
+                    BLOCK_PATHS,
+                    _local_blocks,
+                    pallas_probe_sharded,
+                )
 
-                probs = pallas_probe_sharded(
-                    self.params,
-                    jnp.asarray(padded, dtype=jnp.int32),
-                    self._stream_seed(stream),
+                n_total = int(num_simulations)
+                n_dev = self._mesh_devices()
+                unit = n_dev * BLOCK_PATHS
+                budget = max(
+                    unit, (n_dev * max_probe_paths() // unit) * unit
+                )
+                sharded_kwargs = dict(
                     mesh=self.mesh,
                     n_candidates=PROBE_WIDTH,
-                    n_paths=int(num_simulations),
                     retirement_years=self.retirement_years,
                     n_streams=self.params.n_streams,
                     statics=self.statics,
                 )
+                months_arr = jnp.asarray(padded, dtype=jnp.int32)
+                seed = self._stream_seed(stream)
+                if n_total <= budget:
+                    probs = pallas_probe_sharded(
+                        self.params, months_arr, seed, n_paths=n_total,
+                        **sharded_kwargs,
+                    )
+                else:
+                    # Beyond n_dev per-chip budgets: mesh-sized chunks over
+                    # contiguous global blocks, merged as a mean weighted by
+                    # each chunk's SIMULATED count (the sharded probe
+                    # averages over whole padded blocks).
+                    sim_counts = []
+                    remaining = n_total
+                    while remaining > 0:
+                        cn = min(budget, remaining)
+                        sim_counts.append(
+                            unit * _local_blocks(cn, n_dev, BLOCK_PATHS)
+                        )
+                        remaining -= cn
+                    total_sim = sum(sim_counts)
+                    acc = None
+                    offset = 0
+                    start = 0
+                    for sim in sim_counts:
+                        cn = min(budget, n_total - start)
+                        part = pallas_probe_sharded(
+                            self.params, months_arr, seed, n_paths=cn,
+                            block_offset=jnp.asarray(offset, jnp.int32),
+                            **sharded_kwargs,
+                        ) * (sim / total_sim)
+                        acc = part if acc is None else _add_jit(acc, part)
+                        offset += sim // BLOCK_PATHS
+                        start += cn
+                    probs = acc
             else:
                 probs = _probe_jit(
                     self.params,

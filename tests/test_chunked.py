@@ -171,6 +171,73 @@ def test_run_routes_oversized_sharded_to_chunked(monkeypatch):
     assert calls == [(n_dev * BLOCK + 1, True)]
 
 
+def test_sharded_chunked_probe_matches_single_dispatch():
+    """Mesh-sized probe chunks with block offsets merge (weighted by
+    simulated count) to the single sharded dispatch's probabilities."""
+    import jax
+
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        pallas_probe_sharded,
+    )
+    from monte_carlo_retirement_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    n_dev = len(jax.devices())
+    assert n_dev == 8
+    eng = _engine()
+    months = jnp.asarray([0, 6, 12, 18] * 4, dtype=jnp.int32)
+    n = 2 * n_dev * BLOCK_PATHS
+    kwargs = dict(
+        mesh=mesh, n_candidates=16, retirement_years=eng.retirement_years,
+        n_streams=eng.params.n_streams, statics=eng.statics, interpret=True,
+    )
+    seed = eng._stream_seed("search")
+    whole = np.asarray(pallas_probe_sharded(
+        eng.params, months, seed, n_paths=n, **kwargs
+    ))
+    part0 = np.asarray(pallas_probe_sharded(
+        eng.params, months, seed, n_paths=n // 2,
+        block_offset=jnp.asarray(0, jnp.int32), **kwargs,
+    ))
+    part1 = np.asarray(pallas_probe_sharded(
+        eng.params, months, seed, n_paths=n // 2,
+        block_offset=jnp.asarray(n_dev, jnp.int32), **kwargs,
+    ))
+    np.testing.assert_allclose(0.5 * part0 + 0.5 * part1, whole, atol=1e-4)
+
+
+def test_probe_routes_oversized_sharded_to_chunks(monkeypatch):
+    """Engine.probe on a mesh chunks past n_dev probe budgets, dispatching
+    contiguous global block offsets and simulated-count weights (the ragged
+    tail still pads to whole per-device blocks, exactly like the unchunked
+    sharded call would)."""
+    from monte_carlo_retirement_tpu.engine import pallas_kernel as pk
+    from monte_carlo_retirement_tpu.parallel.mesh import make_mesh
+
+    monkeypatch.setenv("MCRT_MAX_PROBE_PATHS", str(BLOCK_PATHS))
+    mesh = make_mesh()
+    n_dev, unit = 8, 8 * BLOCK_PATHS
+    cfg = make_config(retirement_years=2, seed=11)
+    eng = Engine(cfg, dtype=jnp.float32, mesh=mesh)
+
+    calls = []
+
+    def fake_probe_sharded(params, months, seed, *, n_paths,
+                           block_offset=0, **kw):
+        calls.append((n_paths, int(np.asarray(block_offset))))
+        return jnp.full((16,), 50.0, dtype=jnp.float32)
+
+    monkeypatch.setattr(pk, "pallas_probe_sharded", fake_probe_sharded)
+    monkeypatch.setattr(eng, "_resolve_probe_backend",
+                        lambda backend: "pallas_sharded")
+    out = eng.probe([6], 2 * unit + 5)
+    # Chunks cover [0, unit), [unit, 2*unit), [2*unit, 2*unit+5); the tail
+    # pads to one block per device, so offsets advance by n_dev each time
+    # and the three equal simulated counts give an unweighted mean.
+    assert calls == [(unit, 0), (unit, n_dev), (5, 2 * n_dev)]
+    assert out == [pytest.approx(50.0)]
+
+
 def test_chunked_probe_weighted_merge():
     """The probe's chunk merge (weighted mean over global-block chunks)
     equals the single-dispatch probability."""
