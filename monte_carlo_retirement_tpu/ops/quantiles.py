@@ -82,14 +82,31 @@ def _count_dtype(n: int):
     return jnp.float32 if n < 2**24 else jnp.int32
 
 
-def _search_floor_values(
-    xf: jnp.ndarray, need: jnp.ndarray
-) -> jnp.ndarray:
-    """Smallest value v (as a float) with count(xf <= v) >= need, per
-    (column, rank). xf: (n, C) with masked entries already +inf; need:
-    (C, K) int32. Returns (C, K) floats (+inf when need > #finite)."""
-    n = xf.shape[0]
-    _, uint, nbits = _uint_info(xf.dtype)
+def _column_slices(parts):
+    """Column offsets of each part within the joint (C, K) tables."""
+    out, c0 = [], 0
+    for p in parts:
+        out.append(slice(c0, c0 + p.shape[1]))
+        c0 += p.shape[1]
+    return out, c0
+
+
+def _search_floor_values_parts(parts, need: jnp.ndarray) -> jnp.ndarray:
+    """Smallest value v (as a float) with count(x <= v) >= need, per
+    (column, rank), jointly for a LIST of column groups.
+
+    Each part is (n, C_i) with masked entries already +inf; the groups'
+    columns are stacked (in order) into the joint need/result tables of
+    shape (sum C_i, K). One bisection loop decides every group's bits
+    together — per-part counts are concatenated each pass — so G groups
+    pay ONE loop's pass overhead instead of G (measured ~2 ms per merged
+    1M x 51 group at the serving scale), and no (n, sum C_i) concat is
+    ever materialised. Returns (C, K) floats (+inf when need > #finite).
+    """
+    n = parts[0].shape[0]
+    dtype = parts[0].dtype
+    slices, _ = _column_slices(parts)
+    _, uint, nbits = _uint_info(dtype)
     cdt = _count_dtype(n)
     need_c = need.astype(cdt)
     one = jnp.asarray(1, dtype=uint)
@@ -98,7 +115,7 @@ def _search_floor_values(
         bit = jnp.asarray(nbits - 1 - i, dtype=uint)
         # Candidate: current prefix, this bit 0, all lower bits 1. If
         # enough entries lie at or below its float value, the bit stays 0.
-        test = _from_ordered_bits(res | ((one << bit) - one), xf.dtype)
+        test = _from_ordered_bits(res | ((one << bit) - one), dtype)
         # Candidate keys outside the float range decode to NaN. Keys above
         # +inf (positive-NaN space) have every real key below them: clamp
         # to +inf so the compare counts everything (keeps an exact +inf
@@ -106,33 +123,61 @@ def _search_floor_values(
         # set) have nothing below: leave them NaN — x <= NaN is false.
         test = jnp.where(
             jnp.isnan(test) & ~jnp.signbit(test),
-            jnp.asarray(jnp.inf, xf.dtype), test,
+            jnp.asarray(jnp.inf, dtype), test,
         )
-        cnt = jnp.sum(
-            (xf[:, :, None] <= test[None, :, :]).astype(cdt), axis=0
+        cnt = jnp.concatenate(
+            [
+                jnp.sum(
+                    (xf[:, :, None] <= test[None, s, :]).astype(cdt), axis=0
+                )
+                for xf, s in zip(parts, slices)
+            ],
+            axis=0,
         )
         return jnp.where(cnt >= need_c, res, res | (one << bit))
 
     res = lax.fori_loop(
         0, nbits, body, jnp.zeros(need.shape, dtype=uint)
     )
-    return _from_ordered_bits(res, xf.dtype)
+    return _from_ordered_bits(res, dtype)
 
 
-def _ceil_values(xf: jnp.ndarray, v_lo: jnp.ndarray, lo_ranks: jnp.ndarray):
+def _search_floor_values(
+    xf: jnp.ndarray, need: jnp.ndarray
+) -> jnp.ndarray:
+    """Single-group form of :func:`_search_floor_values_parts`."""
+    return _search_floor_values_parts([xf], need)
+
+
+def _ceil_values_parts(parts, v_lo: jnp.ndarray, lo_ranks: jnp.ndarray):
     """The (lo+1)-th order statistic given the lo-th, in ONE pass: it is
     v_lo itself when duplicates extend past rank lo+1, else the smallest
-    entry strictly above v_lo."""
-    n = xf.shape[0]
+    entry strictly above v_lo. Joint over column groups like
+    :func:`_search_floor_values_parts`."""
+    n = parts[0].shape[0]
+    dtype = parts[0].dtype
+    slices, _ = _column_slices(parts)
     cdt = _count_dtype(n)
-    # Written as two independent broadcast-reductions so XLA fuses each into
+    pos_inf = jnp.asarray(jnp.inf, dtype)
+    # Written as independent broadcast-reductions so XLA fuses each into
     # its own pass instead of materialising an (n, C, K) intermediate.
-    cnt_le = jnp.sum(
-        (xf[:, :, None] <= v_lo[None, :, :]).astype(cdt), axis=0
+    cnt_le = jnp.concatenate(
+        [
+            jnp.sum((xf[:, :, None] <= v_lo[None, s, :]).astype(cdt), axis=0)
+            for xf, s in zip(parts, slices)
+        ],
+        axis=0,
     )
-    pos_inf = jnp.asarray(jnp.inf, xf.dtype)
-    gt_min = jnp.min(
-        jnp.where(xf[:, :, None] <= v_lo[None, :, :], pos_inf, xf[:, :, None]),
+    gt_min = jnp.concatenate(
+        [
+            jnp.min(
+                jnp.where(
+                    xf[:, :, None] <= v_lo[None, s, :], pos_inf, xf[:, :, None]
+                ),
+                axis=0,
+            )
+            for xf, s in zip(parts, slices)
+        ],
         axis=0,
     )
     dup = cnt_le >= (lo_ranks + 2).astype(cdt)
@@ -141,6 +186,11 @@ def _ceil_values(xf: jnp.ndarray, v_lo: jnp.ndarray, lo_ranks: jnp.ndarray):
     # v_lo); the +inf no-entry case only surfaces where the caller's
     # interpolation weight is zero and discards it.
     return jnp.where(dup, v_lo, gt_min)
+
+
+def _ceil_values(xf: jnp.ndarray, v_lo: jnp.ndarray, lo_ranks: jnp.ndarray):
+    """Single-group form of :func:`_ceil_values_parts`."""
+    return _ceil_values_parts([xf], v_lo, lo_ranks)
 
 
 def order_statistics(
@@ -181,6 +231,36 @@ def order_statistics(
     return _snap_zero_band(out)
 
 
+def _masked_parts(parts, valids):
+    """Apply per-part masks (+inf sentinel) and count valid rows/column."""
+    xfs, n_valids = [], []
+    for x, valid in zip(parts, valids):
+        n, _ = x.shape
+        if valid is None:
+            xfs.append(x)
+            n_valids.append(jnp.full((x.shape[1],), n, dtype=jnp.int32))
+        else:
+            xfs.append(jnp.where(valid, x, jnp.asarray(jnp.inf, x.dtype)))
+            n_valids.append(jnp.sum(valid.astype(jnp.int32), axis=0))
+    return xfs, jnp.concatenate(n_valids, axis=0)
+
+
+def _interpolated_quantiles(xfs, n_valid, h):
+    """Shared core: linear-interpolated quantiles at positions ``h``
+    ((C, K), in sorted-rank units) over joint column groups. Returns
+    (C, K); NaN where a column has zero valid entries."""
+    dtype = xfs[0].dtype
+    lo = jnp.floor(h).astype(jnp.int32)
+    frac = h - lo.astype(dtype)
+    v_lo = _search_floor_values_parts(xfs, lo + 1)
+    v_hi = _ceil_values_parts(xfs, v_lo, lo)
+    out = jnp.where(frac == 0, v_lo, v_lo + frac * (v_hi - v_lo))
+    out = jnp.where(
+        n_valid[:, None] > 0, out, jnp.asarray(jnp.nan, dtype)
+    )
+    return _snap_zero_band(out)
+
+
 def exact_quantiles(
     x: jnp.ndarray,
     qs,
@@ -200,25 +280,69 @@ def exact_quantiles(
       ``(Q, C)`` linear-interpolated quantiles, exactly equal to numpy's
       default (linear) method on the same values.
     """
-    n, c = x.shape
-    qs = jnp.asarray(qs, dtype=x.dtype)
-    if valid is None:
-        xf = x
-        n_valid = jnp.full((c,), n, dtype=jnp.int32)
-    else:
-        xf = jnp.where(valid, x, jnp.asarray(jnp.inf, x.dtype))
-        n_valid = jnp.sum(valid.astype(jnp.int32), axis=0)
+    return exact_quantiles_parts([x], qs, valids=[valid])[0]
+
+
+def exact_quantiles_parts(parts, qs, valids=None):
+    """:func:`exact_quantiles` over several same-``n`` column groups in ONE
+    bisection loop.
+
+    Equivalent to calling ``exact_quantiles`` per group (or concatenating
+    the groups along columns), but every group's order statistics are
+    searched by the same 32/64 passes — one loop's pass overhead instead of
+    one per group, and no materialised concat. The serving reducer uses it
+    to fold the nominal- and real-trajectory tables together (measured
+    ~2 ms saved per merged 1M x 51 group).
+
+    Args:
+      parts: list of ``(n, C_i)`` arrays (same n and dtype).
+      qs: ``(Q,)`` shared quantile fractions in [0, 1].
+      valids: optional list of per-part masks (``None`` entries allowed).
+
+    Returns:
+      List of ``(Q, C_i)`` tables, one per part.
+    """
+    if valids is None:
+        valids = [None] * len(parts)
+    dtype = parts[0].dtype
+    qs = jnp.asarray(qs, dtype=dtype)
+    xfs, n_valid = _masked_parts(parts, valids)
     # Interpolation position h = q * (n_valid - 1) per (column, quantile).
-    h = qs[None, :] * jnp.maximum(n_valid[:, None] - 1, 0).astype(x.dtype)
-    lo = jnp.floor(h).astype(jnp.int32)
-    frac = h - lo.astype(x.dtype)
-    v_lo = _search_floor_values(xf, lo + 1)
-    v_hi = _ceil_values(xf, v_lo, lo)
-    out = jnp.where(frac == 0, v_lo, v_lo + frac * (v_hi - v_lo))
-    out = jnp.where(
-        n_valid[:, None] > 0, out, jnp.asarray(jnp.nan, x.dtype)
-    )
-    return jnp.transpose(_snap_zero_band(out))
+    h = qs[None, :] * jnp.maximum(n_valid[:, None] - 1, 0).astype(dtype)
+    out = _interpolated_quantiles(xfs, n_valid, h)
+    slices, _ = _column_slices(parts)
+    return [jnp.transpose(out[s]) for s in slices]
+
+
+def quantiles_percol(
+    x: jnp.ndarray,
+    qmat: jnp.ndarray,
+    valid: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Per-COLUMN quantile fractions, one joint bisection loop.
+
+    ``out[c, k] = np.(nan)percentile(x[:, c], qmat[c, k] * 100)`` — each
+    column brings its own fraction row, so heterogeneous scalar tables
+    (medians at 0.5 next to a 9-point percentile ladder) reduce in a single
+    search. Pad short rows by repeating a fraction; duplicates cost nothing
+    extra.
+
+    Args:
+      x: ``(n, C)`` values.
+      qmat: ``(C, K)`` fractions in [0, 1].
+      valid: optional ``(n, C)`` mask.
+
+    Returns:
+      ``(C, K)`` values (NaN for all-invalid columns).
+    """
+    if qmat.ndim != 2 or qmat.shape[0] != x.shape[1]:
+        raise ValueError(
+            f"expected qmat (C, K) matching x (n, C); got {qmat.shape} / {x.shape}"
+        )
+    xfs, n_valid = _masked_parts([x], [valid])
+    qmat = jnp.asarray(qmat, dtype=x.dtype)
+    h = qmat * jnp.maximum(n_valid[:, None] - 1, 0).astype(x.dtype)
+    return _interpolated_quantiles(xfs, n_valid, h)
 
 
 def masked_median(x: jnp.ndarray, valid: Optional[jnp.ndarray] = None):

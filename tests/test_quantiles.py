@@ -14,8 +14,10 @@ import jax.numpy as jnp
 
 from monte_carlo_retirement_tpu.ops.quantiles import (
     exact_quantiles,
+    exact_quantiles_parts,
     masked_median,
     order_statistics,
+    quantiles_percol,
     upper_median,
 )
 
@@ -118,6 +120,59 @@ def test_masked_median_and_upper_median():
     # even count: [5,1,3,7] -> sorted [1,3,5,7], n=4 -> index 2 -> 5.0
     valid2 = np.asarray([True, True, False, True, True, False])
     assert float(upper_median(jnp.asarray(x), jnp.asarray(valid2))) == 5.0
+
+
+def test_parts_equal_per_group_calls():
+    """The joint-loop form must return exactly what per-group calls do."""
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=(257, 6)) * 1e5
+    b = rng.normal(size=(257, 3)) * 1e-3
+    b[rng.random(size=b.shape) < 0.25] = np.nan
+    valid_b = ~np.isnan(b)
+    got_a, got_b = exact_quantiles_parts(
+        [jnp.asarray(a), jnp.asarray(b)], QS,
+        valids=[None, jnp.asarray(valid_b)],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_a), np.asarray(exact_quantiles(jnp.asarray(a), QS))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got_b),
+        np.asarray(
+            exact_quantiles(jnp.asarray(b), QS, valid=jnp.asarray(valid_b))
+        ),
+    )
+    # And numpy agrees on the unmasked group.
+    np.testing.assert_allclose(
+        np.asarray(got_a), np.percentile(a, QS * 100.0, axis=0), rtol=1e-12
+    )
+
+
+def test_quantiles_percol_heterogeneous_rows():
+    """Per-column fraction rows: medians next to a percentile ladder,
+    with repeat-padding, must match per-column nanpercentile."""
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(401, 3)) * 1e4
+    valid = np.ones_like(x, dtype=bool)
+    valid[::3, 1] = False  # a masked column
+    qmat = np.asarray([
+        [0.5, 0.5, 0.5, 0.5],      # median, repeat-padded
+        [0.25, 0.75, 0.75, 0.75],  # quartiles, repeat-padded
+        [0.01, 0.5, 0.95, 0.99],   # a ladder
+    ])
+    got = np.asarray(
+        quantiles_percol(jnp.asarray(x), jnp.asarray(qmat),
+                         valid=jnp.asarray(valid))
+    )
+    for c in range(3):
+        col = x[valid[:, c], c]
+        want = np.percentile(col, qmat[c] * 100.0)
+        np.testing.assert_allclose(got[c], want, rtol=1e-12)
+
+
+def test_quantiles_percol_shape_validation():
+    with pytest.raises(ValueError):
+        quantiles_percol(jnp.zeros((4, 3)), jnp.zeros((2, 2)))
 
 
 def test_shape_validation():
