@@ -11,6 +11,7 @@ const FIELDS = {
   current_age: { tip: "Age at T=0; retirement age = current age + working months / 12.", label: "Current age", type: "number", section: "Finances" },
   retirement_years: { tip: "Length of the decumulation phase. Success requires funding every month of it.", label: "Retirement years", type: "int", section: "Finances" },
   allocation_inv1_pct: { tip: "Target weight of asset 1; monthly tax-aware rebalancing restores it.", label: "Allocation to Inv1", type: "percent", section: "Portfolio & taxes" },
+  allocation_inv1_final_pct: { tip: "Glide path: the Inv1 target moves linearly from the allocation above to this value at retirement, then holds. Blank = constant allocation.", label: "Inv1 allocation at retirement (glide)", type: "percent-opt", section: "Portfolio & taxes" },
   inv1_returns_mean: { tip: "Arithmetic annual mean; converted to lognormal so E[gross] = 1 + mean.", label: "Inv1 return mean / yr", type: "percent", section: "Portfolio & taxes" },
   inv1_returns_volatility: { tip: "Annual volatility of asset 1 (typical equity ~15%).", label: "Inv1 volatility / yr", type: "percent", section: "Portfolio & taxes" },
   inv1_use_realized_gains_tax_system: { tip: "On: tax on sales (realized gains). Off: annual mark-to-market tax.", label: "Inv1 realized-gains tax", type: "toggle", section: "Portfolio & taxes" },
@@ -29,6 +30,7 @@ const FIELDS = {
   target_probability: { tip: "Required success probability the search must reach.", label: "Target success %", type: "number", section: "Simulation" },
   starting_working_months_search: { tip: "Lower bound for the search.", label: "Search start (months)", type: "int", section: "Simulation" },
   seed: { tip: "Fixes all randomness for reproducible runs; blank draws a fresh seed.", label: "Seed (blank = random)", type: "int-opt", section: "Simulation" },
+  antithetic: { tip: "Variance reduction: pairs every path with a mirrored-shock twin. Unbiased; ~3x fewer paths for the same success-probability error in the 60-95% regime.", label: "Antithetic sampling", type: "toggle", section: "Simulation" },
   num_processes: { tip: "Accepted for config compatibility; the TPU engine shards over devices.", label: "num_processes (compat)", type: "int-opt", section: "Simulation" },
 };
 
@@ -163,7 +165,7 @@ export class ConfigEditor {
     wrap.className = "unit-wrap";
     const input = document.createElement("input");
     input.type = spec.type === "text" ? "text" : "number";
-    if (spec.type === "percent") {
+    if (spec.type === "percent" || spec.type === "percent-opt") {
       input.step = "0.1";
       input.value = value === null || value === undefined ? "" : (value * 100).toFixed(4).replace(/\.?0+$/, "");
     } else if (spec.type === "int" || spec.type === "int-opt") {
@@ -182,7 +184,7 @@ export class ConfigEditor {
       const raw = input.value.trim();
       if (spec.type === "text") return onChange(raw);
       if (raw === "") {
-        if (spec.type === "int-opt") {
+        if (spec.type === "int-opt" || spec.type === "percent-opt") {
           lastDisplay = "";
           return onChange(null);
         }
@@ -195,7 +197,7 @@ export class ConfigEditor {
         return;
       }
       lastDisplay = input.value;
-      if (spec.type === "percent") return onChange(num / 100);
+      if (spec.type.startsWith("percent")) return onChange(num / 100);
       if (spec.type.startsWith("int")) {
         // Show the value actually committed: 10.7 rounds to 11 in config,
         // so the input must not keep displaying 10.7.
@@ -207,10 +209,10 @@ export class ConfigEditor {
       onChange(num);
     };
     wrap.appendChild(input);
-    if (spec.type === "percent" || spec.type === "money") {
+    if (spec.type.startsWith("percent") || spec.type === "money") {
       const unit = document.createElement("span");
       unit.className = "unit";
-      unit.textContent = spec.type === "percent" ? "%" : "$";
+      unit.textContent = spec.type === "money" ? "$" : "%";
       wrap.appendChild(unit);
     }
     return wrap;

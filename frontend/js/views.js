@@ -60,7 +60,14 @@ export function summaryCard(result) {
       `${s.required_working_months} mo (${s.required_working_years} yrs)`,
     ],
     ["Retirement age", s.retirement_age !== null ? s.retirement_age.toFixed(1) : "—"],
-    ["Success probability", pct(s.success_probability, 2), okClass],
+    [
+      "Success probability",
+      // ± one-sigma Monte Carlo error when the server provides it (additive
+      // field; older/reference servers omit it and the suffix disappears).
+      pct(s.success_probability, 2) +
+        (s.success_probability_sigma ? ` ± ${s.success_probability_sigma.toFixed(2)}` : ""),
+      okClass,
+    ],
     ["Target", pct(s.target_probability, 1)],
     ["First-year withdrawal rate", s.swr !== null ? pct(s.swr, 2) : "—"],
     ["Median balance at retirement", fmtMoney(s.median_start_balance)],

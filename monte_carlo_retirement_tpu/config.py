@@ -72,6 +72,13 @@ class Config(BaseModel):
     # Asset 1 ("equity-like"): arithmetic annual mean/vol, with either an
     # annual mark-to-market gains tax or a realized-gains tax on sales.
     allocation_inv1_pct: float = Field(..., ge=0.0, le=1.0)
+    # Glide path (extension — the reference holds allocation fixed): when
+    # set, the rebalance/contribution target for asset 1 moves LINEARLY in
+    # time from allocation_inv1_pct at T=0 to this value at retirement
+    # (month `working_months`), then holds through retirement. None (the
+    # default) keeps the reference's constant-allocation behavior bit for
+    # bit. The T=0 portfolio is always split at allocation_inv1_pct.
+    allocation_inv1_final_pct: Optional[float] = Field(None, ge=0.0, le=1.0)
     inv1_returns_mean: float = Field(..., gt=-1.0)
     inv1_returns_volatility: float = Field(..., ge=0.0)
     inv1_annual_tax_on_gains_rate: float = Field(..., ge=0.0, le=1.0)
@@ -101,6 +108,12 @@ class Config(BaseModel):
     target_probability: float = Field(..., ge=0.0, le=100.0)
     starting_working_months_search: int = Field(..., ge=0)
     seed: Optional[int] = Field(None, ge=0)
+    # Variance reduction (extension — the reference has no analog): pair each
+    # shock sequence with its negation. Unbiased for every reported statistic;
+    # cuts the Monte Carlo error of means/percentiles at the same path count
+    # (measured reduction documented in docs/CONFIG.md). Off by default so
+    # default results match the reference's iid sampling model exactly.
+    antithetic: bool = Field(False)
     # Retained for config-file compatibility; the TPU engine parallelises over
     # devices instead of processes (reference used a multiprocessing.Pool).
     num_processes: Optional[int] = Field(1, ge=1)

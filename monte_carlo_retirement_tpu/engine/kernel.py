@@ -107,6 +107,7 @@ class _Carry(NamedTuple):
         "retirement_years",
         "traj_len",
         "dtype",
+        "antithetic",
     ),
 )
 def simulate_paths(
@@ -119,12 +120,16 @@ def simulate_paths(
     retirement_years: int,
     traj_len: int,
     dtype,
+    antithetic: bool = False,
 ) -> PathOutputs:
     """Simulate ``n_paths`` full lifetimes with ``working_months`` (traced).
 
     ``t_scan`` must be >= working_months + 12 * retirement_years (months past
     the horizon are skipped by a scalar branch). ``traj_len`` == 0 selects
     probe mode: no trajectory buffers and no summary-only carry fields.
+    ``antithetic`` selects paired sampling (ops/shocks.monthly_shocks): path
+    2i+1 simulates under the negated shocks of path 2i — a variance-reduction
+    extension the reference lacks; the month math is untouched.
     """
     p = params
     R = retirement_years
@@ -183,24 +188,39 @@ def simulate_paths(
     )
 
     def growth_factors(m):
-        z_eq, z_inf, z_prem = monthly_shocks(stream_key, m, n_paths, f(p.rho), dtype)
+        z_eq, z_inf, z_prem = monthly_shocks(
+            stream_key, m, n_paths, f(p.rho), dtype, antithetic=antithetic
+        )
         return monthly_gross_factors(
             z_eq, z_inf, z_prem,
             f(p.mu1), f(p.sigma1), f(p.mu_inf), f(p.sigma_inf),
             f(p.mu_prem), f(p.sigma_prem),
         )
 
-    def annual_tax(c: _Carry):
+    # Allocation target by month: linear glide alloc1 -> alloc1_final over
+    # the working months, alloc1_final held through retirement (extension —
+    # the reference's allocation is constant). Without a configured glide,
+    # alloc1_final == alloc1 bit-exactly, so alloc_at reduces to
+    # alloc1 + 0 * m == alloc1 and every result is unchanged.
+    glide_scale = (f(p.alloc1_final) - f(p.alloc1)) / jnp.maximum(
+        w_f, f(1.0)
+    )
+
+    def alloc_at(m):
+        """Target for month m (valid during accumulation, m <= W)."""
+        return f(p.alloc1) + glide_scale * m.astype(dtype)
+
+    def annual_tax(c: _Carry, a1):
         return apply_annual_gain_taxes(
             c.b1, c.c1, c.b2, c.c2, c.g1acc, c.g2acc,
-            f(p.alloc1),
+            a1,
             p.use_real1, f(p.real_tax1), f(p.ann_tax1),
             p.use_real2, f(p.real_tax2), f(p.ann_tax2),
         )
 
-    def monthly_rebalance(b1, c1, b2, c2):
+    def monthly_rebalance(b1, c1, b2, c2, a1):
         return rebalance(
-            b1, c1, b2, c2, f(p.alloc1),
+            b1, c1, b2, c2, a1,
             p.use_real1, f(p.real_tax1), p.use_real2, f(p.real_tax2),
         )
 
@@ -228,19 +248,20 @@ def simulate_paths(
         contrib = f(p.monthly_contribution) * jnp.power(
             1.0 + f(p.contribution_growth), contrib_years
         )
-        ca1 = contrib * f(p.alloc1)
+        al = alloc_at(m)
+        ca1 = contrib * al
         ca2 = contrib - ca1
         b1, c1 = b1 + ca1, c.c1 + ca1
         b2, c2 = b2 + ca2, c.c2 + ca2
 
-        b1, c1, b2, c2 = monthly_rebalance(b1, c1, b2, c2)
+        b1, c1, b2, c2 = monthly_rebalance(b1, c1, b2, c2, al)
 
         mid = c._replace(b1=b1, c1=c1, b2=b2, c2=c2, infl=infl,
                          g1acc=g1acc, g2acc=g2acc)
 
         # Annual mark-to-market taxes at absolute 12-month boundaries.
         def on_boundary(cc: _Carry) -> _Carry:
-            tb1, tc1, tb2, tc2, tfail = annual_tax(cc)
+            tb1, tc1, tb2, tc2, tfail = annual_tax(cc, al)
             cc = cc._replace(
                 b1=tb1, c1=tc1, b2=tb2, c2=tc2,
                 g1acc=jnp.zeros_like(cc.g1acc), g2acc=jnp.zeros_like(cc.g2acc),
@@ -383,7 +404,7 @@ def simulate_paths(
 
         # --- monthly rebalance (runs even in a capacity-failure month;
         #     ruin-check deaths skip it)
-        rb1, rc1, rb2, rc2 = monthly_rebalance(b1, c1, b2, c2)
+        rb1, rc1, rb2, rc2 = monthly_rebalance(b1, c1, b2, c2, f(p.alloc1_final))
         b1 = jnp.where(wmask, rb1, b1)
         c1 = jnp.where(wmask, rc1, c1)
         b2 = jnp.where(wmask, rb2, b2)
@@ -403,7 +424,7 @@ def simulate_paths(
         is_settle = (m == t_end) & ((W % MONTHS_PER_YEAR) != 0)
 
         def apply_tax(cc: _Carry):
-            tb1, tc1, tb2, tc2, tfail = annual_tax(cc)
+            tb1, tc1, tb2, tc2, tfail = annual_tax(cc, f(p.alloc1_final))
             dies_pre = dies_a | dies_b | fail_cap | fail_net
             mask = jnp.where(is_boundary, tmask_ok, alive0 & ~dies_pre)
             cc = cc._replace(

@@ -100,8 +100,9 @@ PALLAS_MAX_TRAJ_LEN = 256
     F_ALLOC1, F_INIT_BAL, F_CONTRIB0, F_LOG1P_GROWTH, F_EXPENSES,
     F_R_REAL1, F_R_ANN1,
     F_R_REAL2, F_R_ANN2,
+    F_ALLOC1_F,
     NUM_FPARAMS,
-) = range(18)
+) = range(19)
 
 # iparams vector layout (int32, SMEM). I_BLOCK_OFF shifts the per-block PRNG
 # seed index: on a sharded mesh every device passes its global block offset,
@@ -142,6 +143,15 @@ class Statics(NamedTuple):
     bill2: bool
     stream_indexed: Tuple[bool, ...]
     stream_capped: Tuple[bool, ...]
+    # Antithetic sampling (config.antithetic, default off): global path
+    # block 2k+1 replays block 2k's PRNG stream with every normal negated.
+    # Compile-time so the sign multiply vanishes from the default kernel.
+    antithetic: bool = False
+    # Allocation glide path (config.allocation_inv1_final_pct is not None):
+    # the rebalance target interpolates alloc1 -> alloc1_final over the
+    # working months. Compile-time so the non-glide kernel reads neither
+    # the second endpoint nor the per-month interpolation.
+    glide: bool = False
 
 
 def statics_from_config(config) -> Statics:
@@ -160,6 +170,8 @@ def statics_from_config(config) -> Statics:
         bill2=(not use2) and config.inv2_annual_tax_on_gains_rate > 0.0,
         stream_indexed=tuple(bool(s.inflation_indexed) for s in streams),
         stream_capped=tuple(s.duration_years is not None for s in streams),
+        antithetic=bool(getattr(config, "antithetic", False)),
+        glide=getattr(config, "allocation_inv1_final_pct", None) is not None,
     )
 
 
@@ -186,6 +198,11 @@ def _check_grid_statics(params_batch: SimParams, statics: Statics) -> None:
         # (K, S) per-row stream structure vs the static per-stream flags
         s_idx = _np.asarray(params_batch.stream_indexed) > 0.5
         s_cap = _np.isfinite(_np.asarray(params_batch.stream_duration_months))
+        # Without the glide flag the kernel never reads alloc1_final: a row
+        # with a real glide endpoint would silently simulate constant-alloc.
+        glide_rows = _np.asarray(params_batch.alloc1_final) != _np.asarray(
+            params_batch.alloc1
+        )
     except Exception:
         return  # tracers: cannot inspect values here
     want_idx = _np.asarray(statics.stream_indexed, dtype=bool)
@@ -195,6 +212,7 @@ def _check_grid_statics(params_batch: SimParams, statics: Statics) -> None:
         and bool((u2 == statics.use_real2).all())
         and bool(((~u1 & a1) == statics.bill1).all())
         and bool(((~u2 & a2) == statics.bill2).all())
+        and (statics.glide or not bool(glide_rows.any()))
     )
     if ok and want_idx.size:
         # Fail loudly on a stream-count mismatch — reshape would otherwise
@@ -328,6 +346,9 @@ def _make_kernel(
             else:
                 stream_cell = lambda arr, s: arr[s]
         w_f = w.astype(jnp.float32)
+        # Injected-shock runs (tests) supply their own z — antithetic applies
+        # only to in-kernel PRNG draws.
+        antithetic = st_.antithetic and not with_shocks
 
         if not with_shocks:
             # Per-(stream, GLOBAL path-block) seed: golden-ratio mix keeps
@@ -335,9 +356,17 @@ def _make_kernel(
             # fine for mixing. Candidate grid axes do NOT enter the seed
             # (CRN); on a sharded mesh the block offset makes local block
             # ids globally unique.
+            gblock = pl.program_id(block_axis) + iparams[row, I_BLOCK_OFF]
+            if antithetic:
+                # Antithetic pairing at block granularity: blocks (2k, 2k+1)
+                # share PRNG stream k; the odd member negates every normal.
+                # Global ids keep the pairing invariant under sharding and
+                # path chunking, and even blocks bit-match an iid run's
+                # block k (pinned in tests/test_antithetic.py).
+                z_sign = (1 - 2 * (gblock % 2)).astype(jnp.float32)
+                gblock = gblock // 2
             block_seed = iparams[row, I_SEED] ^ (
-                (pl.program_id(block_axis) + iparams[row, I_BLOCK_OFF])
-                * jnp.int32(-1640531527)
+                gblock * jnp.int32(-1640531527)
             )
             if interpret:
                 # bit-exact reinterpretation: abs() would alias seed pairs
@@ -353,11 +382,22 @@ def _make_kernel(
                 z = jax.random.normal(
                     jax.random.fold_in(sw_key, m), (3,) + shape, jnp.float32
                 )
-                return z[0], z[1], z[2]
-            return _normal(shape), _normal(shape), _normal(shape)
+                z0, z1, z2 = z[0], z[1], z[2]
+            else:
+                z0, z1, z2 = _normal(shape), _normal(shape), _normal(shape)
+            if antithetic:
+                return z0 * z_sign, z1 * z_sign, z2 * z_sign
+            return z0, z1, z2
 
         alloc1 = f(F_ALLOC1)
-        alloc2 = 1.0 - alloc1
+        if st_.glide:
+            # Linear target glide a0 -> af over the working months; the
+            # retirement phase holds af exactly. Scalar ops on SMEM values —
+            # the per-month interpolation costs two flops on the scalar core.
+            alloc1_ret = f(F_ALLOC1_F)
+            glide_scale = (alloc1_ret - alloc1) / jnp.maximum(w_f, 1.0)
+        else:
+            alloc1_ret = alloc1
         r1 = f(F_R_REAL1)
         r2 = f(F_R_REAL2)
 
@@ -391,11 +431,12 @@ def _make_kernel(
             nc = jnp.where(b > EPS, b * nf, 0.0)
             return eff, nf, nc
 
-        def rebalance_lite(b1, c1, b2, c2, eff1, eff2, extra_noop=None):
-            """Tax-aware exact-post-tax rebalance. drift2 == -drift1, so the
-            seller's drift is |drift1|; realized tax is gross*eff exactly."""
+        def rebalance_lite(b1, c1, b2, c2, eff1, eff2, a1, extra_noop=None):
+            """Tax-aware exact-post-tax rebalance toward target ``a1``.
+            drift2 == -drift1, so the seller's drift is |drift1|; realized
+            tax is gross*eff exactly."""
             total = b1 + b2
-            drift1 = b1 - total * alloc1
+            drift1 = b1 - total * a1
             adrift = jnp.abs(drift1)
             sell1 = drift1 > 0
             noop = (total <= EPS) | (adrift <= EPS)
@@ -404,7 +445,7 @@ def _make_kernel(
             bal_s = jnp.where(sell1, b1, b2)
             basis_s = jnp.where(sell1, c1, c2)
             eff_s = jnp.where(sell1, eff1, eff2)
-            alloc_s = jnp.where(sell1, alloc1, alloc2)
+            alloc_s = jnp.where(sell1, a1, 1.0 - a1)
             denom = jnp.maximum(EPS, 1.0 - alloc_s * eff_s)
             gross_s = jnp.minimum(bal_s, _rdiv(adrift, denom))
             frac_s = _rdiv(gross_s, jnp.where(bal_s > EPS, bal_s, 1.0))
@@ -430,12 +471,12 @@ def _make_kernel(
                 jnp.where(noop, c2, oc2),
             )
 
-        def monthly_rebalance(b1, c1, b2, c2, extra_noop=None):
+        def monthly_rebalance(b1, c1, b2, c2, a1, extra_noop=None):
             eff1, _, _ = profile(b1, c1, st_.use_real1, r1)
             eff2, _, _ = profile(b2, c2, st_.use_real2, r2)
-            return rebalance_lite(b1, c1, b2, c2, eff1, eff2, extra_noop)
+            return rebalance_lite(b1, c1, b2, c2, eff1, eff2, a1, extra_noop)
 
-        def annual_tax(b1, c1, b2, c2, g1a, g2a):
+        def annual_tax(b1, c1, b2, c2, g1a, g2a, a1):
             """Mark-to-market settlement for one completed tax period; only
             built when a bill can exist (any_bills). Bill paid pro-rata by
             net capacity; ends with an exact-post-tax rebalance."""
@@ -479,7 +520,7 @@ def _make_kernel(
             b2 = jnp.where(e2, 0.0, b2)
             c2 = jnp.where(e2, 0.0, c2)
             tfail = payment < total_due - tol
-            b1, c1, b2, c2 = monthly_rebalance(b1, c1, b2, c2)
+            b1, c1, b2, c2 = monthly_rebalance(b1, c1, b2, c2, a1)
             return b1, c1, b2, c2, tfail
 
         # A zero vector with a materialized (non-replicated) layout: loop
@@ -550,18 +591,24 @@ def _make_kernel(
 
             years = ((m - 1) // MONTHS_PER_YEAR).astype(jnp.float32)
             contrib = f(F_CONTRIB0) * jnp.exp(f(F_LOG1P_GROWTH) * years)
-            ca1 = contrib * alloc1
+            if st_.glide:
+                # Month-m target: a0 + (af - a0) * m / W (m <= W inside this
+                # loop, so no clamp); retirement holds af exactly.
+                al = alloc1 + glide_scale * m.astype(jnp.float32)
+            else:
+                al = alloc1
+            ca1 = contrib * al
             ca2 = contrib - ca1
             b1, c1 = b1 + ca1, c1 + ca1
             b2, c2 = b2 + ca2, c2 + ca2
 
-            b1, c1, b2, c2 = monthly_rebalance(b1, c1, b2, c2)
+            b1, c1, b2, c2 = monthly_rebalance(b1, c1, b2, c2, al)
 
             if any_bills:
                 def on_boundary(args):
                     bb1, cc1, bb2, cc2, gg1, gg2, pf = args
                     tb1, tc1, tb2, tc2, tfail = annual_tax(
-                        bb1, cc1, bb2, cc2, gg1, gg2
+                        bb1, cc1, bb2, cc2, gg1, gg2, al
                     )
                     return (tb1, tc1, tb2, tc2, gg1 * 0.0, gg2 * 0.0,
                             jnp.where(tfail, 1.0, pf))
@@ -730,7 +777,7 @@ def _make_kernel(
             # --- monthly rebalance (gain fractions unchanged by the
             # proportional sale above, so the profiles are reusable)
             b1, c1, b2, c2 = rebalance_lite(
-                b1, c1, b2, c2, eff1, eff2, extra_noop=~wmask
+                b1, c1, b2, c2, eff1, eff2, alloc1_ret, extra_noop=~wmask
             )
 
             # --- annual taxes at absolute boundaries / terminal settle
@@ -743,7 +790,7 @@ def _make_kernel(
                 def apply_tax(args):
                     bb1, cc1, bb2, cc2, gg1, gg2 = args
                     tb1, tc1, tb2, tc2, tfail = annual_tax(
-                        bb1, cc1, bb2, cc2, gg1, gg2
+                        bb1, cc1, bb2, cc2, gg1, gg2, alloc1_ret
                     )
                     mask = (is_boundary & tmask_ok) | (
                         ~is_boundary & alive & ~dies_pre
@@ -895,6 +942,7 @@ def _pack_params(
             params.ann_tax1.astype(f32),
             params.real_tax2.astype(f32),
             params.ann_tax2.astype(f32),
+            params.alloc1_final.astype(f32),
         ]
     )
     w = jnp.asarray(working_months, jnp.int32).reshape(-1)  # (K,) candidates

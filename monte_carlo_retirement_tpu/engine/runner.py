@@ -479,6 +479,7 @@ class Engine:
                     retirement_years=self.retirement_years,
                     dtype=self.dtype,
                     mesh=self.mesh,
+                    antithetic=self.statics.antithetic,
                 )
             out.extend(float(v) for v in np.asarray(probs)[: len(chunk)])
         log.debug(
@@ -616,6 +617,7 @@ class Engine:
                 traj_len=traj_len,
                 dtype=self.dtype,
                 mesh=self.mesh,
+                antithetic=self.statics.antithetic,
             )
             if reduced:
                 dev_bins = _serving_bins_jit(outs)
@@ -868,7 +870,8 @@ class Engine:
         }
 
 
-def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype, mesh):
+def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype, mesh,
+                antithetic=False):
     def one(w):
         outs = simulate_paths(
             params,
@@ -879,6 +882,7 @@ def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype, me
             retirement_years=retirement_years,
             traj_len=0,
             dtype=dtype,
+            antithetic=antithetic,
         )
         return outs.success
 
@@ -896,13 +900,14 @@ def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype, me
 
 _probe_jit = jax.jit(
     _probe_impl,
-    static_argnames=("n_paths", "t_scan", "retirement_years", "dtype", "mesh"),
+    static_argnames=("n_paths", "t_scan", "retirement_years", "dtype", "mesh",
+                     "antithetic"),
 )
 
 
 def _run_impl(
     params, w, key, sample_idx, n_paths, t_scan, retirement_years, traj_len, dtype,
-    mesh,
+    mesh, antithetic=False,
 ):
     outs = simulate_paths(
         params,
@@ -913,6 +918,7 @@ def _run_impl(
         retirement_years=retirement_years,
         traj_len=traj_len,
         dtype=dtype,
+        antithetic=antithetic,
     )
     if mesh is not None:
         from ..parallel.mesh import constrain_paths_axis
@@ -924,7 +930,7 @@ def _run_impl(
 _run_jit = jax.jit(
     _run_impl,
     static_argnames=("n_paths", "t_scan", "retirement_years", "traj_len", "dtype",
-                     "mesh"),
+                     "mesh", "antithetic"),
 )
 
 _summarize_jit = jax.jit(summarize)

@@ -122,6 +122,14 @@ def run_scenario_batch(
     if t < horizon:
         raise ValueError("t_scan below the longest scenario horizon")
     _, final_key = stream_keys(seed)
+    # Sampling mode is compile-time (the shock draw count differs), so one
+    # batch cannot mix it — unlike tax rates, which stay per-row traced data.
+    anti = {bool(c.antithetic) for c in configs}
+    if len(anti) != 1:
+        raise ValueError(
+            "all configs in a scenario batch must share 'antithetic' "
+            "(sampling mode is compile-time structure)"
+        )
 
     stats = _batch_jit(
         params,
@@ -131,6 +139,7 @@ def run_scenario_batch(
         t_scan=t,
         retirement_years=R,
         dtype=dtype,
+        antithetic=anti.pop(),
     )
     # jax.device_get batches the tree into ONE tunnel round trip; per-leaf
     # np.asarray would pay ~30 ms per leaf (see docs/NOTES.md).
@@ -160,7 +169,8 @@ def _grid_stats(success_f32, final, n_paths: int):
     )
 
 
-def _batch_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype):
+def _batch_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype,
+                antithetic=False):
     def one(p, w):
         outs = simulate_paths(
             p,
@@ -171,6 +181,7 @@ def _batch_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype):
             retirement_years=retirement_years,
             traj_len=0,
             dtype=dtype,
+            antithetic=antithetic,
         )
         return outs.success.astype(jnp.float32), outs.final_balance
 
@@ -180,7 +191,8 @@ def _batch_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype):
 
 _batch_jit = jax.jit(
     _batch_impl,
-    static_argnames=("n_paths", "t_scan", "retirement_years", "dtype"),
+    static_argnames=("n_paths", "t_scan", "retirement_years", "dtype",
+                     "antithetic"),
 )
 
 _grid_stats_jit = jax.jit(_grid_stats, static_argnames=("n_paths",))

@@ -64,6 +64,10 @@ SENSITIVITY_PARAMS: Dict[str, ParamSpec] = {
     "contribution_growth_rate_annual": ParamSpec(0.0, _INF, "rate", 0.0),
     "monthly_expenses": ParamSpec(0.0, _INF, "dollar", 100.0),
     "allocation_inv1_pct": ParamSpec(0.0, 1.0, "rate", 0.0),
+    # Glide endpoint: eligible only when the base config sets it (a None
+    # base cannot be perturbed — and flipping glide on/off is a Statics
+    # change); _resolve_spec enforces that.
+    "allocation_inv1_final_pct": ParamSpec(0.0, 1.0, "rate", 0.0),
     "inv1_returns_mean": ParamSpec(-0.999, _INF, "rate", 0.0),
     "inv1_returns_volatility": ParamSpec(0.0, _INF, "rate", 0.0),
     "inv1_annual_tax_on_gains_rate": ParamSpec(0.0, 1.0, "rate", 0.0),
@@ -196,6 +200,12 @@ def sensitivity_fd(
     with _quiet_config_warnings():
         for name in names:
             spec = SENSITIVITY_PARAMS[name]
+            if base_dump[name] is None:
+                raise ValueError(
+                    f"Parameter '{name}' is unset (null) in the base config; "
+                    "set a base value to probe it (turning an optional "
+                    "feature on changes the compiled structure)."
+                )
             v = float(base_dump[name])
             h_plus, h_minus = _steps(v, spec, rel_step, abs_step)
             if h_plus + h_minus <= 0.0:
@@ -295,6 +305,7 @@ _AD_DIRECT = {
     "contribution_growth_rate_annual": "contribution_growth",
     "monthly_expenses": "monthly_expenses",
     "allocation_inv1_pct": "alloc1",
+    "allocation_inv1_final_pct": "alloc1_final",
     "equity_inflation_correlation": "rho",
     "inv1_annual_tax_on_gains_rate": "ann_tax1",
     "inv2_annual_tax_on_gains_rate": "ann_tax2",
@@ -309,7 +320,12 @@ def _params_from_theta(config: Config, names: Sequence[str], theta, dtype):
 
     base = SimParams.from_config(config, dtype=dtype)
     dump = config.model_dump()
-    values = {n: float(dump[n]) for n in SENSITIVITY_PARAMS}
+    # Optional fields (e.g. the glide endpoint) may be None on the base;
+    # requesting one is rejected upstream, and the lognormal recombination
+    # below never reads them, so they are simply omitted here.
+    values = {
+        n: float(dump[n]) for n in SENSITIVITY_PARAMS if dump[n] is not None
+    }
     for i, n in enumerate(names):
         values[n] = theta[i]
     updates = {}
@@ -357,6 +373,7 @@ def _ad_jit(config: Config, names: tuple, num_paths: int, w: int,
             retirement_years=int(config.retirement_years),
             traj_len=0,
             dtype=dtype,
+            antithetic=bool(config.antithetic),
         )
         return jnp.mean(outs.final_balance)
 
@@ -398,6 +415,12 @@ def sensitivity_ad(
     _, final_key = stream_keys(seed)
 
     dump = config.model_dump()
+    unset = [n for n in names if dump[n] is None]
+    if unset:
+        raise ValueError(
+            f"Parameters {unset} are unset (null) in the base config; set "
+            "base values to differentiate through them."
+        )
     theta0 = jnp.asarray([float(dump[n]) for n in names], dtype)
     fn = _ad_jit(config, tuple(names), int(num_paths), w, t_scan, dtype)
     value, grads = fn(theta0, final_key)

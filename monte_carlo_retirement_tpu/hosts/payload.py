@@ -148,7 +148,12 @@ def _summary_block(
     swr: float,
     balance_percentiles: Dict[str, float],
     search_curve: Optional[List[dict]],
+    num_simulations: Optional[int] = None,
 ) -> dict:
+    sigma = None
+    if num_simulations:
+        p = min(max(success_prob / 100.0, 0.0), 1.0)
+        sigma = round(math.sqrt(p * (1.0 - p) / num_simulations) * 100.0, 3)
     return {
         "required_working_months": required_w_months,
         "required_working_years": round(required_w_months / MONTHS_PER_YEAR, 1),
@@ -157,6 +162,11 @@ def _summary_block(
             retirement_age(config.current_age, required_w_months), 1
         ),
         "success_probability": round(success_prob, 2),
+        # Additive field (absent from the reference wire format): the
+        # estimate's own one-sigma Monte Carlo error — decision-grade context
+        # for "96.8% vs target 97%". Binomial, so an upper bound under
+        # antithetic sampling.
+        "success_probability_sigma": sigma,
         "target_probability": config.target_probability,
         "median_start_balance": round(median_start, 2),
         "median_final_balance_successful": round(median_final, 2),
@@ -306,6 +316,7 @@ def _build_result_pandas(
         "summary": _summary_block(
             config, required_w_months, success_prob, median_start,
             median_final, swr, balance_percentiles, search_curve,
+            num_simulations=int(len(summary_df)),
         ),
         "trajectory": _trajectory_payload(traj_pct_df, sample_paths, years),
         "trajectory_real": _trajectory_payload(real_pct_df, real_sample_paths, years),
@@ -431,6 +442,7 @@ def _build_result_reduced(
             config, required_w_months, res.success_probability,
             res.median_start_balance, median_final, res.swr,
             balance_percentiles, search_curve,
+            num_simulations=res.num_simulations,
         ),
         "trajectory": _trajectory_payload_arrays(
             res.trajectory_percentiles, res.sample_trajectories, years

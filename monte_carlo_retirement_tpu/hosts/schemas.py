@@ -18,6 +18,16 @@ class SimulationSummary(BaseModel):
     working_period_is_estimate: bool = True
     retirement_age: Optional[float] = None
     success_probability: float
+    success_probability_sigma: Optional[float] = Field(
+        None,
+        description=(
+            "One-sigma Monte Carlo error of success_probability (percent): "
+            "sqrt(p(1-p)/n)*100 over the final run's path count. Additive "
+            "extension (the reference omits it; clients may ignore it). "
+            "Under antithetic sampling the paired estimator's true error is "
+            "smaller, so this binomial value stays a safe upper bound."
+        ),
+    )
     target_probability: float
     median_start_balance: float
     median_final_balance_successful: float

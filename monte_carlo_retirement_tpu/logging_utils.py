@@ -99,6 +99,7 @@ _FIELD_DISPLAY = (
     ("simulation", "target_probability", lambda v: f"{v:.2f}%"),
     ("simulation", "starting_working_months_search", _raw),
     ("simulation", "seed", _raw),
+    ("simulation", "antithetic", _raw),
     ("simulation", "num_processes", _raw),
 )
 

@@ -73,7 +73,13 @@ class SimParams(NamedTuple):
     monthly_contribution: jnp.ndarray
     contribution_growth: jnp.ndarray
     monthly_expenses: jnp.ndarray
-    alloc1: jnp.ndarray  # target allocation of asset 1 in [0, 1]
+    alloc1: jnp.ndarray  # target allocation of asset 1 in [0, 1] at T=0
+    # Glide-path endpoint: the asset-1 target at retirement start (== alloc1
+    # when the config sets no glide, so non-glide kernels can ignore it).
+    # The per-month target interpolates linearly over the working months;
+    # whether the interpolation code exists at all is compile-time
+    # (Statics.glide / the scan kernel's static flag).
+    alloc1_final: jnp.ndarray
 
     mu1: jnp.ndarray  # equity lognormal drift (annual)
     sigma1: jnp.ndarray
@@ -153,6 +159,11 @@ class SimParams(NamedTuple):
             contribution_growth=f(config.contribution_growth_rate_annual),
             monthly_expenses=f(config.monthly_expenses),
             alloc1=f(config.allocation_inv1_pct),
+            alloc1_final=f(
+                config.allocation_inv1_pct
+                if getattr(config, "allocation_inv1_final_pct", None) is None
+                else config.allocation_inv1_final_pct
+            ),
             mu1=f(mu1),
             sigma1=f(s1),
             mu_inf=f(mui),

@@ -47,16 +47,35 @@ def stream_keys(main_seed: int) -> Tuple[jax.Array, jax.Array]:
 
 
 def monthly_shocks(
-    stream_key: jax.Array, month: jnp.ndarray, n_paths: int, rho: jnp.ndarray, dtype
+    stream_key: jax.Array,
+    month: jnp.ndarray,
+    n_paths: int,
+    rho: jnp.ndarray,
+    dtype,
+    antithetic: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Standard-normal shocks (z_equity, z_inflation, z_premium) for one month.
 
     The inflation shock is rho-correlated with the equity shock via the exact
     two-factor construction z_inf = rho*z_eq + sqrt(1-rho^2)*z_ind, which is
     exact at the singular endpoints rho = +/-1.
+
+    ``antithetic`` pairs adjacent paths: path 2i+1 uses the NEGATED draws of
+    path 2i (all three factors, so the correlation structure is preserved —
+    negation commutes with the linear rho-mixing below). Even-indexed paths
+    read draw row i = p//2, so the even half of an antithetic batch is
+    bit-identical to an iid batch of half the size (pinned in
+    tests/test_antithetic.py). A trailing odd path stays an unpaired +z draw
+    — still exactly N(0,1), so every estimator remains unbiased.
     """
     key_m = jax.random.fold_in(stream_key, month)
-    z = jax.random.normal(key_m, (n_paths, 3), dtype=dtype)
+    if antithetic:
+        n_half = (n_paths + 1) // 2
+        z = jax.random.normal(key_m, (n_half, 3), dtype=dtype)
+        sign = jnp.where(jnp.arange(n_paths) % 2 == 0, 1.0, -1.0).astype(dtype)
+        z = jnp.repeat(z, 2, axis=0)[:n_paths] * sign[:, None]
+    else:
+        z = jax.random.normal(key_m, (n_paths, 3), dtype=dtype)
     z_eq = z[:, 0]
     z_inf = rho * z_eq + jnp.sqrt(jnp.maximum(0.0, 1.0 - rho * rho)) * z[:, 1]
     z_prem = z[:, 2]

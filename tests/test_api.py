@@ -36,6 +36,11 @@ def test_build_result_keeps_success_flags_and_zero_balance_median():
     SimulationResponse.model_validate(result)
 
     assert result["summary"]["success_probability"] == pytest.approx(66.67)
+    # Additive extension: the estimate's own binomial one-sigma error,
+    # sqrt(p(1-p)/n)*100 over the run's path count (rounded to 3 decimals).
+    assert result["summary"]["success_probability_sigma"] == pytest.approx(
+        ((2 / 3) * (1 / 3) / 3) ** 0.5 * 100.0, abs=5e-3
+    )
     assert result["summary"]["median_final_balance_successful"] == pytest.approx(25.0)
     assert result["histogram"]["final_balances"] == [0.0, 50.0, 25.0]
     assert result["histogram"]["success_flags"] == [True, True, False]

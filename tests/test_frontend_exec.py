@@ -85,6 +85,20 @@ def test_summary_card_renders_metrics(fe, result_payload):
     text = card.textContent
     s = result_payload["summary"]
     assert f"{s['success_probability']:.2f}%" in text
+    # The ± one-sigma Monte Carlo error renders when it is meaningful. This
+    # fixture succeeds on every path, so sigma is 0.0 and the suffix hides;
+    # a nonzero sigma renders, and a payload without the field at all
+    # (reference-server shape) also drops the suffix.
+    import copy as _copy
+
+    assert s["success_probability_sigma"] == 0.0 and "±" not in text
+    noisy = _copy.deepcopy(result_payload)
+    noisy["summary"]["success_probability"] = 93.75
+    noisy["summary"]["success_probability_sigma"] = 3.03
+    assert "± 3.03" in fe.call("views.js", "summaryCard", noisy).textContent
+    bare = _copy.deepcopy(result_payload)
+    del bare["summary"]["success_probability_sigma"]
+    assert "±" not in fe.call("views.js", "summaryCard", bare).textContent
     assert "Estimated working period" in text
     assert f"{int(s['required_working_months'])} mo" in text
     # percentile table renders all nine columns
@@ -940,6 +954,56 @@ def test_editor_percent_and_int_field_semantics():
     exp.value = ""
     exp.dispatch(fe.interp, "change")
     assert exp.value == before
+
+
+def test_editor_antithetic_toggle_sets_config_flag():
+    """The variance-reduction toggle (Simulation section) writes the boolean
+    the engine's Statics read; default unchecked because the fetched default
+    config omits the field."""
+    fe = _boot()
+    doc = fe.document
+    editor_el = doc.getElementById("config-editor")
+    editor = fe.modules["app.js"].lookup("editor")
+
+    toggle = None
+    for lbl in editor_el.getElementsByTagName("label"):
+        if "Antithetic sampling" in lbl.textContent:
+            toggle = lbl.getElementsByTagName("input")[0]
+    assert toggle is not None, "antithetic toggle not rendered"
+    assert not toggle.checked
+    toggle.checked = True
+    toggle.dispatch(fe.interp, "change")
+    assert fe.interp.get_member(editor, "config")["antithetic"] is True
+    toggle.checked = False
+    toggle.dispatch(fe.interp, "change")
+    assert fe.interp.get_member(editor, "config")["antithetic"] is False
+
+
+def test_editor_glide_percent_opt_field_semantics():
+    """The glide endpoint is an OPTIONAL percent: blank means null (constant
+    allocation), a value edits as percent and stores a fraction."""
+    fe = _boot()
+    doc = fe.document
+    editor_el = doc.getElementById("config-editor")
+    editor = fe.modules["app.js"].lookup("editor")
+
+    field_input = None
+    for lbl in editor_el.getElementsByTagName("label"):
+        if lbl.textContent.startswith("Inv1 allocation at retirement"):
+            field_input = lbl.parentNode.getElementsByTagName("input")[0]
+    assert field_input is not None, "glide field not rendered"
+    assert field_input.value == ""  # default config omits the field
+    field_input.value = "30"
+    field_input.dispatch(fe.interp, "change")
+    assert fe.interp.get_member(editor, "config")[
+        "allocation_inv1_final_pct"
+    ] == pytest.approx(0.3)
+    # Clearing an optional percent commits null, not a refused edit.
+    field_input.value = ""
+    field_input.dispatch(fe.interp, "change")
+    assert fe.interp.get_member(editor, "config")[
+        "allocation_inv1_final_pct"
+    ] is None
 
 
 def test_editor_stream_add_remove_and_reset():

@@ -404,6 +404,11 @@ def test_response_assembly_matches_reference_exactly(ref):
 
     # Drop this framework's large-run extension key (None below the cap).
     assert ours["ruin_histogram"].pop("year_counts") is None
+    # Drop the additive estimate-uncertainty extension (binomial one-sigma
+    # over the fake run's 4 paths) — the reference summary omits it.
+    sigma = ours["summary"].pop("success_probability_sigma")
+    assert sigma == pytest.approx(((3 / 4) * (1 / 4) / 4) ** 0.5 * 100.0,
+                                  abs=5e-3)
 
     def norm(x):
         if isinstance(x, dict):
