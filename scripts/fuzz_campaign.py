@@ -122,6 +122,12 @@ def random_config_wide(rng: np.random.Generator):
         current_age=float(rng.uniform(25, 70)),
         retirement_years=int(rng.choice(R_CHOICES)),
         allocation_inv1_pct=float(rng.choice([0.0, 1.0, rng.uniform(0, 1)])),
+        # NOTE: deliberately NO allocation_inv1_final_pct here — this
+        # campaign certifies per-path parity against the ACTUAL reference
+        # engine, which has no glide (it ignores the unknown field, so a
+        # glide config would diverge by design). Glide's randomized
+        # differential lives in tests/test_fuzz_parity.py against the
+        # glide-aware oracle instead.
         inv1_returns_mean=float(rng.uniform(-0.15, 0.25)),
         inv1_returns_volatility=float(rng.choice([0.0, rng.uniform(0, 0.5)])),
         inv1_annual_tax_on_gains_rate=float(rng.uniform(0, 0.6)),

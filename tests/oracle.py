@@ -148,6 +148,15 @@ def simulate_path_oracle(
     rho = c.equity_inflation_correlation
     rho_c = sqrt(max(0.0, 1.0 - rho * rho))
     alloc1 = c.allocation_inv1_pct
+    # Allocation glide (extension): linear target a0 -> af over the working
+    # months, af held through retirement. Same operation ORDER as the
+    # kernels (scale = (af-a0)/max(W,1); al = a0 + scale*m) so the f64
+    # differential stays exact. af == a0 when the config sets no glide.
+    alloc_final = (
+        alloc1 if getattr(c, "allocation_inv1_final_pct", None) is None
+        else c.allocation_inv1_final_pct
+    )
+    glide_scale = (alloc_final - alloc1) / max(working_months, 1)
 
     st = PathState(
         a1=Asset(
@@ -186,12 +195,13 @@ def simulate_path_oracle(
         contrib = c.monthly_contribution * (
             (1.0 + c.contribution_growth_rate_annual) ** ((m - 1) // MPY)
         )
-        for asset, share in ((st.a1, alloc1), (st.a2, 1 - alloc1)):
+        al = alloc1 + glide_scale * m
+        for asset, share in ((st.a1, al), (st.a2, 1 - al)):
             asset.balance += contrib * share
             asset.basis += contrib * share
-        _rebalance(st, alloc1)
+        _rebalance(st, al)
         if m % MPY == 0:
-            if _annual_taxes(st, alloc1):
+            if _annual_taxes(st, al):
                 st.preret_failed = True
             st.a1.gain_acc = st.a2.gain_acc = 0.0
             trajectory.append(st.a1.balance + st.a2.balance)
@@ -280,11 +290,11 @@ def simulate_path_oracle(
         year_real += (g1 + g2) * price_at_ret / max(price0, EPS)
         if need > EPS and n1 + n2 < need - EPS:
             failed = True
-        _rebalance(st, alloc1)
+        _rebalance(st, alloc_final)
 
         absolute_month = working_months + ret_idx + 1
         if not failed and absolute_month % MPY == 0:
-            if _annual_taxes(st, alloc1):
+            if _annual_taxes(st, alloc_final):
                 failed = True
             st.a1.gain_acc = st.a2.gain_acc = 0.0
         if year == 0:
@@ -299,7 +309,7 @@ def simulate_path_oracle(
     # Trailing partial tax period for surviving paths.
     total_months = working_months + c.retirement_years * MPY
     if st.alive and total_months % MPY != 0:
-        if _annual_taxes(st, alloc1):
+        if _annual_taxes(st, alloc_final):
             st.alive = False
             st.years_to_ruin = float(c.retirement_years)
         if trajectory:

@@ -46,6 +46,11 @@ def _random_config(rng: np.random.Generator):
         current_age=float(rng.uniform(30, 55)),
         retirement_years=int(rng.integers(1, 7)),
         allocation_inv1_pct=float(rng.uniform(0, 1)),
+        # Half the scenarios exercise the glide-path extension; None keeps
+        # the reference's constant allocation.
+        allocation_inv1_final_pct=(
+            None if rng.random() < 0.5 else float(rng.uniform(0, 1))
+        ),
         inv1_returns_mean=float(rng.uniform(-0.05, 0.15)),
         inv1_returns_volatility=float(rng.uniform(0, 0.25)),
         inv1_annual_tax_on_gains_rate=float(rng.uniform(0, 0.4)),
