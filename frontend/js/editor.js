@@ -44,7 +44,21 @@ const STREAM_FIELDS = {
 };
 
 const SECTIONS = ["Scenario", "Finances", "Portfolio & taxes", "Inflation",
-  "Other income", "Simulation"];
+  "Other income", "Spending rule", "Simulation"];
+
+// Guardrail fields live on the nested spending_guardrails object; values
+// are already in percent units in the schema, so plain number inputs.
+const GUARDRAIL_FIELDS = {
+  upper_wr_pct: { label: "Cut when WR above (%)", type: "number", tip: "Withdrawal-rate guardrail: planned spending is cut when the year-start WR exceeds this." },
+  lower_wr_pct: { label: "Raise when WR below (%)", type: "number", tip: "Planned spending rises when the year-start WR falls below this." },
+  adjustment_pct: { label: "Adjustment step (%)", type: "number", tip: "Percent change applied to spending per trigger." },
+  floor_pct: { label: "Spending floor (% of plan)", type: "number", tip: "Spending never falls below this share of the original plan." },
+  cap_pct: { label: "Spending cap (% of plan)", type: "number", tip: "Spending never rises above this share of the original plan." },
+};
+const GUARDRAIL_DEFAULTS = {
+  upper_wr_pct: 6, lower_wr_pct: 3, adjustment_pct: 10,
+  floor_pct: 50, cap_pct: 200,
+};
 
 // --- tip balloon -----------------------------------------------------------
 // One shared balloon, portaled to <body> so sidebar overflow never clips it.
@@ -234,6 +248,32 @@ export class ConfigEditor {
   }
 
   // ---- sections --------------------------------------------------------
+  _guardrailsSection(body) {
+    // Dynamic spending guardrails (engine extension): a toggle enables the
+    // nested spending_guardrails object with sensible defaults; disabling
+    // sets it back to null (the reference's fixed real spending).
+    const enabled = !!this.config.spending_guardrails;
+    const toggle = this._field(
+      "spending_guardrails_enabled",
+      { label: "Dynamic spending (guardrails)", type: "toggle",
+        tip: "Guyton-Klinger style: at each retirement-year start, spending cuts or rises when the planned withdrawal rate crosses a band. Off = the fixed real spending the reference models." },
+      enabled,
+      (v) => {
+        this.config.spending_guardrails = v ? { ...GUARDRAIL_DEFAULTS } : null;
+        this.render();
+      },
+    );
+    body.appendChild(toggle);
+    if (!enabled) return;
+    for (const [key, spec] of Object.entries(GUARDRAIL_FIELDS)) {
+      body.appendChild(
+        this._field(key, spec, this.config.spending_guardrails[key], (v) => {
+          this.config.spending_guardrails[key] = v;
+        })
+      );
+    }
+  }
+
   _streamsSection(body) {
     const streams = this.config.other_income_streams || [];
     streams.forEach((stream, idx) => {
@@ -332,6 +372,8 @@ export class ConfigEditor {
         body.className = "body";
         if (section === "Other income") {
           this._streamsSection(body);
+        } else if (section === "Spending rule") {
+          this._guardrailsSection(body);
         } else {
           for (const [key, spec] of Object.entries(FIELDS)) {
             if (spec.section !== section) continue;

@@ -52,6 +52,54 @@ class OtherIncomeStreamConfig(BaseModel):
     tax_rate: float = Field(..., ge=0.0, le=1.0, description="Tax on this income.")
 
 
+class SpendingGuardrailsConfig(BaseModel):
+    """Dynamic spending rule (extension — the reference's retirement
+    spending is a fixed real amount): at the start of each retirement year
+    after the first, the planned-spending multiplier adjusts when the
+    planned withdrawal rate crosses a guardrail, Guyton-Klinger style.
+
+    Precise semantics (both kernels + the test oracle implement this):
+      * a per-path multiplier ``s`` starts at 1.0 (year 0 spends the plan,
+        so first-year statistics are unchanged);
+      * at retirement month indices 12, 24, ... (before that month's
+        income/withdrawal), WR = 12 * monthly_expenses * s * price_level /
+        balance-entering-the-month;
+      * WR above ``upper_wr_pct`` cuts s by ``adjustment_pct`` percent; WR
+        below ``lower_wr_pct`` raises it by the same; s then clamps to
+        [floor_pct, cap_pct] of the original plan.
+    """
+
+    upper_wr_pct: float = Field(
+        ..., gt=0.0, le=100.0,
+        description="Cut spending when the planned WR exceeds this percent.",
+    )
+    lower_wr_pct: float = Field(
+        ..., ge=0.0,
+        description="Raise spending when the planned WR falls below this.",
+    )
+    adjustment_pct: float = Field(
+        10.0, gt=0.0, le=50.0, description="Step size per trigger, percent."
+    )
+    floor_pct: float = Field(
+        50.0, ge=0.0, le=100.0,
+        description="Spending floor as a percent of the original plan.",
+    )
+    cap_pct: float = Field(
+        200.0, ge=100.0,
+        description="Spending cap as a percent of the original plan.",
+    )
+
+    @field_validator("lower_wr_pct")
+    @classmethod
+    def _bands_ordered(cls, v: float, info: ValidationInfo) -> float:
+        upper = info.data.get("upper_wr_pct")
+        if upper is not None and v >= upper:
+            raise ValueError(
+                f"lower_wr_pct ({v}) must be below upper_wr_pct ({upper})"
+            )
+        return v
+
+
 class Config(BaseModel):
     """Scenario configuration (same JSON schema as the reference config.json)."""
 
@@ -114,6 +162,9 @@ class Config(BaseModel):
     # (measured reduction documented in docs/CONFIG.md). Off by default so
     # default results match the reference's iid sampling model exactly.
     antithetic: bool = Field(False)
+    # Dynamic spending rule (extension): None keeps the reference's fixed
+    # real spending bit for bit; see SpendingGuardrailsConfig.
+    spending_guardrails: Optional[SpendingGuardrailsConfig] = Field(None)
     # Retained for config-file compatibility; the TPU engine parallelises over
     # devices instead of processes (reference used a multiprocessing.Pool).
     num_processes: Optional[int] = Field(1, ge=1)

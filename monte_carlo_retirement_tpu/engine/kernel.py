@@ -86,6 +86,9 @@ class _Carry(NamedTuple):
     alive: jnp.ndarray
     preret_failed: jnp.ndarray
     fixed_nom: Optional[jnp.ndarray]  # (n, S) frozen nominal stream amounts
+    # Spending-guardrail multiplier (1.0 bit-exactly when no rule is set —
+    # the sentinel parameter values make every update an exact no-op).
+    spend: jnp.ndarray
     # Summary-tracking fields (None in probe mode):
     ytr: Optional[jnp.ndarray]
     start_bal: Optional[jnp.ndarray]
@@ -169,6 +172,7 @@ def simulate_paths(
         fixed_nom=(
             jnp.full((n_paths, n_streams), -1.0, dtype=dtype) if n_streams else None
         ),
+        spend=jnp.ones_like(zeros),
         ytr=jnp.full((n_paths,), jnp.nan, dtype=dtype) if track else None,
         start_bal=f(p.initial_balance) * jnp.ones_like(zeros) if track else None,
         infl_ret=jnp.ones_like(zeros) if track else None,
@@ -321,7 +325,25 @@ def simulate_paths(
 
         # --- other income & net spending need
         price0 = c.infl
-        expenses = f(p.monthly_expenses) * price0
+        # Spending-guardrail multiplier (extension; see config.
+        # SpendingGuardrailsConfig). At each year start after the first,
+        # the planned WR against the balance entering the month moves the
+        # multiplier. Without a configured rule the sentinel leaves
+        # (upper=inf, lower=0, adjust=0, floor=cap=1) make every branch an
+        # exact no-op and the multiplier stays 1.0 bit for bit.
+        smult = c.spend
+        planned = 12.0 * f(p.monthly_expenses) * smult * price0
+        wr_now = planned / jnp.maximum(c.b1 + c.b2, EPS)
+        s_new = jnp.where(
+            wr_now > f(p.gr_upper), smult * (1.0 - f(p.gr_adjust)), smult
+        )
+        s_new = jnp.where(
+            wr_now < f(p.gr_lower), smult * (1.0 + f(p.gr_adjust)), s_new
+        )
+        s_new = jnp.minimum(jnp.maximum(s_new, f(p.gr_floor)), f(p.gr_cap))
+        at_year_start = ((ret_idx % MONTHS_PER_YEAR) == 0) & (ret_idx > 0)
+        smult = jnp.where(at_year_start & c.alive, s_new, smult)
+        expenses = f(p.monthly_expenses) * smult * price0
         fixed_nom = c.fixed_nom
         if n_streams:
             ret_idx_f = ret_idx.astype(dtype)
@@ -411,7 +433,8 @@ def simulate_paths(
         c2 = jnp.where(wmask, rc2, c2)
 
         mid = c._replace(b1=b1, c1=c1, b2=b2, c2=c2, infl=infl,
-                         g1acc=g1acc, g2acc=g2acc, fixed_nom=fixed_nom)
+                         g1acc=g1acc, g2acc=g2acc, fixed_nom=fixed_nom,
+                         spend=smult)
 
         # --- annual taxes. Two mutually exclusive scalar triggers share ONE
         # instantiation of the tax subgraph (graph size = compile time):

@@ -202,14 +202,16 @@ def optimize_params(
     extract = OBJECTIVES[objective]
 
     def evaluate(rows: np.ndarray) -> ScenarioBatchResult:
+        from .sensitivity import with_field
+
+        def build(row):
+            dump = base_dump
+            for d in range(ndim):
+                dump = with_field(dump, params[d], float(row[d]))
+            return Config(**dump)
+
         with _quiet_config_warnings():
-            variants = [
-                Config(**{
-                    **base_dump,
-                    **{params[d]: float(row[d]) for d in range(ndim)},
-                })
-                for row in rows
-            ]
+            variants = [build(row) for row in rows]
         return run_scenario_grid(
             variants,
             [int(working_months)] * len(variants),

@@ -101,8 +101,9 @@ PALLAS_MAX_TRAJ_LEN = 256
     F_R_REAL1, F_R_ANN1,
     F_R_REAL2, F_R_ANN2,
     F_ALLOC1_F,
+    F_GR_UP, F_GR_LO, F_GR_ADJ, F_GR_FLOOR, F_GR_CAP,
     NUM_FPARAMS,
-) = range(19)
+) = range(24)
 
 # iparams vector layout (int32, SMEM). I_BLOCK_OFF shifts the per-block PRNG
 # seed index: on a sharded mesh every device passes its global block offset,
@@ -152,6 +153,11 @@ class Statics(NamedTuple):
     # working months. Compile-time so the non-glide kernel reads neither
     # the second endpoint nor the per-month interpolation.
     glide: bool = False
+    # Dynamic spending guardrails (config.spending_guardrails is not None):
+    # a per-path spending multiplier adjusts at retirement-year starts when
+    # the planned WR crosses a band. Compile-time: off drops the multiplier
+    # carry slot and every year-start band op from the kernel.
+    guardrails: bool = False
 
 
 def statics_from_config(config) -> Statics:
@@ -172,6 +178,7 @@ def statics_from_config(config) -> Statics:
         stream_capped=tuple(s.duration_years is not None for s in streams),
         antithetic=bool(getattr(config, "antithetic", False)),
         glide=getattr(config, "allocation_inv1_final_pct", None) is not None,
+        guardrails=getattr(config, "spending_guardrails", None) is not None,
     )
 
 
@@ -203,6 +210,8 @@ def _check_grid_statics(params_batch: SimParams, statics: Statics) -> None:
         glide_rows = _np.asarray(params_batch.alloc1_final) != _np.asarray(
             params_batch.alloc1
         )
+        # Same for guardrails: adjustment > 0 marks a row with a live rule.
+        gr_rows = _np.asarray(params_batch.gr_adjust) > 0.0
     except Exception:
         return  # tracers: cannot inspect values here
     want_idx = _np.asarray(statics.stream_indexed, dtype=bool)
@@ -213,6 +222,7 @@ def _check_grid_statics(params_batch: SimParams, statics: Statics) -> None:
         and bool(((~u1 & a1) == statics.bill1).all())
         and bool(((~u2 & a2) == statics.bill2).all())
         and (statics.glide or not bool(glide_rows.any()))
+        and (statics.guardrails or not bool(gr_rows.any()))
     )
     if ok and want_idx.size:
         # Fail loudly on a stream-count mismatch — reshape would otherwise
@@ -299,10 +309,12 @@ def _make_kernel(
     # 0..5: b1, c1, b2, c2, infl, alive_f
     # [g1a, g2a, preret_f] when any_bills
     # n_fixed fixed-nominal slots
+    # [spending multiplier] when guardrails
     # [ytr, start_bal, infl_ret, yg, yr, fy_g, fy_r] when track
     i_bills = 6
     i_fixed = i_bills + (3 if any_bills else 0)
-    i_track = i_fixed + n_fixed
+    i_spend = i_fixed + n_fixed
+    i_track = i_spend + (1 if st_.guardrails else 0)
 
     def kernel(iparams, fparams, *rest):
         rest = list(rest)
@@ -549,6 +561,8 @@ def _make_kernel(
         if any_bills:
             init += [zero_v, zero_v, zero_v]  # g1a, g2a, preret_f
         init += [zero_v - 1.0] * n_fixed
+        if st_.guardrails:
+            init += [zero_v + 1.0]  # spending multiplier, year 0 = the plan
         if track:
             init += [
                 zero_v + jnp.nan,            # years_to_ruin
@@ -685,6 +699,31 @@ def _make_kernel(
 
             # --- income waterfall & net spending need
             price0 = infl
+            if st_.guardrails:
+                # Year-start guardrail check (years 1+; year 0 spends the
+                # plan): planned WR against the balance entering the month.
+                # Straight-line wheres — per-month scalar conds are the
+                # measured ~54 ms landmine in this loop.
+                smult = st[i_spend]
+                planned = 12.0 * f(F_EXPENSES) * smult * price0
+                wr_now = _rdiv(planned, jnp.maximum(b1 + b2, EPS))
+                s_new = jnp.where(
+                    wr_now > f(F_GR_UP), smult * (1.0 - f(F_GR_ADJ)), smult
+                )
+                s_new = jnp.where(
+                    wr_now < f(F_GR_LO), smult * (1.0 + f(F_GR_ADJ)), s_new
+                )
+                s_new = jnp.minimum(
+                    jnp.maximum(s_new, f(F_GR_FLOOR)), f(F_GR_CAP)
+                )
+                at_year_start = ((ret_idx % MONTHS_PER_YEAR) == 0) & (
+                    ret_idx > 0
+                )
+                smult = jnp.where(at_year_start & alive, s_new, smult)
+                st[i_spend] = smult
+                expenses_eff = f(F_EXPENSES) * smult
+            else:
+                expenses_eff = f(F_EXPENSES)
             net_income = None
             for s in range(n_streams):
                 amount_s = stream_cell(s_amount, s)
@@ -711,9 +750,9 @@ def _make_kernel(
                 )
                 net_income = inc if net_income is None else net_income + inc
             if net_income is None:
-                need = f(F_EXPENSES) * price0
+                need = expenses_eff * price0
             else:
-                need = jnp.maximum(0.0, f(F_EXPENSES) * price0 - net_income)
+                need = jnp.maximum(0.0, expenses_eff * price0 - net_income)
 
             # --- ruin check A: broke before the month begins
             total0 = b1 + b2
@@ -943,6 +982,11 @@ def _pack_params(
             params.real_tax2.astype(f32),
             params.ann_tax2.astype(f32),
             params.alloc1_final.astype(f32),
+            params.gr_upper.astype(f32),
+            params.gr_lower.astype(f32),
+            params.gr_adjust.astype(f32),
+            params.gr_floor.astype(f32),
+            params.gr_cap.astype(f32),
         ]
     )
     w = jnp.asarray(working_months, jnp.int32).reshape(-1)  # (K,) candidates

@@ -79,7 +79,42 @@ SENSITIVITY_PARAMS: Dict[str, ParamSpec] = {
     "inflation_rate_mean": ParamSpec(-0.999, _INF, "rate", 0.0),
     "inflation_rate_volatility": ParamSpec(0.0, _INF, "rate", 0.0),
     "equity_inflation_correlation": ParamSpec(-1.0, 1.0, "rate", 0.0),
+    # Nested guardrail bands (dotted paths; percent UNITS, so they use the
+    # relative "dollar" step rule with scale 1). Probing requires the rule
+    # to be set on the base config (a None parent is rejected like any
+    # unset optional field); FD-only — the bands enter the kernel through
+    # comparisons/clamps, so forward-mode AD is not offered for them.
+    "spending_guardrails.upper_wr_pct": ParamSpec(1e-6, 100.0, "dollar", 1.0),
+    "spending_guardrails.lower_wr_pct": ParamSpec(0.0, 100.0, "dollar", 1.0),
+    "spending_guardrails.adjustment_pct": ParamSpec(1e-6, 50.0, "dollar", 1.0),
+    "spending_guardrails.floor_pct": ParamSpec(0.0, 100.0, "dollar", 1.0),
+    "spending_guardrails.cap_pct": ParamSpec(100.0, _INF, "dollar", 1.0),
 }
+
+
+def get_field(dump: dict, name: str):
+    """Read a (possibly dotted) config field from a model_dump dict; None
+    when the field or any parent is unset."""
+    obj = dump
+    for part in name.split("."):
+        if not isinstance(obj, dict) or part not in obj:
+            return None
+        obj = obj[part]
+    return obj
+
+
+def with_field(dump: dict, name: str, value) -> dict:
+    """A copy of ``dump`` with a (possibly dotted) field replaced."""
+    head, _, rest = name.partition(".")
+    if not rest:
+        return {**dump, head: value}
+    sub = dump.get(head)
+    if not isinstance(sub, dict):
+        raise ValueError(
+            f"Cannot set '{name}': parent '{head}' is unset on the base "
+            "config."
+        )
+    return {**dump, head: with_field(sub, rest, value)}
 
 # The decision-relevant default set (the dashboard's tornado view).
 DEFAULT_PARAMS: List[str] = [
@@ -200,26 +235,43 @@ def sensitivity_fd(
     with _quiet_config_warnings():
         for name in names:
             spec = SENSITIVITY_PARAMS[name]
-            if base_dump[name] is None:
+            raw = get_field(base_dump, name)
+            if raw is None:
                 raise ValueError(
                     f"Parameter '{name}' is unset (null) in the base config; "
                     "set a base value to probe it (turning an optional "
                     "feature on changes the compiled structure)."
                 )
-            v = float(base_dump[name])
+            v = float(raw)
             h_plus, h_minus = _steps(v, spec, rel_step, abs_step)
+
+            def _variant(val):
+                # Cross-field constraints (e.g. guardrail lower < upper) can
+                # reject a probe the per-field bounds allow; degrade that
+                # side to a one-sided probe instead of failing the request.
+                try:
+                    return Config(**with_field(base_dump, name, val))
+                except Exception:
+                    return None
+
+            plus_cfg = _variant(v + h_plus) if h_plus > 0.0 else None
+            minus_cfg = _variant(v - h_minus) if h_minus > 0.0 else None
+            if plus_cfg is None:
+                h_plus = 0.0
+            if minus_cfg is None:
+                h_minus = 0.0
             if h_plus + h_minus <= 0.0:
                 raise ValueError(
                     f"Parameter '{name}' has a degenerate bound interval; "
                     "cannot probe it."
                 )
             plus_idx = minus_idx = -1
-            if h_plus > 0.0:
+            if plus_cfg is not None:
                 plus_idx = len(variants)
-                variants.append(Config(**{**base_dump, name: v + h_plus}))
-            if h_minus > 0.0:
+                variants.append(plus_cfg)
+            if minus_cfg is not None:
                 minus_idx = len(variants)
-                variants.append(Config(**{**base_dump, name: v - h_minus}))
+                variants.append(minus_cfg)
             slots.append((name, plus_idx, minus_idx, h_plus, h_minus))
 
     res: ScenarioBatchResult = run_scenario_grid(
@@ -241,7 +293,7 @@ def sensitivity_fd(
     rows: List[SensitivityRow] = []
     for name, plus_idx, minus_idx, h_plus, h_minus in slots:
         spec = SENSITIVITY_PARAMS[name]
-        v = float(base_dump[name])
+        v = float(get_field(base_dump, name))
         ip = plus_idx if plus_idx >= 0 else 0  # boundary: base IS the probe
         im = minus_idx if minus_idx >= 0 else 0
         h = h_plus + h_minus
@@ -320,11 +372,14 @@ def _params_from_theta(config: Config, names: Sequence[str], theta, dtype):
 
     base = SimParams.from_config(config, dtype=dtype)
     dump = config.model_dump()
-    # Optional fields (e.g. the glide endpoint) may be None on the base;
-    # requesting one is rejected upstream, and the lognormal recombination
-    # below never reads them, so they are simply omitted here.
+    # Optional fields (e.g. the glide endpoint) may be None on the base,
+    # and dotted guardrail paths are FD-only (rejected upstream); the
+    # lognormal recombination below never reads either, so both are simply
+    # omitted here.
     values = {
-        n: float(dump[n]) for n in SENSITIVITY_PARAMS if dump[n] is not None
+        n: float(get_field(dump, n))
+        for n in SENSITIVITY_PARAMS
+        if "." not in n and get_field(dump, n) is not None
     }
     for i, n in enumerate(names):
         values[n] = theta[i]
@@ -414,6 +469,13 @@ def sensitivity_ad(
     t_scan = w + int(config.retirement_years) * MONTHS_PER_YEAR
     _, final_key = stream_keys(seed)
 
+    dotted = [n for n in names if "." in n]
+    if dotted:
+        raise ValueError(
+            f"Parameters {dotted} are FD-only (they enter the kernel "
+            "through comparisons/clamps); drop include_ad or the dotted "
+            "parameters."
+        )
     dump = config.model_dump()
     unset = [n for n in names if dump[n] is None]
     if unset:

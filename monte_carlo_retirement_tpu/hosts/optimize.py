@@ -20,7 +20,7 @@ from ..engine.optimize import (
     optimize_param,
     optimize_params,
 )
-from ..engine.sensitivity import SENSITIVITY_PARAMS
+from ..engine.sensitivity import SENSITIVITY_PARAMS, get_field
 
 
 class OptimizeParamSpec(BaseModel):
@@ -234,7 +234,8 @@ def run_optimize_request(
         "num_paths": num_paths,
         "param": result.param,
         "objective": result.objective,
-        "base_value": float(config.model_dump()[result.param]),
+        # get_field: dotted guardrail paths read through the nested object.
+        "base_value": float(get_field(config.model_dump(), result.param)),
         "best": point(result.best),
         "interval": [round(result.interval[0], 10),
                      round(result.interval[1], 10)],
@@ -281,7 +282,9 @@ def _run_joint(
         "num_paths": num_paths,
         "params": list(result.params),
         "objective": result.objective,
-        "base_values": [float(base_dump[p]) for p in result.params],
+        "base_values": [
+            float(get_field(base_dump, p)) for p in result.params
+        ],
         "best": point(result.best),
         "intervals": [[round(lo, 10), round(hi, 10)]
                       for lo, hi in result.intervals],

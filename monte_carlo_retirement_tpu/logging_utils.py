@@ -71,6 +71,10 @@ def _raw(v) -> str:
     return str(v)
 
 
+def _pct_opt(v) -> str:
+    return "None (off)" if v is None else _pct(v)
+
+
 # (section, field, formatter). Fields absent from this registry fall back to
 # a generic str() line so schema additions never go unreported.
 _FIELD_DISPLAY = (
@@ -81,6 +85,7 @@ _FIELD_DISPLAY = (
     ("timeline", "current_age", _raw),
     ("timeline", "retirement_years", _raw),
     ("portfolio & taxes", "allocation_inv1_pct", _pct),
+    ("portfolio & taxes", "allocation_inv1_final_pct", _pct_opt),
     ("portfolio & taxes", "inv1_returns_mean", _pct),
     ("portfolio & taxes", "inv1_returns_volatility", _pct),
     ("portfolio & taxes", "inv1_annual_tax_on_gains_rate", _pct),

@@ -96,6 +96,16 @@ class SimParams(NamedTuple):
     use_real1: jnp.ndarray  # bool: asset taxed on realization (else annually)
     use_real2: jnp.ndarray
 
+    # Spending guardrails (config.spending_guardrails; whether the rule
+    # exists at all is compile-time Statics). Rule-off sentinel values keep
+    # the multiplier pinned at 1 (upper=+inf, lower=0, adjustment=0,
+    # floor=cap=1) so grid guards can detect structure mismatches by value.
+    gr_upper: jnp.ndarray  # WR fraction above which spending cuts
+    gr_lower: jnp.ndarray  # WR fraction below which spending raises
+    gr_adjust: jnp.ndarray  # step per trigger, fraction
+    gr_floor: jnp.ndarray  # multiplier floor, fraction of plan
+    gr_cap: jnp.ndarray  # multiplier cap, fraction of plan
+
     stream_amount: jnp.ndarray  # (n_streams,) monthly amount in T=0 dollars
     stream_months_from_t0: jnp.ndarray  # (n_streams,) (start_age - age) * 12
     stream_duration_months: jnp.ndarray  # (n_streams,) +inf when indefinite
@@ -151,6 +161,7 @@ class SimParams(NamedTuple):
         )
         indexed = np.array([s.inflation_indexed for s in streams], dtype=bool)
         taxes = np.array([s.tax_rate for s in streams], dtype=np.float64)
+        gr = getattr(config, "spending_guardrails", None)
 
         f = lambda x: np.asarray(x, dtype=np.dtype(dtype))
         return SimParams(
@@ -177,6 +188,11 @@ class SimParams(NamedTuple):
             real_tax2=f(config.inv2_realized_gains_tax_rate),
             use_real1=np.asarray(config.inv1_use_realized_gains_tax_system),
             use_real2=np.asarray(config.inv2_use_realized_gains_tax_system),
+            gr_upper=f(np.inf if gr is None else gr.upper_wr_pct / 100.0),
+            gr_lower=f(0.0 if gr is None else gr.lower_wr_pct / 100.0),
+            gr_adjust=f(0.0 if gr is None else gr.adjustment_pct / 100.0),
+            gr_floor=f(1.0 if gr is None else gr.floor_pct / 100.0),
+            gr_cap=f(1.0 if gr is None else gr.cap_pct / 100.0),
             stream_amount=f(amounts.reshape(n)),
             stream_months_from_t0=f(from_t0.reshape(n)),
             stream_duration_months=f(durations.reshape(n)),

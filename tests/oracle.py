@@ -157,6 +157,16 @@ def simulate_path_oracle(
         else c.allocation_inv1_final_pct
     )
     glide_scale = (alloc_final - alloc1) / max(working_months, 1)
+    # Spending guardrails (extension): year-start multiplier updates; the
+    # rule-off sentinels (upper=inf, lower=0, adjust=0, floor=cap=1) make
+    # every update an exact no-op, mirroring the kernels.
+    gr = getattr(c, "spending_guardrails", None)
+    gr_upper = float("inf") if gr is None else gr.upper_wr_pct / 100.0
+    gr_lower = 0.0 if gr is None else gr.lower_wr_pct / 100.0
+    gr_adjust = 0.0 if gr is None else gr.adjustment_pct / 100.0
+    gr_floor = 1.0 if gr is None else gr.floor_pct / 100.0
+    gr_cap = 1.0 if gr is None else gr.cap_pct / 100.0
+    spend_mult = 1.0
 
     st = PathState(
         a1=Asset(
@@ -250,6 +260,16 @@ def simulate_path_oracle(
             year_gross = year_real = 0.0
 
         price0 = st.price
+        # Guardrail check at year starts after the first (kernel order:
+        # planned WR vs the balance entering the month, before income).
+        if ret_idx % MPY == 0 and ret_idx > 0:
+            planned = 12.0 * c.monthly_expenses * spend_mult * price0
+            wr_now = planned / max(st.a1.balance + st.a2.balance, EPS)
+            s_new = spend_mult * (1.0 - gr_adjust) if wr_now > gr_upper \
+                else spend_mult
+            if wr_now < gr_lower:
+                s_new = spend_mult * (1.0 + gr_adjust)
+            spend_mult = min(max(s_new, gr_floor), gr_cap)
         income = 0.0
         for stream, start, end, frozen in windows:
             if not (start <= ret_idx < end):
@@ -261,7 +281,7 @@ def simulate_path_oracle(
                     frozen[0] = stream.monthly_amount_today * price0
                 nominal = frozen[0]
             income += nominal * (1.0 - stream.tax_rate)
-        need = max(0.0, c.monthly_expenses * price0 - income)
+        need = max(0.0, c.monthly_expenses * spend_mult * price0 - income)
 
         def die():
             st.alive = False

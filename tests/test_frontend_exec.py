@@ -1006,6 +1006,48 @@ def test_editor_glide_percent_opt_field_semantics():
     ] is None
 
 
+def test_editor_guardrails_section_toggle_and_fields():
+    """The Spending rule section: enabling writes the nested defaults the
+    engine validates, fields edit the nested object, disabling nulls it."""
+    fe = _boot()
+    doc = fe.document
+    editor = fe.modules["app.js"].lookup("editor")
+
+    def find_toggle():
+        for lbl in doc.getElementById("config-editor").getElementsByTagName(
+            "label"
+        ):
+            if "Dynamic spending" in lbl.textContent:
+                return lbl.getElementsByTagName("input")[0]
+        raise AssertionError("guardrails toggle not rendered")
+
+    toggle = find_toggle()
+    assert not toggle.checked
+    toggle.checked = True
+    toggle.dispatch(fe.interp, "change")
+    cfg = fe.interp.get_member(editor, "config")
+    assert cfg["spending_guardrails"]["upper_wr_pct"] == 6
+    assert cfg["spending_guardrails"]["cap_pct"] == 200
+
+    field = None
+    for lbl in doc.getElementById("config-editor").getElementsByTagName(
+        "label"
+    ):
+        if lbl.textContent.startswith("Cut when WR above"):
+            field = lbl.parentNode.getElementsByTagName("input")[0]
+    assert field is not None, "guardrail fields not rendered when enabled"
+    field.value = "5.5"
+    field.dispatch(fe.interp, "change")
+    cfg = fe.interp.get_member(editor, "config")
+    assert cfg["spending_guardrails"]["upper_wr_pct"] == 5.5
+
+    toggle = find_toggle()  # re-rendered after enabling
+    toggle.checked = False
+    toggle.dispatch(fe.interp, "change")
+    cfg = fe.interp.get_member(editor, "config")
+    assert cfg["spending_guardrails"] is None
+
+
 def test_editor_stream_add_remove_and_reset():
     fe = _boot()
     doc = fe.document

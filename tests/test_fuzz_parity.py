@@ -20,7 +20,11 @@ from tests.oracle import simulate_path_oracle
 N_PATHS = 16
 
 
-def _random_config(rng: np.random.Generator):
+def _random_config(rng: np.random.Generator, extensions: bool = True):
+    """Random scenario. ``extensions=False`` (the reference head-to-head
+    suite) drops the glide/guardrail extension fields the reference cannot
+    simulate — the rng draws still happen, so both suites explore the same
+    base-scenario sequence."""
     n_streams = int(rng.integers(0, 3))
     streams = []
     for s in range(n_streams):
@@ -38,6 +42,19 @@ def _random_config(rng: np.random.Generator):
         )
     use_real1 = bool(rng.random() < 0.5)
     use_real2 = bool(rng.random() < 0.5)
+    glide = None if rng.random() < 0.5 else float(rng.uniform(0, 1))
+    guardrails = (
+        None if rng.random() < 0.67 else {
+            "upper_wr_pct": float(rng.uniform(4.0, 12.0)),
+            "lower_wr_pct": float(rng.uniform(0.5, 3.5)),
+            "adjustment_pct": float(rng.uniform(5.0, 20.0)),
+            "floor_pct": float(rng.uniform(30.0, 80.0)),
+            "cap_pct": float(rng.uniform(120.0, 250.0)),
+        }
+    )
+    if not extensions:
+        glide = None
+        guardrails = None
     return make_config(
         initial_balance=float(rng.uniform(0, 400_000)),
         monthly_contribution=float(rng.uniform(0, 6000)),
@@ -46,11 +63,11 @@ def _random_config(rng: np.random.Generator):
         current_age=float(rng.uniform(30, 55)),
         retirement_years=int(rng.integers(1, 7)),
         allocation_inv1_pct=float(rng.uniform(0, 1)),
-        # Half the scenarios exercise the glide-path extension; None keeps
-        # the reference's constant allocation.
-        allocation_inv1_final_pct=(
-            None if rng.random() < 0.5 else float(rng.uniform(0, 1))
-        ),
+        # Extensions (oracle suites only; dropped for reference
+        # head-to-heads): glide in half the scenarios, guardrails in a
+        # third, with bands around plausible WRs so both triggers fire.
+        allocation_inv1_final_pct=glide,
+        spending_guardrails=guardrails,
         inv1_returns_mean=float(rng.uniform(-0.05, 0.15)),
         inv1_returns_volatility=float(rng.uniform(0, 0.25)),
         inv1_annual_tax_on_gains_rate=float(rng.uniform(0, 0.4)),

@@ -448,7 +448,9 @@ def test_injected_shocks_exact_vs_reference(ref, case):
 
     ref_sim_mod, ref_cfg_mod = ref
     rng = np.random.default_rng(7000 + case)
-    cfg = _random_config(rng)
+    # Reference-compatible scenarios only: the reference cannot simulate the
+    # glide/guardrail extensions (it ignores the unknown fields entirely).
+    cfg = _random_config(rng, extensions=False)
     working_months = int(rng.integers(0, 40))
     R = cfg.retirement_years
     T = working_months + 12 * R
