@@ -191,13 +191,34 @@ def optimize_params(
     bounds = list(bounds)
     if len(bounds) != ndim:
         raise ValueError("bounds must align with params")
+    base_dump = config.model_dump()
+    base_dump.pop("allocation_inv2_pct", None)  # derived property
     axes: List[np.ndarray] = []
     for p, b in zip(params, bounds):
         lo, hi = (None, None) if b is None else b
         lo, hi = _bounds_for(p, lo, hi)
+        # Guardrail bands carry a cross-field constraint (lower < upper):
+        # intersect the sweep interval with the sibling band so a default
+        # sweep never generates configs pydantic rejects mid-round.
+        sib = None
+        if p == "spending_guardrails.lower_wr_pct":
+            from .sensitivity import get_field
+
+            sib = get_field(base_dump, "spending_guardrails.upper_wr_pct")
+            if sib is not None:
+                hi = min(hi, float(sib) - 1e-6)
+        elif p == "spending_guardrails.upper_wr_pct":
+            from .sensitivity import get_field
+
+            sib = get_field(base_dump, "spending_guardrails.lower_wr_pct")
+            if sib is not None:
+                lo = max(lo, float(sib) + 1e-6)
+        if sib is not None and not lo < hi:
+            raise ValueError(
+                f"Search interval for '{p}' collapses against the sibling "
+                f"band ({sib}); pass explicit bounds on the other side of it."
+            )
         axes.append(np.linspace(lo, hi, points))
-    base_dump = config.model_dump()
-    base_dump.pop("allocation_inv2_pct", None)  # derived property
     n = int(num_paths or config.num_simulations_main)
     extract = OBJECTIVES[objective]
 

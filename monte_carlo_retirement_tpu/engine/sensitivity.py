@@ -249,9 +249,14 @@ def sensitivity_fd(
                 # Cross-field constraints (e.g. guardrail lower < upper) can
                 # reject a probe the per-field bounds allow; degrade that
                 # side to a one-sided probe instead of failing the request.
+                # Only validation failures degrade — anything else (a
+                # renamed field, a type bug) must surface, not silently
+                # halve the derivative's accuracy.
+                from pydantic import ValidationError
+
                 try:
                     return Config(**with_field(base_dump, name, val))
-                except Exception:
+                except ValidationError:
                     return None
 
             plus_cfg = _variant(v + h_plus) if h_plus > 0.0 else None
@@ -387,6 +392,17 @@ def _params_from_theta(config: Config, names: Sequence[str], theta, dtype):
     for n in names:
         if n in _AD_DIRECT:
             updates[_AD_DIRECT[n]] = jnp.asarray(values[n], dtype)
+    # Without a configured glide, alloc1_final mirrors alloc1 (SimParams.
+    # host_leaves) and the RETIREMENT phase reads alloc1_final — so the
+    # theta perturbation must move BOTH leaves or the entire decumulation
+    # phase is silently insensitive to the allocation (measured ~3000x-low
+    # gradients before this mirror). With a glide set, alloc1_final is its
+    # own parameter and correctly stays at its configured value.
+    if (
+        "allocation_inv1_pct" in names
+        and getattr(config, "allocation_inv1_final_pct", None) is None
+    ):
+        updates["alloc1_final"] = updates["alloc1"]
     for (mean_n, vol_n), (mu_leaf, sigma_leaf) in _AD_LOGNORMAL.items():
         if mean_n in names or vol_n in names:
             mu, sigma = _log_params_ad(

@@ -227,8 +227,9 @@ def test_guardrail_bands_are_tunable_by_analysis_surfaces():
             cfg, working_months=0,
             params=["spending_guardrails.upper_wr_pct"], num_paths=64,
         )
-    # Band sweeps pass explicit intervals (the hard [1e-6, 100] default
-    # would cross the sibling band and 400 with pydantic's message).
+    # Band sweeps intersect default bounds with the sibling band, so even a
+    # bound-less sweep stays valid (regression: default bounds used to
+    # generate lower >= upper configs and abort with a raw pydantic error).
     res = optimize_params(
         cfg, working_months=0,
         params=["spending_guardrails.upper_wr_pct"],
@@ -236,6 +237,12 @@ def test_guardrail_bands_are_tunable_by_analysis_surfaces():
         points=3, rounds=1, num_paths=64,
     )
     assert 4.0 <= res.best.values[0] <= 12.0
+    res = optimize_params(
+        cfg, working_months=0,
+        params=["spending_guardrails.lower_wr_pct"],
+        points=3, rounds=1, num_paths=64,
+    )
+    assert 0.0 <= res.best.values[0] < RULE["upper_wr_pct"]
     # Cross-field constraint degrades to a one-sided probe, not a failure:
     # lower_wr_pct one step below upper_wr_pct.
     tight = make_config(

@@ -308,12 +308,14 @@ def test_pallas_fuzz_differential_statics_combos():
         final_s = np.asarray(outs.final_balance)
         diff = np.abs(np.asarray(final_p) - final_s)
         rel = diff / np.maximum(np.abs(final_s), 1.0)
-        # Dust-aware: knife-edge scenarios (annual tax bills near capacity)
-        # leave a few paths with <$5 residual balances where f32
-        # reassociation reads as percents (scan f32 vs f64 diverges by far
-        # more there); a path only counts as divergent when it is BOTH
-        # relatively and absolutely off. Stronger than the old q999 check,
-        # which let 0.1% of paths be arbitrarily wrong.
+        # Dust-aware, and deliberately WEAKER than the old q999-of-rel check
+        # on sub-$5 residual balances: knife-edge scenarios (annual tax
+        # bills near capacity) leave a few paths with <$5 finals where f32
+        # reassociation reads as percents — scan f32 vs f64 diverges by far
+        # more there, so relative error on dust carries no signal. Both the
+        # old and this check allow 0.1% of paths above the relative bound;
+        # a path only counts as divergent when it is BOTH relatively and
+        # absolutely off.
         bad = (rel > 5e-3) & (diff > 5.0)
         assert float(bad.mean()) <= 1e-3, (
             f"case {case}: {bad.sum()} paths diverge "

@@ -164,6 +164,25 @@ def test_ad_matches_fd_on_mean_final():
     assert ad["d_mean_final"]["inv1_returns_mean"] > 0
 
 
+def test_ad_allocation_gradient_covers_retirement_phase():
+    """Regression (code-review find): on a NON-glide config the retirement
+    phase reads the alloc1_final leaf, which mirrors alloc1 — the AD theta
+    must move BOTH leaves or the decumulation phase is silently insensitive
+    to the allocation (observed ~3000x-low gradients). Pinned against the
+    CRN finite difference at working_months=0 (all-retirement horizon)."""
+    cfg = _cfg()
+    assert cfg.allocation_inv1_final_pct is None
+    names = ["allocation_inv1_pct"]
+    ad = sensitivity_ad(cfg, 0, num_paths=N, seed=SEED, params=names)
+    rows = sensitivity_fd(
+        cfg, 0, num_paths=N, seed=SEED, params=names, abs_step=0.002
+    )
+    grad = ad["d_mean_final"]["allocation_inv1_pct"]
+    fd = rows[0].d_mean_final
+    assert math.isfinite(grad) and abs(fd) > 0
+    assert grad == pytest.approx(fd, rel=0.1), (grad, fd)
+
+
 def test_log_params_ad_matches_host_conversion():
     """The differentiable lognormal conversion equals the host-side one,
     including the vol=0 degenerate case, and its gradient is finite there
