@@ -16,9 +16,11 @@ const FIELDS = {
   inv1_returns_volatility: { tip: "Annual volatility of asset 1 (typical equity ~15%).", label: "Inv1 volatility / yr", type: "percent", section: "Portfolio & taxes" },
   inv1_use_realized_gains_tax_system: { tip: "On: tax on sales (realized gains). Off: annual mark-to-market tax.", label: "Inv1 realized-gains tax", type: "toggle", section: "Portfolio & taxes" },
   inv1_realized_gains_tax_rate: { tip: "Tax on realized gains when selling asset 1.", label: "Inv1 realized tax rate", type: "percent", section: "Portfolio & taxes" },
+  inv1_expense_ratio_annual: { tip: "Annual fund fee deducted inside the returns (the realized mean becomes (1+mean)(1-fee)-1). 0 = the reference's fee-free model.", label: "Inv1 expense ratio / yr", type: "percent", section: "Portfolio & taxes" },
   inv1_annual_tax_on_gains_rate: { tip: "Annual tax on positive market P&L (when not using realized taxation).", label: "Inv1 annual gains tax", type: "percent", section: "Portfolio & taxes" },
   inv2_premium_over_inflation_mean: { tip: "Asset 2 compounds inflation times this premium.", label: "Inv2 premium mean / yr", type: "percent", section: "Portfolio & taxes" },
   inv2_premium_over_inflation_volatility: { tip: "Volatility of the premium component.", label: "Inv2 premium volatility", type: "percent", section: "Portfolio & taxes" },
+  inv2_expense_ratio_annual: { tip: "Annual fund fee on investment 2, deducted inside the returns.", label: "Inv2 expense ratio / yr", type: "percent", section: "Portfolio & taxes" },
   inv2_use_realized_gains_tax_system: { tip: "On: tax on sales (realized gains). Off: annual mark-to-market tax.", label: "Inv2 realized-gains tax", type: "toggle", section: "Portfolio & taxes" },
   inv2_realized_gains_tax_rate: { tip: "Tax on realized gains when selling asset 2.", label: "Inv2 realized tax rate", type: "percent", section: "Portfolio & taxes" },
   inv2_annual_tax_on_gains_rate: { tip: "Annual tax on positive market P&L (when not using realized taxation).", label: "Inv2 annual gains tax", type: "percent", section: "Portfolio & taxes" },
@@ -44,7 +46,7 @@ const STREAM_FIELDS = {
 };
 
 const SECTIONS = ["Scenario", "Finances", "Portfolio & taxes", "Inflation",
-  "Other income", "Spending rule", "Simulation"];
+  "Other income", "Spending rule", "Market risk", "Simulation"];
 
 // Guardrail fields live on the nested spending_guardrails object; values
 // are already in percent units in the schema, so plain number inputs.
@@ -58,6 +60,18 @@ const GUARDRAIL_FIELDS = {
 const GUARDRAIL_DEFAULTS = {
   upper_wr_pct: 6, lower_wr_pct: 3, adjustment_pct: 10,
   floor_pct: 50, cap_pct: 200,
+};
+
+// Market-crash fields live on the nested market_crashes object.
+const CRASH_FIELDS = {
+  frequency_per_year: { label: "Crashes per year (expected)", type: "number", tip: "Expected crash count per year; each month crashes with probability this/12." },
+  mean_drop_pct: { label: "Median drop (%)", type: "number", tip: "Median crash size as a percent drop (20 = the asset loses 20% in a median crash)." },
+  size_volatility: { label: "Size dispersion (log σ)", type: "number", tip: "Spread of crash sizes around the median in log space; 0 = every crash is exactly the median drop." },
+  inv2_beta: { label: "Asset-2 beta", type: "number", tip: "Fraction of the crash applied to investment 2 (0 = crashes hit investment 1 only)." },
+};
+const CRASH_DEFAULTS = {
+  frequency_per_year: 0.25, mean_drop_pct: 20, size_volatility: 0.3,
+  inv2_beta: 0,
 };
 
 // --- tip balloon -----------------------------------------------------------
@@ -274,6 +288,33 @@ export class ConfigEditor {
     }
   }
 
+  _crashesSection(body) {
+    // Market-crash jumps (engine extension): a toggle enables the nested
+    // market_crashes object with sensible defaults; disabling sets it back
+    // to null (the reference's pure-lognormal returns). The drift is
+    // compensated, so crashes reshape risk without changing the mean.
+    const enabled = !!this.config.market_crashes;
+    const toggle = this._field(
+      "market_crashes_enabled",
+      { label: "Market crashes (jumps)", type: "toggle",
+        tip: "Adds sudden-crash months on top of the lognormal returns (sequence-of-returns risk). The mean return stays exactly as configured; crashes only fatten the left tail." },
+      enabled,
+      (v) => {
+        this.config.market_crashes = v ? { ...CRASH_DEFAULTS } : null;
+        this.render();
+      },
+    );
+    body.appendChild(toggle);
+    if (!enabled) return;
+    for (const [key, spec] of Object.entries(CRASH_FIELDS)) {
+      body.appendChild(
+        this._field(key, spec, this.config.market_crashes[key], (v) => {
+          this.config.market_crashes[key] = v;
+        })
+      );
+    }
+  }
+
   _streamsSection(body) {
     const streams = this.config.other_income_streams || [];
     streams.forEach((stream, idx) => {
@@ -374,6 +415,8 @@ export class ConfigEditor {
           this._streamsSection(body);
         } else if (section === "Spending rule") {
           this._guardrailsSection(body);
+        } else if (section === "Market risk") {
+          this._crashesSection(body);
         } else {
           for (const [key, spec] of Object.entries(FIELDS)) {
             if (spec.section !== section) continue;

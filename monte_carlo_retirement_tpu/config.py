@@ -100,6 +100,55 @@ class SpendingGuardrailsConfig(BaseModel):
         return v
 
 
+class MarketCrashConfig(BaseModel):
+    """Jump-diffusion crash risk (extension — the reference's returns are
+    pure lognormal): in any month, with probability ``frequency_per_year/12``
+    a market crash multiplies asset 1's gross return by a lognormal jump
+    factor exp(J), J ~ Normal(log(1 - mean_drop_pct/100), size_volatility).
+    Asset 2 takes ``inv2_beta`` of the same log jump. The monthly drift is
+    compensated so E[annual gross] still equals 1 + configured mean — crashes
+    reshape the return distribution (fat left tail, sequence-of-returns
+    risk) without changing its mean, keeping the config's mean fields honest.
+
+    Precise semantics (both kernels + the test oracle implement this):
+      * per (path, month) draw one uniform u and one standard normal z from
+        a stream independent of the base shocks (the base draws are
+        bit-identical with the rule on or off);
+      * J = log(1 - mean_drop_pct/100) + size_volatility * z when
+        u < frequency_per_year/12, else 0;
+      * gross1 *= exp(J - c1), gross2 *= exp(inv2_beta * J - c2) where
+        c_a = log(1 - p + p * exp(a*mu_J + (a*sigma_J)^2 / 2)) is the exact
+        compensator (a=1 for asset 1, a=inv2_beta for asset 2); inflation
+        is untouched.
+    """
+
+    frequency_per_year: float = Field(
+        ..., ge=0.0, le=12.0,
+        description=(
+            "Expected crashes per year; the monthly Bernoulli probability "
+            "is this / 12 (so 12 means a crash every month)."
+        ),
+    )
+    mean_drop_pct: float = Field(
+        ..., gt=0.0, lt=100.0,
+        description="Median crash size as a percent drop (20 => x0.80).",
+    )
+    size_volatility: float = Field(
+        0.0, ge=0.0, le=2.0,
+        description=(
+            "Dispersion of the log jump size (0 = every crash is exactly "
+            "the median drop)."
+        ),
+    )
+    inv2_beta: float = Field(
+        0.0, ge=0.0, le=1.0,
+        description=(
+            "Fraction of the log jump applied to asset 2 (0 = crashes hit "
+            "asset 1 only; 1 = both assets crash identically)."
+        ),
+    )
+
+
 class Config(BaseModel):
     """Scenario configuration (same JSON schema as the reference config.json)."""
 
@@ -129,6 +178,13 @@ class Config(BaseModel):
     allocation_inv1_final_pct: Optional[float] = Field(None, ge=0.0, le=1.0)
     inv1_returns_mean: float = Field(..., gt=-1.0)
     inv1_returns_volatility: float = Field(..., ge=0.0)
+    # Annual expense ratio (extension — the reference's returns carry no
+    # fees): a continuous drag deducted inside the fund, i.e. every monthly
+    # gross factor is multiplied by (1 - ratio)^(1/12), making the realized
+    # arithmetic mean (1 + mean)(1 - ratio) - 1. Folded into the lognormal
+    # drift host-side, so the kernels are untouched and 0.0 (the default)
+    # is bit-identical to the reference's fee-free model.
+    inv1_expense_ratio_annual: float = Field(0.0, ge=0.0, lt=1.0)
     inv1_annual_tax_on_gains_rate: float = Field(..., ge=0.0, le=1.0)
     inv1_realized_gains_tax_rate: float = Field(0.0, ge=0.0, le=1.0)
     inv1_use_realized_gains_tax_system: bool = Field(False)
@@ -136,6 +192,10 @@ class Config(BaseModel):
     # Asset 2 ("inflation-linked"): returns are inflation times a premium.
     inv2_premium_over_inflation_mean: float = Field(..., gt=-1.0)
     inv2_premium_over_inflation_volatility: float = Field(..., ge=0.0)
+    # Annual expense ratio on asset 2 (see inv1_expense_ratio_annual);
+    # applied to the whole asset return (inflation x premium x (1-ratio)
+    # per year), folded into the premium drift.
+    inv2_expense_ratio_annual: float = Field(0.0, ge=0.0, lt=1.0)
     inv2_annual_tax_on_gains_rate: float = Field(..., ge=0.0, le=1.0)
     inv2_realized_gains_tax_rate: float = Field(0.0, ge=0.0, le=1.0)
     inv2_use_realized_gains_tax_system: bool = Field(True)
@@ -165,6 +225,9 @@ class Config(BaseModel):
     # Dynamic spending rule (extension): None keeps the reference's fixed
     # real spending bit for bit; see SpendingGuardrailsConfig.
     spending_guardrails: Optional[SpendingGuardrailsConfig] = Field(None)
+    # Jump-diffusion crash risk (extension): None keeps the reference's
+    # pure-lognormal returns bit for bit; see MarketCrashConfig.
+    market_crashes: Optional[MarketCrashConfig] = Field(None)
     # Retained for config-file compatibility; the TPU engine parallelises over
     # devices instead of processes (reference used a multiprocessing.Pool).
     num_processes: Optional[int] = Field(1, ge=1)

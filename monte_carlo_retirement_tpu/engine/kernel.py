@@ -44,7 +44,7 @@ from jax import lax
 
 from ..constants import MONTHS_PER_YEAR, SMALL_EPSILON
 from ..models.retirement import SimParams
-from ..ops.shocks import monthly_gross_factors, monthly_shocks
+from ..ops.shocks import monthly_gross_factors, monthly_jump_draws, monthly_shocks
 from ..ops.tax import (
     apply_annual_gain_taxes,
     fail_rtol,
@@ -111,6 +111,7 @@ class _Carry(NamedTuple):
         "traj_len",
         "dtype",
         "antithetic",
+        "jumps",
     ),
 )
 def simulate_paths(
@@ -124,6 +125,7 @@ def simulate_paths(
     traj_len: int,
     dtype,
     antithetic: bool = False,
+    jumps: bool = False,
 ) -> PathOutputs:
     """Simulate ``n_paths`` full lifetimes with ``working_months`` (traced).
 
@@ -133,6 +135,10 @@ def simulate_paths(
     ``antithetic`` selects paired sampling (ops/shocks.monthly_shocks): path
     2i+1 simulates under the negated shocks of path 2i — a variance-reduction
     extension the reference lacks; the month math is untouched.
+    ``jumps`` compiles in the market-crash jump draws (config.market_crashes,
+    another extension): the jump stream is a disjoint fold_in counter space,
+    so the base shocks — and every result when the rule-off sentinel
+    parameters are passed — are unchanged bit for bit.
     """
     p = params
     R = retirement_years
@@ -195,11 +201,26 @@ def simulate_paths(
         z_eq, z_inf, z_prem = monthly_shocks(
             stream_key, m, n_paths, f(p.rho), dtype, antithetic=antithetic
         )
-        return monthly_gross_factors(
+        g1, gi, g2 = monthly_gross_factors(
             z_eq, z_inf, z_prem,
             f(p.mu1), f(p.sigma1), f(p.mu_inf), f(p.sigma_inf),
             f(p.mu_prem), f(p.sigma_prem),
         )
+        if jumps:
+            # Market-crash jump (config.market_crashes): compensated so the
+            # mean gross return is unchanged — see MarketCrashConfig. The
+            # p=0 sentinel makes J == 0 and comp == 0, so g * exp(0) == g
+            # bit-exactly (grid rows without crashes stay exact inside a
+            # jumps-on executable).
+            u, z_j = monthly_jump_draws(
+                stream_key, m, n_paths, dtype, antithetic=antithetic
+            )
+            j_log = jnp.where(
+                u < f(p.jump_p), f(p.jump_mu) + f(p.jump_sigma) * z_j, f(0.0)
+            )
+            g1 = g1 * jnp.exp(j_log - f(p.jump_comp1))
+            g2 = g2 * jnp.exp(f(p.jump_beta) * j_log - f(p.jump_comp2))
+        return g1, gi, g2
 
     # Allocation target by month: linear glide alloc1 -> alloc1_final over
     # the working months, alloc1_final held through retirement (extension —

@@ -102,8 +102,9 @@ PALLAS_MAX_TRAJ_LEN = 256
     F_R_REAL2, F_R_ANN2,
     F_ALLOC1_F,
     F_GR_UP, F_GR_LO, F_GR_ADJ, F_GR_FLOOR, F_GR_CAP,
+    F_JP, F_JMU, F_JSIG, F_JBETA, F_JC1, F_JC2,
     NUM_FPARAMS,
-) = range(24)
+) = range(30)
 
 # iparams vector layout (int32, SMEM). I_BLOCK_OFF shifts the per-block PRNG
 # seed index: on a sharded mesh every device passes its global block offset,
@@ -158,6 +159,14 @@ class Statics(NamedTuple):
     # the planned WR crosses a band. Compile-time: off drops the multiplier
     # carry slot and every year-start band op from the kernel.
     guardrails: bool = False
+    # Market-crash jumps (config.market_crashes is not None): each month
+    # draws one extra uniform + normal for the compensated jump factor.
+    # Compile-time because the flag changes the PRNG draw COUNT per month —
+    # the crash-free kernel's bit stream (and executable) is untouched.
+    # Like `antithetic`, one grid dispatch cannot mix it (grid_statics
+    # enforces uniformity); p=0 sentinel rows inside a jumps-on executable
+    # are exact no-ops of THAT executable's (shifted) stream.
+    jumps: bool = False
 
 
 def statics_from_config(config) -> Statics:
@@ -179,6 +188,7 @@ def statics_from_config(config) -> Statics:
         antithetic=bool(getattr(config, "antithetic", False)),
         glide=getattr(config, "allocation_inv1_final_pct", None) is not None,
         guardrails=getattr(config, "spending_guardrails", None) is not None,
+        jumps=getattr(config, "market_crashes", None) is not None,
     )
 
 
@@ -212,6 +222,10 @@ def _check_grid_statics(params_batch: SimParams, statics: Statics) -> None:
         )
         # Same for guardrails: adjustment > 0 marks a row with a live rule.
         gr_rows = _np.asarray(params_batch.gr_adjust) > 0.0
+        # And for jumps: p > 0 marks a live crash rule. The flag changes
+        # the PRNG draw structure, so a live row under a jumps-off
+        # executable would silently simulate crash-free.
+        jump_rows = _np.asarray(params_batch.jump_p) > 0.0
     except Exception:
         return  # tracers: cannot inspect values here
     want_idx = _np.asarray(statics.stream_indexed, dtype=bool)
@@ -223,6 +237,7 @@ def _check_grid_statics(params_batch: SimParams, statics: Statics) -> None:
         and bool(((~u2 & a2) == statics.bill2).all())
         and (statics.glide or not bool(glide_rows.any()))
         and (statics.guardrails or not bool(gr_rows.any()))
+        and (statics.jumps or not bool(jump_rows.any()))
     )
     if ok and want_idx.size:
         # Fail loudly on a stream-count mismatch — reshape would otherwise
@@ -267,6 +282,15 @@ def _normal(shape):
     for c in _ZPOLY[1:]:
         acc = acc * s + c
     return acc * x
+
+
+def _uniform(shape):
+    """One uniform on [0, 1 - 2^-23] per lane (23 random bits, exact f32)."""
+    bits = pltpu.prng_random_bits(shape)
+    r = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.int32), jnp.int32(9)
+    ).astype(jnp.float32)
+    return r * jnp.float32(1.0 / (1 << 23))
 
 
 def _make_kernel(
@@ -400,6 +424,29 @@ def _make_kernel(
             if antithetic:
                 return z0 * z_sign, z1 * z_sign, z2 * z_sign
             return z0, z1, z2
+
+        def draw_jump(m):
+            """Crash draws (u, z_j); the device PRNG consumes them right
+            after the month's three base normals (fixed order). Interpret
+            mode folds months at a disjoint offset, mirroring the scan
+            kernel's jump stream structure."""
+            if with_shocks:
+                return shocks_ref[m - 1, 3], shocks_ref[m - 1, 4]
+            if interpret:
+                kj = jax.random.fold_in(sw_key, m + (1 << 20))
+                u = jax.random.uniform(kj, shape, jnp.float32)
+                zj = jax.random.normal(
+                    jax.random.fold_in(kj, 1), shape, jnp.float32
+                )
+            else:
+                u = _uniform(shape)
+                zj = _normal(shape)
+            if antithetic:
+                # Mirror the pair: z negates, u reflects (occurrences
+                # anti-correlate; both stay marginally correct).
+                u = jnp.where(z_sign > 0, u, 1.0 - u)
+                zj = zj * z_sign
+            return u, zj
 
         alloc1 = f(F_ALLOC1)
         if st_.glide:
@@ -584,9 +631,24 @@ def _make_kernel(
             else:
                 z_eq, z_ind, z_prem = draw_normals(m)
             z_inf = f(F_RHO) * z_eq + f(F_RHO_C) * z_ind
-            g1 = jnp.exp(f(F_MU1_M) + f(F_S1_M) * z_eq)
-            gi = jnp.exp(f(F_MUI_M) + f(F_SI_M) * z_inf)
-            gp = jnp.exp(f(F_MUP_M) + f(F_SP_M) * z_prem)
+            if st_.jumps:
+                # Compensated market-crash jump (config.market_crashes):
+                # folded into the exponents, so a crash month costs two
+                # extra draws and a handful of VPU flops — no extra exps.
+                u, z_j = draw_jump(m)
+                jl = jnp.where(u < f(F_JP), f(F_JMU) + f(F_JSIG) * z_j, 0.0)
+                g1 = jnp.exp(
+                    f(F_MU1_M) + f(F_S1_M) * z_eq + (jl - f(F_JC1))
+                )
+                gi = jnp.exp(f(F_MUI_M) + f(F_SI_M) * z_inf)
+                gp = jnp.exp(
+                    f(F_MUP_M) + f(F_SP_M) * z_prem
+                    + (f(F_JBETA) * jl - f(F_JC2))
+                )
+            else:
+                g1 = jnp.exp(f(F_MU1_M) + f(F_S1_M) * z_eq)
+                gi = jnp.exp(f(F_MUI_M) + f(F_SI_M) * z_inf)
+                gp = jnp.exp(f(F_MUP_M) + f(F_SP_M) * z_prem)
             return g1, gi, gi * gp
 
         # ------------------------------------------------------------------
@@ -987,6 +1049,12 @@ def _pack_params(
             params.gr_adjust.astype(f32),
             params.gr_floor.astype(f32),
             params.gr_cap.astype(f32),
+            params.jump_p.astype(f32),
+            params.jump_mu.astype(f32),
+            params.jump_sigma.astype(f32),
+            params.jump_beta.astype(f32),
+            params.jump_comp1.astype(f32),
+            params.jump_comp2.astype(f32),
         ]
     )
     w = jnp.asarray(working_months, jnp.int32).reshape(-1)  # (K,) candidates

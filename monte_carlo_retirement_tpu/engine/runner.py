@@ -480,6 +480,7 @@ class Engine:
                     dtype=self.dtype,
                     mesh=self.mesh,
                     antithetic=self.statics.antithetic,
+                    jumps=self.statics.jumps,
                 )
             out.extend(float(v) for v in np.asarray(probs)[: len(chunk)])
         log.debug(
@@ -618,6 +619,7 @@ class Engine:
                 dtype=self.dtype,
                 mesh=self.mesh,
                 antithetic=self.statics.antithetic,
+                jumps=self.statics.jumps,
             )
             if reduced:
                 dev_bins = _serving_bins_jit(outs)
@@ -871,7 +873,7 @@ class Engine:
 
 
 def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype, mesh,
-                antithetic=False):
+                antithetic=False, jumps=False):
     def one(w):
         outs = simulate_paths(
             params,
@@ -883,6 +885,7 @@ def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype, me
             traj_len=0,
             dtype=dtype,
             antithetic=antithetic,
+            jumps=jumps,
         )
         return outs.success
 
@@ -901,13 +904,13 @@ def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype, me
 _probe_jit = jax.jit(
     _probe_impl,
     static_argnames=("n_paths", "t_scan", "retirement_years", "dtype", "mesh",
-                     "antithetic"),
+                     "antithetic", "jumps"),
 )
 
 
 def _run_impl(
     params, w, key, sample_idx, n_paths, t_scan, retirement_years, traj_len, dtype,
-    mesh, antithetic=False,
+    mesh, antithetic=False, jumps=False,
 ):
     outs = simulate_paths(
         params,
@@ -919,6 +922,7 @@ def _run_impl(
         traj_len=traj_len,
         dtype=dtype,
         antithetic=antithetic,
+        jumps=jumps,
     )
     if mesh is not None:
         from ..parallel.mesh import constrain_paths_axis
@@ -930,7 +934,7 @@ def _run_impl(
 _run_jit = jax.jit(
     _run_impl,
     static_argnames=("n_paths", "t_scan", "retirement_years", "traj_len", "dtype",
-                     "mesh", "antithetic"),
+                     "mesh", "antithetic", "jumps"),
 )
 
 _summarize_jit = jax.jit(summarize)

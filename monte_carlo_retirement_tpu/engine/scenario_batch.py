@@ -130,6 +130,13 @@ def run_scenario_batch(
             "all configs in a scenario batch must share 'antithetic' "
             "(sampling mode is compile-time structure)"
         )
+    # Crash jumps draw from a DISJOINT fold_in stream on the scan path, so a
+    # mixed batch is fine here: p=0 sentinel rows are exact no-ops and the
+    # base shocks are untouched either way. (The Pallas grid path cannot
+    # mix — grid_statics enforces uniformity there.)
+    jumps = any(
+        getattr(c, "market_crashes", None) is not None for c in configs
+    )
 
     stats = _batch_jit(
         params,
@@ -140,6 +147,7 @@ def run_scenario_batch(
         retirement_years=R,
         dtype=dtype,
         antithetic=anti.pop(),
+        jumps=jumps,
     )
     # jax.device_get batches the tree into ONE tunnel round trip; per-leaf
     # np.asarray would pay ~30 ms per leaf (see docs/NOTES.md).
@@ -170,7 +178,7 @@ def _grid_stats(success_f32, final, n_paths: int):
 
 
 def _batch_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype,
-                antithetic=False):
+                antithetic=False, jumps=False):
     def one(p, w):
         outs = simulate_paths(
             p,
@@ -182,6 +190,7 @@ def _batch_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype,
             traj_len=0,
             dtype=dtype,
             antithetic=antithetic,
+            jumps=jumps,
         )
         return outs.success.astype(jnp.float32), outs.final_balance
 
@@ -192,7 +201,7 @@ def _batch_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype,
 _batch_jit = jax.jit(
     _batch_impl,
     static_argnames=("n_paths", "t_scan", "retirement_years", "dtype",
-                     "antithetic"),
+                     "antithetic", "jumps"),
 )
 
 _grid_stats_jit = jax.jit(_grid_stats, static_argnames=("n_paths",))

@@ -70,6 +70,8 @@ SENSITIVITY_PARAMS: Dict[str, ParamSpec] = {
     "allocation_inv1_final_pct": ParamSpec(0.0, 1.0, "rate", 0.0),
     "inv1_returns_mean": ParamSpec(-0.999, _INF, "rate", 0.0),
     "inv1_returns_volatility": ParamSpec(0.0, _INF, "rate", 0.0),
+    "inv1_expense_ratio_annual": ParamSpec(0.0, 0.999, "rate", 0.0),
+    "inv2_expense_ratio_annual": ParamSpec(0.0, 0.999, "rate", 0.0),
     "inv1_annual_tax_on_gains_rate": ParamSpec(0.0, 1.0, "rate", 0.0),
     "inv1_realized_gains_tax_rate": ParamSpec(0.0, 1.0, "rate", 0.0),
     "inv2_premium_over_inflation_mean": ParamSpec(-0.999, _INF, "rate", 0.0),
@@ -89,6 +91,15 @@ SENSITIVITY_PARAMS: Dict[str, ParamSpec] = {
     "spending_guardrails.adjustment_pct": ParamSpec(1e-6, 50.0, "dollar", 1.0),
     "spending_guardrails.floor_pct": ParamSpec(0.0, 100.0, "dollar", 1.0),
     "spending_guardrails.cap_pct": ParamSpec(100.0, _INF, "dollar", 1.0),
+    # Market-crash parameters (dotted paths; FD-only like every dotted
+    # name — the crash indicator u < p is a step function, so forward-mode
+    # AD would see derivative 0 in the frequency anyway). Probing requires
+    # market_crashes set on the base config (flipping it on/off is a
+    # Statics / draw-structure change).
+    "market_crashes.frequency_per_year": ParamSpec(0.0, 12.0, "dollar", 0.1),
+    "market_crashes.mean_drop_pct": ParamSpec(1e-6, 99.99, "dollar", 1.0),
+    "market_crashes.size_volatility": ParamSpec(0.0, 2.0, "rate", 0.0),
+    "market_crashes.inv2_beta": ParamSpec(0.0, 1.0, "rate", 0.0),
 }
 
 
@@ -355,6 +366,17 @@ _AD_LOGNORMAL = {
     ): ("mu_prem", "sigma_prem"),
 }
 
+# Expense-ratio fields fold into the drift of their lognormal group
+# (SimParams.host_leaves: mu += log1p(-ratio)); the inflation group has none.
+_AD_FEES = {
+    ("inv1_returns_mean", "inv1_returns_volatility"):
+        "inv1_expense_ratio_annual",
+    (
+        "inv2_premium_over_inflation_mean",
+        "inv2_premium_over_inflation_volatility",
+    ): "inv2_expense_ratio_annual",
+}
+
 # Direct scalar mappings config-field -> SimParams leaf.
 _AD_DIRECT = {
     "initial_balance": "initial_balance",
@@ -404,10 +426,20 @@ def _params_from_theta(config: Config, names: Sequence[str], theta, dtype):
     ):
         updates["alloc1_final"] = updates["alloc1"]
     for (mean_n, vol_n), (mu_leaf, sigma_leaf) in _AD_LOGNORMAL.items():
-        if mean_n in names or vol_n in names:
+        fee_n = _AD_FEES.get((mean_n, vol_n))
+        if (
+            mean_n in names or vol_n in names
+            or (fee_n is not None and fee_n in names)
+        ):
             mu, sigma = _log_params_ad(
                 jnp.asarray(values[mean_n], dtype), jnp.asarray(values[vol_n], dtype)
             )
+            if fee_n is not None:
+                # Fold the expense-ratio drag exactly as host_leaves does,
+                # at the theta value (differentiable when the fee IS theta).
+                mu = mu + jnp.log1p(
+                    -jnp.asarray(values.get(fee_n, 0.0), dtype)
+                )
             updates[mu_leaf] = mu
             updates[sigma_leaf] = sigma
     return base._replace(**updates)
@@ -445,6 +477,7 @@ def _ad_jit(config: Config, names: tuple, num_paths: int, w: int,
             traj_len=0,
             dtype=dtype,
             antithetic=bool(config.antithetic),
+            jumps=getattr(config, "market_crashes", None) is not None,
         )
         return jnp.mean(outs.final_balance)
 

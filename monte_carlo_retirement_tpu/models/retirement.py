@@ -106,6 +106,18 @@ class SimParams(NamedTuple):
     gr_floor: jnp.ndarray  # multiplier floor, fraction of plan
     gr_cap: jnp.ndarray  # multiplier cap, fraction of plan
 
+    # Market-crash jumps (config.market_crashes; rule existence is
+    # compile-time — Statics.jumps / the scan kernel's static flag — so the
+    # crash-free kernel draws nothing extra). Rule-off sentinels (p=0,
+    # mu=sigma=beta=comp=0) make every jump term an exact no-op inside a
+    # jumps-on executable, which grid guards use to detect live rows.
+    jump_p: jnp.ndarray  # monthly crash probability (frequency / 12)
+    jump_mu: jnp.ndarray  # log median jump factor, log(1 - drop/100) <= 0
+    jump_sigma: jnp.ndarray  # log jump size dispersion
+    jump_beta: jnp.ndarray  # asset-2 loading of the log jump
+    jump_comp1: jnp.ndarray  # monthly log compensator, asset 1
+    jump_comp2: jnp.ndarray  # monthly log compensator, asset 2
+
     stream_amount: jnp.ndarray  # (n_streams,) monthly amount in T=0 dollars
     stream_months_from_t0: jnp.ndarray  # (n_streams,) (start_age - age) * 12
     stream_duration_months: jnp.ndarray  # (n_streams,) +inf when indefinite
@@ -141,6 +153,12 @@ class SimParams(NamedTuple):
             config.inv2_premium_over_inflation_mean,
             config.inv2_premium_over_inflation_volatility,
         )
+        # Expense ratios (extension): an annual fee deducted inside the
+        # fund is exactly a drift shift of log(1 - ratio) per year — the
+        # kernels never see it. log1p(-0.0) == 0.0, so the fee-free default
+        # leaves the drifts bit-identical.
+        mu1 += math.log1p(-getattr(config, "inv1_expense_ratio_annual", 0.0))
+        mup += math.log1p(-getattr(config, "inv2_expense_ratio_annual", 0.0))
         streams = prune_streams(config)
         n = len(streams)
         amounts = np.array([s.monthly_amount_today for s in streams], dtype=np.float64)
@@ -162,6 +180,25 @@ class SimParams(NamedTuple):
         indexed = np.array([s.inflation_indexed for s in streams], dtype=bool)
         taxes = np.array([s.tax_rate for s in streams], dtype=np.float64)
         gr = getattr(config, "spending_guardrails", None)
+        mc = getattr(config, "market_crashes", None)
+        if mc is None:
+            jp = jmu = jsig = jbeta = jc1 = jc2 = 0.0
+        else:
+            # Exact compensators keep E[monthly gross] at the configured
+            # mean: E[exp(a*J)] over Bernoulli(p) x Normal(mu, sigma) is
+            # 1 - p + p * exp(a*mu + (a*sigma)^2 / 2). Computed in float64
+            # host-side with the same expression the test oracle uses.
+            jp = mc.frequency_per_year / MONTHS_PER_YEAR
+            jmu = math.log(1.0 - mc.mean_drop_pct / 100.0)
+            jsig = mc.size_volatility
+            jbeta = mc.inv2_beta
+            jc1 = math.log(
+                (1.0 - jp) + jp * math.exp(jmu + 0.5 * jsig * jsig)
+            )
+            jc2 = math.log(
+                (1.0 - jp)
+                + jp * math.exp(jbeta * jmu + 0.5 * (jbeta * jsig) ** 2)
+            )
 
         f = lambda x: np.asarray(x, dtype=np.dtype(dtype))
         return SimParams(
@@ -193,6 +230,12 @@ class SimParams(NamedTuple):
             gr_adjust=f(0.0 if gr is None else gr.adjustment_pct / 100.0),
             gr_floor=f(1.0 if gr is None else gr.floor_pct / 100.0),
             gr_cap=f(1.0 if gr is None else gr.cap_pct / 100.0),
+            jump_p=f(jp),
+            jump_mu=f(jmu),
+            jump_sigma=f(jsig),
+            jump_beta=f(jbeta),
+            jump_comp1=f(jc1),
+            jump_comp2=f(jc2),
             stream_amount=f(amounts.reshape(n)),
             stream_months_from_t0=f(from_t0.reshape(n)),
             stream_duration_months=f(durations.reshape(n)),

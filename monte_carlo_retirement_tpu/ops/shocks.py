@@ -82,6 +82,49 @@ def monthly_shocks(
     return z_eq, z_inf, z_prem
 
 
+# The jump stream folds months at this offset so the base shock stream above
+# (fold_in(stream_key, month), months <= ~1440) is untouched whether or not
+# crashes are configured — the off-path stays bit-identical by construction.
+JUMP_FOLD_OFFSET = 1 << 20
+
+
+def monthly_jump_draws(
+    stream_key: jax.Array,
+    month: jnp.ndarray,
+    n_paths: int,
+    dtype,
+    antithetic: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Crash draws for one month: (u, z) with u ~ U[0,1), z ~ N(0,1).
+
+    Drawn from ``fold_in(stream_key, JUMP_FOLD_OFFSET + month)`` — a counter
+    space disjoint from the base shocks, so configs without crashes consume
+    exactly the same base stream (CRN across candidates holds for the same
+    reason it does for the base draws: the key depends only on
+    (stream, month) and path p reads row p).
+
+    ``antithetic`` pairs adjacent paths like ``monthly_shocks``: path 2i+1
+    mirrors path 2i's draws (z negated, u -> 1-u, so crash occurrences
+    anti-correlate while staying Bernoulli(p) marginally). Even paths read
+    draw row p//2, preserving the even-half == half-size-iid-run identity.
+    """
+    key_m = jax.random.fold_in(stream_key, JUMP_FOLD_OFFSET + month)
+    ku, kz = jax.random.split(key_m)
+    if antithetic:
+        n_half = (n_paths + 1) // 2
+        u = jax.random.uniform(ku, (n_half,), dtype=dtype)
+        z = jax.random.normal(kz, (n_half,), dtype=dtype)
+        odd = jnp.arange(n_paths) % 2 == 1
+        u = jnp.repeat(u, 2)[:n_paths]
+        z = jnp.repeat(z, 2)[:n_paths]
+        u = jnp.where(odd, 1.0 - u, u)
+        z = jnp.where(odd, -z, z)
+    else:
+        u = jax.random.uniform(ku, (n_paths,), dtype=dtype)
+        z = jax.random.normal(kz, (n_paths,), dtype=dtype)
+    return u, z
+
+
 def monthly_gross_factors(
     z_eq: jnp.ndarray,
     z_inf: jnp.ndarray,

@@ -128,9 +128,12 @@ def _annual_taxes(state: PathState, alloc1: float) -> bool:
 
 
 def simulate_path_oracle(
-    config: Config, working_months: int, shocks: np.ndarray
+    config: Config, working_months: int, shocks: np.ndarray,
+    jump_shocks: np.ndarray | None = None,
 ) -> dict:
     """One lifetime; shocks is (T, 3) of raw independent standard normals.
+    ``jump_shocks`` (required iff config.market_crashes is set) is (T, 2) of
+    (uniform, standard normal) crash draws per month.
 
     Also produces the yearly series: nominal trajectory (initial value, each
     completed working year post-tax, the retirement date for partial working
@@ -145,6 +148,12 @@ def simulate_path_oracle(
     mup, sp = arithmetic_to_log_params(
         c.inv2_premium_over_inflation_mean, c.inv2_premium_over_inflation_volatility
     )
+    # Expense ratios (extension): annual drift drag, same expression as
+    # SimParams.host_leaves so the f64 differential stays exact.
+    from math import log1p
+
+    mu1 += log1p(-getattr(c, "inv1_expense_ratio_annual", 0.0))
+    mup += log1p(-getattr(c, "inv2_expense_ratio_annual", 0.0))
     rho = c.equity_inflation_correlation
     rho_c = sqrt(max(0.0, 1.0 - rho * rho))
     alloc1 = c.allocation_inv1_pct
@@ -160,6 +169,21 @@ def simulate_path_oracle(
     # Spending guardrails (extension): year-start multiplier updates; the
     # rule-off sentinels (upper=inf, lower=0, adjust=0, floor=cap=1) make
     # every update an exact no-op, mirroring the kernels.
+    # Market crashes (extension): compensated Bernoulli-lognormal jump on
+    # the gross factors, same expressions as SimParams.host_leaves / the
+    # kernels' growth step so the f64 differential stays exact.
+    mc = getattr(c, "market_crashes", None)
+    if mc is None:
+        jp = jmu = jsig = jbeta = jc1 = jc2 = 0.0
+    else:
+        from math import log
+
+        jp = mc.frequency_per_year / MPY
+        jmu = log(1.0 - mc.mean_drop_pct / 100.0)
+        jsig = mc.size_volatility
+        jbeta = mc.inv2_beta
+        jc1 = log((1.0 - jp) + jp * exp(jmu + 0.5 * jsig * jsig))
+        jc2 = log((1.0 - jp) + jp * exp(jbeta * jmu + 0.5 * (jbeta * jsig) ** 2))
     gr = getattr(c, "spending_guardrails", None)
     gr_upper = float("inf") if gr is None else gr.upper_wr_pct / 100.0
     gr_lower = 0.0 if gr is None else gr.lower_wr_pct / 100.0
@@ -189,6 +213,11 @@ def simulate_path_oracle(
         g1 = exp(mu1 / MPY + s1 / sqrt(MPY) * z_eq)
         gi = exp(mui / MPY + si / sqrt(MPY) * z_inf)
         g2 = gi * exp(mup / MPY + sp / sqrt(MPY) * z_prem)
+        if mc is not None:
+            u, z_j = jump_shocks[m_idx]
+            jl = (jmu + jsig * z_j) if u < jp else 0.0
+            g1 = g1 * exp(jl - jc1)
+            g2 = g2 * exp(jbeta * jl - jc2)
         st.a1.gain_acc += st.a1.balance * (g1 - 1.0)
         st.a2.gain_acc += st.a2.balance * (g2 - 1.0)
         st.a1.balance *= g1

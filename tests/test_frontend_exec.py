@@ -1048,6 +1048,49 @@ def test_editor_guardrails_section_toggle_and_fields():
     assert cfg["spending_guardrails"] is None
 
 
+def test_editor_crashes_section_toggle_and_fields():
+    """The Market risk section: enabling writes the nested market_crashes
+    defaults the engine validates, fields edit the nested object, disabling
+    nulls it (the reference's pure-lognormal returns)."""
+    fe = _boot()
+    doc = fe.document
+    editor = fe.modules["app.js"].lookup("editor")
+
+    def find_toggle():
+        for lbl in doc.getElementById("config-editor").getElementsByTagName(
+            "label"
+        ):
+            if "Market crashes" in lbl.textContent:
+                return lbl.getElementsByTagName("input")[0]
+        raise AssertionError("market-crash toggle not rendered")
+
+    toggle = find_toggle()
+    assert not toggle.checked
+    toggle.checked = True
+    toggle.dispatch(fe.interp, "change")
+    cfg = fe.interp.get_member(editor, "config")
+    assert cfg["market_crashes"]["frequency_per_year"] == 0.25
+    assert cfg["market_crashes"]["mean_drop_pct"] == 20
+
+    field = None
+    for lbl in doc.getElementById("config-editor").getElementsByTagName(
+        "label"
+    ):
+        if lbl.textContent.startswith("Median drop"):
+            field = lbl.parentNode.getElementsByTagName("input")[0]
+    assert field is not None, "crash fields not rendered when enabled"
+    field.value = "35"
+    field.dispatch(fe.interp, "change")
+    cfg = fe.interp.get_member(editor, "config")
+    assert cfg["market_crashes"]["mean_drop_pct"] == 35
+
+    toggle = find_toggle()  # re-rendered after enabling
+    toggle.checked = False
+    toggle.dispatch(fe.interp, "change")
+    cfg = fe.interp.get_member(editor, "config")
+    assert cfg["market_crashes"] is None
+
+
 def test_editor_stream_add_remove_and_reset():
     fe = _boot()
     doc = fe.document

@@ -16,6 +16,7 @@ from monte_carlo_retirement_tpu.ops.shocks import stream_keys
 from monte_carlo_retirement_tpu.timing import expected_trajectory_length
 from tests.conftest import make_config
 from tests.oracle import simulate_path_oracle
+from tests.test_crashes import _jump_draws_np
 
 N_PATHS = 16
 
@@ -52,10 +53,24 @@ def _random_config(rng: np.random.Generator, extensions: bool = True):
             "cap_pct": float(rng.uniform(120.0, 250.0)),
         }
     )
+    crashes = (
+        None if rng.random() < 0.67 else {
+            "frequency_per_year": float(rng.uniform(0.1, 4.0)),
+            "mean_drop_pct": float(rng.uniform(5.0, 50.0)),
+            "size_volatility": float(rng.uniform(0.0, 0.6)),
+            "inv2_beta": float(rng.uniform(0.0, 1.0)),
+        }
+    )
+    fee1 = 0.0 if rng.random() < 0.5 else float(rng.uniform(0.0, 0.02))
+    fee2 = 0.0 if rng.random() < 0.5 else float(rng.uniform(0.0, 0.02))
     if not extensions:
         glide = None
         guardrails = None
+        crashes = None
+        fee1 = fee2 = 0.0
     return make_config(
+        inv1_expense_ratio_annual=fee1,
+        inv2_expense_ratio_annual=fee2,
         initial_balance=float(rng.uniform(0, 400_000)),
         monthly_contribution=float(rng.uniform(0, 6000)),
         contribution_growth_rate_annual=float(rng.uniform(0, 0.06)),
@@ -68,6 +83,7 @@ def _random_config(rng: np.random.Generator, extensions: bool = True):
         # third, with bands around plausible WRs so both triggers fire.
         allocation_inv1_final_pct=glide,
         spending_guardrails=guardrails,
+        market_crashes=crashes,
         inv1_returns_mean=float(rng.uniform(-0.05, 0.15)),
         inv1_returns_volatility=float(rng.uniform(0, 0.25)),
         inv1_annual_tax_on_gains_rate=float(rng.uniform(0, 0.4)),
@@ -95,6 +111,7 @@ def test_engine_matches_oracle_on_random_scenarios(case):
     T = working_months + 12 * R
 
     params = SimParams.from_config(cfg, dtype=jnp.float64)
+    jumps = cfg.market_crashes is not None
     _, key = stream_keys(cfg.seed)
     outs = simulate_paths(
         params,
@@ -105,6 +122,7 @@ def test_engine_matches_oracle_on_random_scenarios(case):
         retirement_years=R,
         traj_len=0,
         dtype=jnp.float64,
+        jumps=jumps,
     )
 
     # The exact same raw draws the kernel consumed, per path.
@@ -119,10 +137,14 @@ def test_engine_matches_oracle_on_random_scenarios(case):
         ]
     )  # (T, N_PATHS, 3)
 
+    jd = _jump_draws_np(key, T, N_PATHS) if jumps else None
     succ = np.asarray(outs.success)
     final = np.asarray(outs.final_balance)
     for p in range(N_PATHS):
-        expected = simulate_path_oracle(cfg, working_months, shocks[:, p, :])
+        expected = simulate_path_oracle(
+            cfg, working_months, shocks[:, p, :],
+            jump_shocks=None if jd is None else jd[:, p, :],
+        )
         assert bool(succ[p]) == expected["success"], (
             f"case {case} path {p}: engine={bool(succ[p])} "
             f"oracle={expected['success']} (W={working_months})"
@@ -142,6 +164,7 @@ def test_engine_full_outputs_match_oracle(case):
     T = working_months + 12 * R
 
     params = SimParams.from_config(cfg, dtype=jnp.float64)
+    jumps = cfg.market_crashes is not None
     _, key = stream_keys(cfg.seed)
     L = expected_trajectory_length(working_months, R)
     outs = simulate_paths(
@@ -153,6 +176,7 @@ def test_engine_full_outputs_match_oracle(case):
         retirement_years=R,
         traj_len=L,
         dtype=jnp.float64,
+        jumps=jumps,
     )
     shocks = np.stack(
         [
@@ -164,8 +188,12 @@ def test_engine_full_outputs_match_oracle(case):
             for m in range(1, T + 1)
         ]
     )
+    jd = _jump_draws_np(key, T, N_PATHS) if jumps else None
     for p in range(N_PATHS):
-        expected = simulate_path_oracle(cfg, working_months, shocks[:, p, :])
+        expected = simulate_path_oracle(
+            cfg, working_months, shocks[:, p, :],
+            jump_shocks=None if jd is None else jd[:, p, :],
+        )
         assert np.asarray(outs.start_balance)[p] == pytest.approx(
             expected["start_balance"], rel=1e-9, abs=1e-6
         )
