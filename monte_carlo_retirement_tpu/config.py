@@ -149,6 +149,64 @@ class MarketCrashConfig(BaseModel):
     )
 
 
+class LongevityConfig(BaseModel):
+    """Stochastic lifespan (extension — the reference funds a fixed
+    ``retirement_years`` horizon): each path draws a remaining lifetime at
+    the retirement date from a Gompertz law conditioned on having survived
+    to that age, and success becomes "the money outlasted the owner".
+
+    Precise semantics (both kernels + the test oracle implement this):
+      * per path draw ONE uniform u from a stream disjoint from the base
+        shocks (the base draws are bit-identical with the rule on or off);
+      * remaining lifetime in months at retirement age ``x_ret``:
+        ``t = 12*b * ln(1 - ln(u) * exp((mode_age - x_ret)/b))`` — the exact
+        Gompertz inverse-survival with dispersion ``b`` — capped at
+        ``(max_age - x_ret) * 12``; small u = long life, so antithetic
+        pairing (u -> 1-u) anti-correlates lifespans;
+      * the path spends normally through retirement months ``k <= t`` and
+        then stops: expenses and income streams end with the owner, while
+        the estate stays invested (growth, rebalancing and annual taxes
+        continue) so the final balance is the bequest at the plan horizon;
+      * ruin can only happen while the owner is alive — a path that would
+        have run out of money after death counts as a success — and
+        withdrawal-rate observations exist only for fully-lived years
+        (later years are NaN, like the reference's post-ruin years).
+
+    The same uniform is reused across working-month candidates (CRN), so a
+    candidate that retires later samples the SAME longevity percentile
+    conditioned on the later age — search curves stay smooth.
+    """
+
+    mode_age: float = Field(
+        ..., gt=0.0, le=120.0,
+        description=(
+            "Gompertz modal age at death (the most likely age to die; "
+            "~86-90 for current annuitant tables)."
+        ),
+    )
+    dispersion_years: float = Field(
+        10.0, ge=1.0, le=30.0,
+        description=(
+            "Gompertz dispersion b in years (~9-11 for human mortality; "
+            "larger = more lifespan uncertainty)."
+        ),
+    )
+    max_age: float = Field(
+        120.0, gt=0.0, le=130.0,
+        description="Hard cap: lifetimes truncate at this age.",
+    )
+
+    @field_validator("max_age")
+    @classmethod
+    def _cap_above_mode(cls, v: float, info: ValidationInfo) -> float:
+        mode = info.data.get("mode_age")
+        if mode is not None and v <= mode:
+            raise ValueError(
+                f"max_age ({v}) must exceed mode_age ({mode})"
+            )
+        return v
+
+
 class Config(BaseModel):
     """Scenario configuration (same JSON schema as the reference config.json)."""
 
@@ -228,6 +286,9 @@ class Config(BaseModel):
     # Jump-diffusion crash risk (extension): None keeps the reference's
     # pure-lognormal returns bit for bit; see MarketCrashConfig.
     market_crashes: Optional[MarketCrashConfig] = Field(None)
+    # Stochastic lifespan (extension): None keeps the reference's fixed
+    # retirement horizon bit for bit; see LongevityConfig.
+    longevity: Optional[LongevityConfig] = Field(None)
     # Retained for config-file compatibility; the TPU engine parallelises over
     # devices instead of processes (reference used a multiprocessing.Pool).
     num_processes: Optional[int] = Field(1, ge=1)

@@ -44,7 +44,13 @@ from jax import lax
 
 from ..constants import MONTHS_PER_YEAR, SMALL_EPSILON
 from ..models.retirement import SimParams
-from ..ops.shocks import monthly_gross_factors, monthly_jump_draws, monthly_shocks
+from ..ops.shocks import (
+    gompertz_remaining_months,
+    monthly_gross_factors,
+    monthly_jump_draws,
+    monthly_shocks,
+    mortality_uniform,
+)
 from ..ops.tax import (
     apply_annual_gain_taxes,
     fail_rtol,
@@ -112,6 +118,7 @@ class _Carry(NamedTuple):
         "dtype",
         "antithetic",
         "jumps",
+        "mortality",
     ),
 )
 def simulate_paths(
@@ -126,6 +133,7 @@ def simulate_paths(
     dtype,
     antithetic: bool = False,
     jumps: bool = False,
+    mortality: bool = False,
 ) -> PathOutputs:
     """Simulate ``n_paths`` full lifetimes with ``working_months`` (traced).
 
@@ -139,6 +147,12 @@ def simulate_paths(
     another extension): the jump stream is a disjoint fold_in counter space,
     so the base shocks — and every result when the rule-off sentinel
     parameters are passed — are unchanged bit for bit.
+    ``mortality`` compiles in the longevity rule (config.longevity, another
+    extension): one extra uniform per path (again a disjoint counter space,
+    so rule-off sentinel rows — mort_b12 == 0 — stay bit-identical) turns
+    into a remaining lifetime at the retirement date; expired months force
+    the spending need to zero while the estate keeps evolving, and
+    withdrawal-rate observations exist only for fully-lived years.
     """
     p = params
     R = retirement_years
@@ -234,6 +248,17 @@ def simulate_paths(
     def alloc_at(m):
         """Target for month m (valid during accumulation, m <= W)."""
         return f(p.alloc1) + glide_scale * m.astype(dtype)
+
+    if mortality:
+        # Longevity (config.longevity): remaining lifetime per path, in
+        # retirement months. Loop-invariant (one uniform per path), so it
+        # lives in the closure, not the carry.
+        u_mort = mortality_uniform(
+            stream_key, n_paths, dtype, antithetic=antithetic
+        )
+        d_mort = gompertz_remaining_months(
+            u_mort, f(p.mort_g0), f(p.mort_b12), f(p.mort_cap), w_f, dtype
+        )
 
     def annual_tax(c: _Carry, a1):
         return apply_annual_gain_taxes(
@@ -393,6 +418,14 @@ def simulate_paths(
         else:
             net_income = zeros
         need = jnp.maximum(0.0, expenses - net_income)
+        if mortality:
+            # Spending (and the income that offsets it) ends with the
+            # owner; zero need means no withdrawal and no possible ruin.
+            # The estate keeps evolving below — growth, rebalancing and
+            # annual taxes all still run — so the final balance is the
+            # bequest at the plan horizon.
+            living = ret_idx.astype(dtype) < d_mort
+            need = jnp.where(living, need, 0.0)
 
         # --- ruin check A: broke before the month begins
         total0 = c.b1 + c.b2
@@ -541,6 +574,12 @@ def simulate_paths(
                     price=write_col(cc.price, slot, cc.infl, ones),
                 )
                 wr_mask = alive0 & ~dies_regular  # completed the whole year
+                if mortality:
+                    # A WR observation exists only for fully-lived years
+                    # (at year end, ret_idx is the year's last month, so
+                    # `living` == the whole year was lived). Later years
+                    # stay NaN, mirroring the reference's post-ruin years.
+                    wr_mask = wr_mask & living
                 wr_value = jnp.where(
                     cc.start_bal > EPS,
                     cc.yr / jnp.maximum(cc.start_bal, EPS) * 100.0,

@@ -213,6 +213,19 @@ def optimize_params(
             sib = get_field(base_dump, "spending_guardrails.lower_wr_pct")
             if sib is not None:
                 lo = max(lo, float(sib) + 1e-6)
+        # Longevity carries mode_age < max_age the same way.
+        elif p == "longevity.mode_age":
+            from .sensitivity import get_field
+
+            sib = get_field(base_dump, "longevity.max_age")
+            if sib is not None:
+                hi = min(hi, float(sib) - 1e-6)
+        elif p == "longevity.max_age":
+            from .sensitivity import get_field
+
+            sib = get_field(base_dump, "longevity.mode_age")
+            if sib is not None:
+                lo = max(lo, float(sib) + 1e-6)
         if sib is not None and not lo < hi:
             raise ValueError(
                 f"Search interval for '{p}' collapses against the sibling "

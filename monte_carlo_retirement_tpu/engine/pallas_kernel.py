@@ -103,8 +103,9 @@ PALLAS_MAX_TRAJ_LEN = 256
     F_ALLOC1_F,
     F_GR_UP, F_GR_LO, F_GR_ADJ, F_GR_FLOOR, F_GR_CAP,
     F_JP, F_JMU, F_JSIG, F_JBETA, F_JC1, F_JC2,
+    F_MORT_G0, F_MORT_B12, F_MORT_CAP,
     NUM_FPARAMS,
-) = range(30)
+) = range(33)
 
 # iparams vector layout (int32, SMEM). I_BLOCK_OFF shifts the per-block PRNG
 # seed index: on a sharded mesh every device passes its global block offset,
@@ -167,6 +168,15 @@ class Statics(NamedTuple):
     # enforces uniformity); p=0 sentinel rows inside a jumps-on executable
     # are exact no-ops of THAT executable's (shifted) stream.
     jumps: bool = False
+    # Longevity (config.longevity is not None): one extra uniform per path
+    # (drawn from a salted re-seed BEFORE the base stream is seeded, so the
+    # base month stream is untouched) becomes a remaining lifetime at the
+    # retirement date; expired months zero the spending need while the
+    # estate keeps evolving. Compile-time because the flag changes the PRNG
+    # draw structure; grid dispatches cannot mix it (grid_statics), and
+    # sentinel rows (mort_b12 = 0) inside a mortality-on executable never
+    # expire by the d = +inf override.
+    mortality: bool = False
 
 
 def statics_from_config(config) -> Statics:
@@ -189,6 +199,7 @@ def statics_from_config(config) -> Statics:
         glide=getattr(config, "allocation_inv1_final_pct", None) is not None,
         guardrails=getattr(config, "spending_guardrails", None) is not None,
         jumps=getattr(config, "market_crashes", None) is not None,
+        mortality=getattr(config, "longevity", None) is not None,
     )
 
 
@@ -226,6 +237,10 @@ def _check_grid_statics(params_batch: SimParams, statics: Statics) -> None:
         # the PRNG draw structure, so a live row under a jumps-off
         # executable would silently simulate crash-free.
         jump_rows = _np.asarray(params_batch.jump_p) > 0.0
+        # And for longevity: b12 > 0 marks a live lifespan rule; a live
+        # row under a mortality-off executable would silently simulate the
+        # fixed horizon.
+        mort_rows = _np.asarray(params_batch.mort_b12) > 0.0
     except Exception:
         return  # tracers: cannot inspect values here
     want_idx = _np.asarray(statics.stream_indexed, dtype=bool)
@@ -238,6 +253,7 @@ def _check_grid_statics(params_batch: SimParams, statics: Statics) -> None:
         and (statics.glide or not bool(glide_rows.any()))
         and (statics.guardrails or not bool(gr_rows.any()))
         and (statics.jumps or not bool(jump_rows.any()))
+        and (statics.mortality or not bool(mort_rows.any()))
     )
     if ok and want_idx.size:
         # Fail loudly on a stream-count mismatch — reshape would otherwise
@@ -447,6 +463,34 @@ def _make_kernel(
                 u = jnp.where(z_sign > 0, u, 1.0 - u)
                 zj = zj * z_sign
             return u, zj
+
+        if st_.mortality:
+            # Longevity (config.longevity): ONE uniform per path, turned
+            # into a remaining lifetime at the retirement date. Hardware
+            # mode draws it from a salted re-seed and then restores the
+            # base seed, so the month stream below is bit-identical to a
+            # mortality-off executable; interpret mode folds at the same
+            # disjoint offset the scan kernel uses.
+            if with_shocks:
+                u_mort = shocks_ref[0, 5]
+            elif interpret:
+                u_mort = jax.random.uniform(
+                    jax.random.fold_in(sw_key, 1 << 21), shape, jnp.float32
+                )
+            else:
+                pltpu.prng_seed(block_seed ^ jnp.int32(668265261))
+                u_mort = _uniform(shape)
+                pltpu.prng_seed(block_seed)
+            if antithetic:
+                # u -> 1-u mirrors the longevity percentile: paired paths
+                # anti-correlate lifespans (small u = long life).
+                u_mort = jnp.where(z_sign > 0, u_mort, 1.0 - u_mort)
+            from ..ops.shocks import gompertz_remaining_months
+
+            d_mort = gompertz_remaining_months(
+                u_mort, f(F_MORT_G0), f(F_MORT_B12), f(F_MORT_CAP), w_f,
+                jnp.float32,
+            )
 
         alloc1 = f(F_ALLOC1)
         if st_.glide:
@@ -815,6 +859,13 @@ def _make_kernel(
                 need = expenses_eff * price0
             else:
                 need = jnp.maximum(0.0, expenses_eff * price0 - net_income)
+            if st_.mortality:
+                # Spending (and the income offsetting it) ends with the
+                # owner: zero need = no withdrawal and no possible ruin,
+                # while the estate below keeps evolving (growth, rebalance,
+                # annual taxes) so the final balance is the bequest.
+                living = ret_idx_f < d_mort
+                need = jnp.where(living, need, 0.0)
 
             # --- ruin check A: broke before the month begins
             total0 = b1 + b2
@@ -975,6 +1026,10 @@ def _make_kernel(
                     )
                     start_bal = out_start[:]
                     wr_mask = (alive0_f > 0.5) & ~dies_regular
+                    if st_.mortality:
+                        # WR observations exist only for fully-lived years
+                        # (at year end, ret_idx is the year's last month).
+                        wr_mask = wr_mask & living
                     wr_value = jnp.where(
                         start_bal > EPS,
                         yr * out_inflret[:]
@@ -1055,6 +1110,9 @@ def _pack_params(
             params.jump_beta.astype(f32),
             params.jump_comp1.astype(f32),
             params.jump_comp2.astype(f32),
+            params.mort_g0.astype(f32),
+            params.mort_b12.astype(f32),
+            params.mort_cap.astype(f32),
         ]
     )
     w = jnp.asarray(working_months, jnp.int32).reshape(-1)  # (K,) candidates

@@ -481,6 +481,7 @@ class Engine:
                     mesh=self.mesh,
                     antithetic=self.statics.antithetic,
                     jumps=self.statics.jumps,
+                    mortality=self.statics.mortality,
                 )
             out.extend(float(v) for v in np.asarray(probs)[: len(chunk)])
         log.debug(
@@ -620,6 +621,7 @@ class Engine:
                 mesh=self.mesh,
                 antithetic=self.statics.antithetic,
                 jumps=self.statics.jumps,
+                mortality=self.statics.mortality,
             )
             if reduced:
                 dev_bins = _serving_bins_jit(outs)
@@ -873,7 +875,7 @@ class Engine:
 
 
 def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype, mesh,
-                antithetic=False, jumps=False):
+                antithetic=False, jumps=False, mortality=False):
     def one(w):
         outs = simulate_paths(
             params,
@@ -886,6 +888,7 @@ def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype, me
             dtype=dtype,
             antithetic=antithetic,
             jumps=jumps,
+            mortality=mortality,
         )
         return outs.success
 
@@ -904,13 +907,13 @@ def _probe_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype, me
 _probe_jit = jax.jit(
     _probe_impl,
     static_argnames=("n_paths", "t_scan", "retirement_years", "dtype", "mesh",
-                     "antithetic", "jumps"),
+                     "antithetic", "jumps", "mortality"),
 )
 
 
 def _run_impl(
     params, w, key, sample_idx, n_paths, t_scan, retirement_years, traj_len, dtype,
-    mesh, antithetic=False, jumps=False,
+    mesh, antithetic=False, jumps=False, mortality=False,
 ):
     outs = simulate_paths(
         params,
@@ -923,6 +926,7 @@ def _run_impl(
         dtype=dtype,
         antithetic=antithetic,
         jumps=jumps,
+        mortality=mortality,
     )
     if mesh is not None:
         from ..parallel.mesh import constrain_paths_axis
@@ -934,7 +938,7 @@ def _run_impl(
 _run_jit = jax.jit(
     _run_impl,
     static_argnames=("n_paths", "t_scan", "retirement_years", "traj_len", "dtype",
-                     "mesh", "antithetic", "jumps"),
+                     "mesh", "antithetic", "jumps", "mortality"),
 )
 
 _summarize_jit = jax.jit(summarize)

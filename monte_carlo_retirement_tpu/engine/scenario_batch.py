@@ -137,6 +137,12 @@ def run_scenario_batch(
     jumps = any(
         getattr(c, "market_crashes", None) is not None for c in configs
     )
+    # The longevity uniform also lives in its own disjoint stream, so mixed
+    # batches are fine on the scan path: sentinel rows (mort_b12 == 0) never
+    # expire and the base shocks are untouched either way.
+    mortality = any(
+        getattr(c, "longevity", None) is not None for c in configs
+    )
 
     stats = _batch_jit(
         params,
@@ -148,6 +154,7 @@ def run_scenario_batch(
         dtype=dtype,
         antithetic=anti.pop(),
         jumps=jumps,
+        mortality=mortality,
     )
     # jax.device_get batches the tree into ONE tunnel round trip; per-leaf
     # np.asarray would pay ~30 ms per leaf (see docs/NOTES.md).
@@ -178,7 +185,7 @@ def _grid_stats(success_f32, final, n_paths: int):
 
 
 def _batch_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype,
-                antithetic=False, jumps=False):
+                antithetic=False, jumps=False, mortality=False):
     def one(p, w):
         outs = simulate_paths(
             p,
@@ -191,6 +198,7 @@ def _batch_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype,
             dtype=dtype,
             antithetic=antithetic,
             jumps=jumps,
+            mortality=mortality,
         )
         return outs.success.astype(jnp.float32), outs.final_balance
 
@@ -201,7 +209,7 @@ def _batch_impl(params, w_vec, key, n_paths, t_scan, retirement_years, dtype,
 _batch_jit = jax.jit(
     _batch_impl,
     static_argnames=("n_paths", "t_scan", "retirement_years", "dtype",
-                     "antithetic", "jumps"),
+                     "antithetic", "jumps", "mortality"),
 )
 
 _grid_stats_jit = jax.jit(_grid_stats, static_argnames=("n_paths",))

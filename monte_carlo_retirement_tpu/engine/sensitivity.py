@@ -100,6 +100,14 @@ SENSITIVITY_PARAMS: Dict[str, ParamSpec] = {
     "market_crashes.mean_drop_pct": ParamSpec(1e-6, 99.99, "dollar", 1.0),
     "market_crashes.size_volatility": ParamSpec(0.0, 2.0, "rate", 0.0),
     "market_crashes.inv2_beta": ParamSpec(0.0, 1.0, "rate", 0.0),
+    # Longevity parameters (dotted paths; FD-only like every dotted name —
+    # the lifespan enters the kernel through month comparisons). Probing
+    # requires longevity set on the base config (flipping it on/off is a
+    # Statics / draw-structure change). Ages are years, so the relative
+    # "dollar" step rule with scale 1 applies.
+    "longevity.mode_age": ParamSpec(1e-6, 120.0, "dollar", 1.0),
+    "longevity.dispersion_years": ParamSpec(1.0, 30.0, "dollar", 1.0),
+    "longevity.max_age": ParamSpec(1e-6, 130.0, "dollar", 1.0),
 }
 
 
@@ -478,6 +486,7 @@ def _ad_jit(config: Config, names: tuple, num_paths: int, w: int,
             dtype=dtype,
             antithetic=bool(config.antithetic),
             jumps=getattr(config, "market_crashes", None) is not None,
+            mortality=getattr(config, "longevity", None) is not None,
         )
         return jnp.mean(outs.final_balance)
 

@@ -118,6 +118,20 @@ class SimParams(NamedTuple):
     jump_comp1: jnp.ndarray  # monthly log compensator, asset 1
     jump_comp2: jnp.ndarray  # monthly log compensator, asset 2
 
+    # Longevity (config.longevity; rule existence is compile-time —
+    # Statics.mortality / the scan kernel's static flag — so the fixed-
+    # horizon kernel draws nothing extra). The kernel turns one uniform u
+    # into a remaining lifetime at the retirement date:
+    #   g_ret = mort_g0 - W / mort_b12
+    #   t = mort_b12 * ln(1 - ln(u) * exp(g_ret))   [stable 2-branch form]
+    #   d = min(t, mort_cap - W), clamped >= 0
+    # Rule-off sentinels (g0=0, b12=0, cap=3e7) mark dead rows inside a
+    # mortality-on executable: b12 > 0 is the live-row predicate the grid
+    # guards and the kernels' d = +inf override both key on.
+    mort_g0: jnp.ndarray  # (mode_age - current_age) / dispersion_years
+    mort_b12: jnp.ndarray  # 12 * dispersion_years; 0 = no longevity rule
+    mort_cap: jnp.ndarray  # (max_age - current_age) * 12, months from T=0
+
     stream_amount: jnp.ndarray  # (n_streams,) monthly amount in T=0 dollars
     stream_months_from_t0: jnp.ndarray  # (n_streams,) (start_age - age) * 12
     stream_duration_months: jnp.ndarray  # (n_streams,) +inf when indefinite
@@ -181,6 +195,15 @@ class SimParams(NamedTuple):
         taxes = np.array([s.tax_rate for s in streams], dtype=np.float64)
         gr = getattr(config, "spending_guardrails", None)
         mc = getattr(config, "market_crashes", None)
+        lg = getattr(config, "longevity", None)
+        if lg is None:
+            mg0, mb12, mcap = 0.0, 0.0, 3.0e7
+        else:
+            mg0 = (lg.mode_age - config.current_age) / lg.dispersion_years
+            mb12 = MONTHS_PER_YEAR * lg.dispersion_years
+            mcap = max(
+                0.0, (lg.max_age - config.current_age) * MONTHS_PER_YEAR
+            )
         if mc is None:
             jp = jmu = jsig = jbeta = jc1 = jc2 = 0.0
         else:
@@ -236,6 +259,9 @@ class SimParams(NamedTuple):
             jump_beta=f(jbeta),
             jump_comp1=f(jc1),
             jump_comp2=f(jc2),
+            mort_g0=f(mg0),
+            mort_b12=f(mb12),
+            mort_cap=f(mcap),
             stream_amount=f(amounts.reshape(n)),
             stream_months_from_t0=f(from_t0.reshape(n)),
             stream_duration_months=f(durations.reshape(n)),

@@ -125,6 +125,72 @@ def monthly_jump_draws(
     return u, z
 
 
+# The longevity stream folds at its own disjoint offset (the jump stream
+# uses JUMP_FOLD_OFFSET + month <= 2^20 + ~1440), so base and crash draws are
+# untouched whether or not a lifespan rule is configured.
+MORT_FOLD_OFFSET = 1 << 21
+
+
+def mortality_uniform(
+    stream_key: jax.Array,
+    n_paths: int,
+    dtype,
+    antithetic: bool = False,
+) -> jnp.ndarray:
+    """ONE uniform per path, u ~ U[0,1) — the longevity percentile.
+
+    Drawn from ``fold_in(stream_key, MORT_FOLD_OFFSET)``: a counter space
+    disjoint from both the base shocks and the crash stream, so configs
+    without a lifespan rule consume exactly the same draws. Path p reads
+    row p, so the percentile is CRN-stable across working-month candidates
+    — a candidate that retires later re-conditions the SAME percentile on
+    the later age, keeping search curves smooth.
+
+    ``antithetic`` pairs adjacent paths with u -> 1-u: small u means a long
+    life (u is the survival probability being inverted), so paired paths
+    anti-correlate lifespans while staying uniform marginally. Even paths
+    read draw row p//2, preserving the even-half == half-size-iid identity.
+    """
+    key = jax.random.fold_in(stream_key, MORT_FOLD_OFFSET)
+    if antithetic:
+        n_half = (n_paths + 1) // 2
+        u = jax.random.uniform(key, (n_half,), dtype=dtype)
+        odd = jnp.arange(n_paths) % 2 == 1
+        u = jnp.repeat(u, 2)[:n_paths]
+        u = jnp.where(odd, 1.0 - u, u)
+    else:
+        u = jax.random.uniform(key, (n_paths,), dtype=dtype)
+    return u
+
+
+def gompertz_remaining_months(
+    u: jnp.ndarray,
+    g0,
+    b12,
+    cap,
+    working_months,
+    dtype,
+):
+    """Remaining lifetime in retirement months from the longevity uniform.
+
+    Gompertz inverse-survival conditioned on being alive at the retirement
+    date: with g_ret = (mode_age - retirement_age) / b = g0 - W / b12,
+        t = b12 * ln(1 - ln(u) * exp(g_ret)),
+    computed in the overflow-stable two-branch form (factor e^{g_ret} out of
+    the log when g_ret > 0, where exp(g_ret) could overflow for young ages).
+    u = 0 maps to t = +inf (longest life) and is absorbed by the max-age cap.
+    Sentinel rows (b12 == 0) return +inf: no lifespan rule, never expires.
+    """
+    w_f = jnp.asarray(working_months).astype(dtype)
+    g_ret = g0 - w_f / b12  # NaN/inf on sentinel rows; discarded below
+    log_u = jnp.log(u)
+    t_low = jnp.log1p(-log_u * jnp.exp(g_ret))
+    t_high = g_ret + jnp.log(jnp.exp(-g_ret) - log_u)
+    t = b12 * jnp.where(g_ret > 0, t_high, t_low)
+    d = jnp.minimum(t, jnp.maximum(0.0, cap - w_f))
+    return jnp.where(b12 > 0, d, jnp.asarray(jnp.inf, dtype=dtype))
+
+
 def monthly_gross_factors(
     z_eq: jnp.ndarray,
     z_inf: jnp.ndarray,

@@ -130,10 +130,12 @@ def _annual_taxes(state: PathState, alloc1: float) -> bool:
 def simulate_path_oracle(
     config: Config, working_months: int, shocks: np.ndarray,
     jump_shocks: np.ndarray | None = None,
+    mort_u: float | None = None,
 ) -> dict:
     """One lifetime; shocks is (T, 3) of raw independent standard normals.
     ``jump_shocks`` (required iff config.market_crashes is set) is (T, 2) of
-    (uniform, standard normal) crash draws per month.
+    (uniform, standard normal) crash draws per month. ``mort_u`` (required
+    iff config.longevity is set) is the path's longevity uniform.
 
     Also produces the yearly series: nominal trajectory (initial value, each
     completed working year post-tax, the retirement date for partial working
@@ -184,6 +186,29 @@ def simulate_path_oracle(
         jbeta = mc.inv2_beta
         jc1 = log((1.0 - jp) + jp * exp(jmu + 0.5 * jsig * jsig))
         jc2 = log((1.0 - jp) + jp * exp(jbeta * jmu + 0.5 * (jbeta * jsig) ** 2))
+    # Longevity (extension): remaining lifetime in retirement months from
+    # the injected uniform — the same two-branch Gompertz inverse-survival
+    # (and operation order) as ops.shocks.gompertz_remaining_months, so the
+    # f64 differential stays exact. After month d the owner is gone: the
+    # spending need is zero (no ruin possible), income stops with it, and
+    # the estate keeps evolving; WR observations exist only for fully-lived
+    # years.
+    lg = getattr(c, "longevity", None)
+    if lg is None:
+        d_mort = float("inf")
+    else:
+        g0 = (lg.mode_age - c.current_age) / lg.dispersion_years
+        b12 = MPY * lg.dispersion_years
+        g_ret = g0 - working_months / b12
+        log_u = np.log(np.float64(mort_u))
+        with np.errstate(over="ignore"):
+            if g_ret > 0:
+                t = g_ret + np.log(np.exp(np.float64(-g_ret)) - log_u)
+            else:
+                t = np.log1p(-log_u * np.exp(np.float64(g_ret)))
+        t = b12 * t
+        cap = max(0.0, (lg.max_age - c.current_age) * MPY - working_months)
+        d_mort = float(min(t, cap))
     gr = getattr(c, "spending_guardrails", None)
     gr_upper = float("inf") if gr is None else gr.upper_wr_pct / 100.0
     gr_lower = 0.0 if gr is None else gr.lower_wr_pct / 100.0
@@ -270,11 +295,11 @@ def simulate_path_oracle(
     first_year_real = 0.0
 
     # ---------------- retirement ----------------------------------------
-    def record_year(failed: bool) -> None:
+    def record_year(failed: bool, lived: bool = True) -> None:
         trajectory.append(max(0.0, st.a1.balance + st.a2.balance))
         price_levels.append(st.price)
         wr_rates.append(
-            nan if failed else (
+            nan if (failed or not lived) else (
                 year_real / start_balance * 100.0
                 if start_balance > EPS else 0.0
             )
@@ -311,6 +336,9 @@ def simulate_path_oracle(
                 nominal = frozen[0]
             income += nominal * (1.0 - stream.tax_rate)
         need = max(0.0, c.monthly_expenses * spend_mult * price0 - income)
+        living = ret_idx < d_mort
+        if not living:
+            need = 0.0
 
         def die():
             st.alive = False
@@ -353,7 +381,7 @@ def simulate_path_oracle(
             record_year(failed=True)
             break
         if (ret_idx + 1) % MPY == 0:
-            record_year(failed=False)
+            record_year(failed=False, lived=living)
 
     # Trailing partial tax period for surviving paths.
     total_months = working_months + c.retirement_years * MPY
