@@ -26,20 +26,40 @@ from .sensitivity import SensitivityRequest, SensitivityResponse
 
 _REF_TEMPLATE = "#/components/schemas/{model}"
 
+# Every /api error is serialized by the middleware as JSON
+# ``{"detail": ...}`` — FastAPI's wire shape, which the reference SPA reads
+# (`err.detail`). `detail` is a string for engine/HTTP errors and a list of
+# pydantic error objects for 422s, exactly like FastAPI's generated spec.
+_ERROR_DETAIL_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "detail": {
+            "anyOf": [
+                {"type": "string"},
+                {"type": "array", "items": {"type": "object"}},
+            ],
+            "description": "Human-readable message, or the pydantic "
+            "validation error list for 422 responses.",
+        }
+    },
+    "required": ["detail"],
+}
+
+
+def _json_error(description: str) -> Dict[str, Any]:
+    return {
+        "description": description,
+        "content": {"application/json": {"schema": _ERROR_DETAIL_SCHEMA}},
+    }
+
+
 _ERROR_RESPONSES = {
-    "400": {
-        "description": "Valid request the engine cannot serve (e.g. the "
-        "search target is unreachable, mixed grid statics).",
-        "content": {"text/plain": {"schema": {"type": "string"}}},
-    },
-    "422": {
-        "description": "Request failed validation (schema, bounds).",
-        "content": {"text/plain": {"schema": {"type": "string"}}},
-    },
-    "500": {
-        "description": "Unexpected engine failure.",
-        "content": {"text/plain": {"schema": {"type": "string"}}},
-    },
+    "400": _json_error(
+        "Valid request the engine cannot serve (e.g. the search target is "
+        "unreachable, mixed grid statics)."
+    ),
+    "422": _json_error("Request failed validation (schema, bounds)."),
+    "500": _json_error("Unexpected engine failure."),
 }
 
 
@@ -217,6 +237,16 @@ def build_spec() -> Dict[str, Any]:
                 "responses": _json_ok(
                     sens_resp, "Rows in tornado order "
                     "(|success change per practical step| descending).",
+                ),
+            }
+        },
+        "/api/sensitivity/stream": {
+            "post": {
+                "summary": "Sensitivity analysis with SSE progress",
+                "requestBody": _json_body(sens_req),
+                "responses": _sse_ok(
+                    "`phase`, `grid_chunk` (per device dispatch of the "
+                    "probe rows), `result`, `error`"
                 ),
             }
         },

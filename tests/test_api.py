@@ -629,6 +629,22 @@ def test_openapi_spec_covers_every_api_route_and_docs_render():
                         walk(value)
 
             walk(spec)
+            # Error responses must be documented in the shape the error
+            # middleware actually serializes: JSON {"detail": ...}
+            # (FastAPI's shape; test_api_errors_are_json_detail_bodies pins
+            # the live bytes — this pins the spec to the same contract).
+            for path, methods in spec["paths"].items():
+                for method, op in methods.items():
+                    for code in ("400", "422", "500"):
+                        err = op["responses"][code]
+                        content = err["content"]
+                        assert list(content) == ["application/json"], (
+                            path, method, code, list(content))
+                        schema = content["application/json"]["schema"]
+                        assert "detail" in schema.get("properties", {}), (
+                            path, method, code)
+                        assert "detail" in schema.get("required", []), (
+                            path, method, code)
             # The models the handlers actually validate with are the ones
             # documented (drift here would mean hand-written schemas).
             for name in (
