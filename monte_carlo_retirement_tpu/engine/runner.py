@@ -71,15 +71,69 @@ def chunk_subsample_paths() -> int:
     return int(os.environ.get("MCRT_CHUNK_SUBSAMPLE", str(2**20)))
 
 
+def verify_compilation_cache(cache_dir: str) -> int:
+    """Delete corrupt persistent-cache entries; return how many were removed.
+
+    jax's LRU file cache writes entries with a bare, non-atomic
+    ``Path.write_bytes`` and (with eviction disabled) no lock, so a process
+    killed mid-write — or two processes racing the same key — can leave a
+    truncated/garbled file. Reading one later crashes INSIDE XLA's native
+    executable deserialization (observed: SIGSEGV under jax
+    compilation_cache.get_executable_and_time), which no Python try/except
+    can survive. The guard re-runs jax's own decompression + framing parse
+    on every entry up front — pure Python, so corruption surfaces as a
+    catchable exception — and deletes entries that fail, which merely costs
+    a recompile. ~0.2 s for a ~50 MB cache; runs once per process.
+    """
+    removed = 0
+    try:
+        from jax._src import compilation_cache as _cc
+
+        for name in os.listdir(cache_dir):
+            if not name.endswith("-cache"):
+                continue
+            path = os.path.join(cache_dir, name)
+            try:
+                with open(path, "rb") as fh:
+                    raw = fh.read()
+                # Decompress exactly the way a cache hit would: a torn
+                # write fails the compressed-frame parse here, as a clean
+                # Python exception instead of a native crash later. (The
+                # framing split itself never raises, so the frame check is
+                # the decompression plus a minimal length floor.)
+                payload = _cc.decompress_executable(raw)
+                if len(payload) <= 4:
+                    raise ValueError("cache entry too short to hold an executable")
+            except Exception:
+                removed += 1
+                log.warning("removing corrupt compile-cache entry %s", name)
+                for victim in (path, path[: -len("-cache")] + "-atime"):
+                    try:
+                        os.remove(victim)
+                    except OSError:
+                        pass
+    except Exception as exc:  # pragma: no cover - best-effort guard
+        log.debug("compile-cache verification skipped: %s", exc)
+    return removed
+
+
+_CACHE_READY = False
+
+
 def enable_persistent_compilation_cache() -> None:
     """Cache compiled executables on disk so fresh processes skip XLA compiles."""
+    global _CACHE_READY
+    if _CACHE_READY:
+        return
     try:
         cache_dir = os.environ.get(
             "MCRT_COMPILE_CACHE", os.path.expanduser("~/.cache/mcrt_jax_cache")
         )
         os.makedirs(cache_dir, exist_ok=True)
+        verify_compilation_cache(cache_dir)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        _CACHE_READY = True
     except Exception as exc:  # pragma: no cover - best-effort optimisation
         log.debug("persistent compilation cache unavailable: %s", exc)
 

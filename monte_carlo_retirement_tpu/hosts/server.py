@@ -418,6 +418,44 @@ async def sensitivity(request: web.Request) -> web.Response:
     return web.json_response(validated)
 
 
+async def sensitivity_stream(request: web.Request) -> web.StreamResponse:
+    """POST /api/sensitivity/stream — SSE variant: ``phase`` /
+    ``grid_chunk`` per device dispatch of the 1+2K probe rows (plus a
+    ``phase`` before the optional AD pass) / ``result`` / ``error``. A
+    1M-path tornado dispatches thousands of row-chunks; without this the
+    client blocks silently (the grid/optimize surfaces already stream)."""
+    body = await request.json()
+    try:
+        if not isinstance(body, dict):
+            raise ValueError(
+                f"request body must be a JSON object, got {type(body).__name__}"
+            )
+        req = SensitivityRequest(**body)
+        prepared = await asyncio.to_thread(prepare_sensitivity, req)
+    except (ValidationError, ValueError) as exc:
+        raise web.HTTPUnprocessableEntity(
+            text=f"Invalid sensitivity request: {exc}"
+        )
+
+    preamble = {
+        "type": "phase",
+        "phase": "sensitivity",
+        "message": (
+            f"Probing {len(prepared[1])} parameters "
+            f"({1 + 2 * len(prepared[1])} CRN scenario rows max)…"
+        ),
+    }
+
+    def worker_body(emit) -> None:
+        result = run_sensitivity_request(req, prepared, progress_callback=emit)
+        validated = SensitivityResponse.model_validate(result).model_dump(
+            mode="json"
+        )
+        emit({"type": "result", "data": validated})
+
+    return await _run_sse(request, worker_body, preamble=preamble)
+
+
 async def optimize(request: web.Request) -> web.Response:
     """POST /api/optimize — maximize a metric over one config field by
     batched grid refinement (one CRN scenario-grid dispatch per round).
@@ -716,6 +754,7 @@ def create_app() -> web.Application:
     app.router.add_post("/api/grid", grid)
     app.router.add_post("/api/grid/stream", grid_stream)
     app.router.add_post("/api/sensitivity", sensitivity)
+    app.router.add_post("/api/sensitivity/stream", sensitivity_stream)
     app.router.add_post("/api/optimize", optimize)
     app.router.add_post("/api/optimize/stream", optimize_stream)
     # Unmatched /api requests must answer as API errors (FastAPI shape),
@@ -746,7 +785,10 @@ def create_app() -> web.Application:
     return app
 
 
-def main(host: str = "0.0.0.0", port: int = 8080) -> None:
+def main(host: Optional[str] = None, port: Optional[int] = None) -> None:
+    host = host or os.environ.get("MCRT_HOST", "0.0.0.0")
+    if port is None:
+        port = int(os.environ.get("MCRT_PORT", os.environ.get("PORT", "8080")))
     configure_logging(logfile="server.log")
     log.info("Monte Carlo Retirement API (TPU) starting on %s:%d", host, port)
     web.run_app(create_app(), host=host, port=port)

@@ -11,8 +11,15 @@ container's sitecustomize registers the TPU plugin before pytest starts.
 
 import os
 import sys
+import tempfile
 
 os.environ["MCRT_WARMUP"] = "0"  # no background compiles during tests
+# Fully-isolated CI mode: compile into a throwaway cache instead of the
+# shared persistent one (slower — every executable cold-compiles — but
+# immune to any cache state; the default path is already guarded by the
+# integrity sweep in engine.runner.verify_compilation_cache).
+if os.environ.get("MCRT_FRESH_COMPILE_CACHE") == "1":
+    os.environ["MCRT_COMPILE_CACHE"] = tempfile.mkdtemp(prefix="mcrt_cache_")
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
@@ -24,7 +31,55 @@ jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import pytest
+
 from monte_carlo_retirement_tpu.config import Config
+
+# ----------------------------------------------------------------------
+# Executable map-count guard.
+#
+# A long pytest process compiles hundreds of CPU executables; every one
+# holds several dozen mmap'd JIT sections, and the kernel's per-process map
+# ceiling (vm.max_map_count, 65530 here) does NOT surface as a Python
+# exception when XLA's native deserialization trips it — it SIGSEGVs (seen
+# at jax compilation_cache.py:238 ~73% through the suite; the same test
+# passes in isolation). docs/NOTES.md records the same ceiling killing the
+# fuzz campaign with an LLVM "Cannot allocate memory". The guard drops
+# compiled executables whenever the map count crosses a safety line —
+# recompiles reload from the persistent cache in seconds.
+# ----------------------------------------------------------------------
+
+_MAP_LIMIT = int(os.environ.get("MCRT_TEST_MAP_LIMIT", "35000"))
+_map_stats = {"max": 0, "clears": 0}
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as fh:
+            return sum(1 for _ in fh)
+    except OSError:
+        return 0
+
+
+@pytest.fixture(autouse=True)
+def _bound_executable_maps():
+    yield
+    n = _map_count()
+    if n > _map_stats["max"]:
+        _map_stats["max"] = n
+    if n > _MAP_LIMIT:
+        jax.clear_caches()
+        import gc
+
+        gc.collect()
+        _map_stats["clears"] += 1
+
+
+def pytest_terminal_summary(terminalreporter):
+    terminalreporter.write_line(
+        f"[map guard] peak /proc/self/maps lines: {_map_stats['max']} "
+        f"(limit {_MAP_LIMIT}, ceiling 65530, clears: {_map_stats['clears']})"
+    )
 
 
 def base_config_dict(**overrides) -> dict:

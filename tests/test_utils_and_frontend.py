@@ -190,3 +190,38 @@ def test_frontend_binned_histogram_consumed():
     assert ".binned" in views or "binned" in views
     assert "year_counts" in views
     assert "bin_edges" in views
+
+
+def test_compile_cache_integrity_sweep(tmp_path):
+    """verify_compilation_cache deletes torn/corrupt persistent-cache entries
+    (jax's file cache writes non-atomically; a killed process leaves a
+    truncated file whose native deserialization SIGSEGVs — the sweep turns
+    that into a recompile instead)."""
+    from jax._src import compilation_cache as cc
+
+    from monte_carlo_retirement_tpu.engine.runner import (
+        verify_compilation_cache,
+    )
+
+    good = cc.compress_executable(
+        cc.combine_executable_and_time(b"x" * 64, 123)
+    )
+    (tmp_path / "jit_good-cache").write_bytes(good)
+    # Torn write: a prefix of a valid compressed frame.
+    (tmp_path / "jit_torn-cache").write_bytes(good[: len(good) // 2])
+    (tmp_path / "jit_torn-atime").write_bytes(b"\0" * 8)
+    # Garbage bytes that are not a compressed frame at all.
+    (tmp_path / "jit_junk-cache").write_bytes(b"not a zstd frame")
+    # Valid frame holding no executable payload.
+    (tmp_path / "jit_empty-cache").write_bytes(
+        cc.compress_executable(b"\0\0\0\1")
+    )
+    # Non-entry files are ignored.
+    (tmp_path / ".lockfile").write_bytes(b"")
+
+    removed = verify_compilation_cache(str(tmp_path))
+    assert removed == 3
+    survivors = sorted(p.name for p in tmp_path.iterdir())
+    assert survivors == [".lockfile", "jit_good-cache"]
+    # Idempotent: a clean cache sweeps clean.
+    assert verify_compilation_cache(str(tmp_path)) == 0
