@@ -46,7 +46,7 @@ const STREAM_FIELDS = {
 };
 
 const SECTIONS = ["Scenario", "Finances", "Portfolio & taxes", "Inflation",
-  "Other income", "Spending rule", "Market risk", "Simulation"];
+  "Other income", "Spending rule", "Market risk", "Longevity", "Simulation"];
 
 // Guardrail fields live on the nested spending_guardrails object; values
 // are already in percent units in the schema, so plain number inputs.
@@ -73,6 +73,14 @@ const CRASH_DEFAULTS = {
   frequency_per_year: 0.25, mean_drop_pct: 20, size_volatility: 0.3,
   inv2_beta: 0,
 };
+
+// Longevity fields live on the nested longevity object (ages in years).
+const LONGEVITY_FIELDS = {
+  mode_age: { label: "Most likely age at death", type: "number", tip: "Gompertz modal age: the single most likely age to die (~86-90 in current annuitant tables)." },
+  dispersion_years: { label: "Lifespan dispersion (years)", type: "number", tip: "Gompertz dispersion b (~9-11 for human mortality); larger = more lifespan uncertainty." },
+  max_age: { label: "Maximum age", type: "number", tip: "Hard cap: lifetimes truncate at this age. Must exceed the modal age." },
+};
+const LONGEVITY_DEFAULTS = { mode_age: 87, dispersion_years: 10, max_age: 115 };
 
 // --- tip balloon -----------------------------------------------------------
 // One shared balloon, portaled to <body> so sidebar overflow never clips it.
@@ -315,6 +323,34 @@ export class ConfigEditor {
     }
   }
 
+  _longevitySection(body) {
+    // Stochastic lifespan (engine extension): a toggle enables the nested
+    // longevity object with sensible defaults; disabling sets it back to
+    // null (the reference's fixed retirement horizon). With the rule on,
+    // success means "the money outlasted the owner" and the final balance
+    // is the bequest at the plan horizon.
+    const enabled = !!this.config.longevity;
+    const toggle = this._field(
+      "longevity_enabled",
+      { label: "Stochastic lifespan (mortality)", type: "toggle",
+        tip: "Each path draws a lifetime from a Gompertz mortality law conditioned on the retirement age. Spending stops with the owner (the estate stays invested), so success becomes 'the money outlasted the owner'. Off = the reference's fixed horizon must be funded in full." },
+      enabled,
+      (v) => {
+        this.config.longevity = v ? { ...LONGEVITY_DEFAULTS } : null;
+        this.render();
+      },
+    );
+    body.appendChild(toggle);
+    if (!enabled) return;
+    for (const [key, spec] of Object.entries(LONGEVITY_FIELDS)) {
+      body.appendChild(
+        this._field(key, spec, this.config.longevity[key], (v) => {
+          this.config.longevity[key] = v;
+        })
+      );
+    }
+  }
+
   _streamsSection(body) {
     const streams = this.config.other_income_streams || [];
     streams.forEach((stream, idx) => {
@@ -417,6 +453,8 @@ export class ConfigEditor {
           this._guardrailsSection(body);
         } else if (section === "Market risk") {
           this._crashesSection(body);
+        } else if (section === "Longevity") {
+          this._longevitySection(body);
         } else {
           for (const [key, spec] of Object.entries(FIELDS)) {
             if (spec.section !== section) continue;

@@ -824,19 +824,24 @@ def test_app_sensitivity_panel_flow():
         ],
     }
 
-    class _SensFetch(_RoutedFetch):
-        def __call__(self, url, opts=None):
-            if str(url).endswith("/api/sensitivity"):
-                self.calls.append(str(url))
-                return _JsonResponse(_floatify(sens_result))
-            return super().__call__(url, opts)
+    import json as _j
 
-    fetch = _SensFetch(_floatify(base_config_dict()), [])
+    # The panel consumes the SSE endpoint: per-dispatch grid_chunk progress
+    # (the 1+2K probe rows run as chunked device dispatches) then the result.
+    frames = [
+        'data: {"type": "phase", "phase": "sensitivity"}\n\n',
+        'data: {"type": "grid_chunk", "done": 2, "total": 5}\n\n',
+        'data: {"type": "grid_chunk", "done": 5, "total": 5}\n\n',
+        "data: " + _j.dumps(
+            {"type": "result", "data": _floatify(sens_result)}
+        ) + "\n\n",
+    ]
+    fetch = _RoutedFetch(_floatify(base_config_dict()), frames)
     fe = load_frontend(ALL_MODULES, fetch=fetch, load_page=True)
     doc = fe.document
     doc.getElementById("sens-params").value = " monthly_expenses, inv1_returns_mean "
     doc.getElementById("sens-run").dispatch(fe.interp, "click")
-    assert any(u.endswith("/api/sensitivity") for u in fetch.calls)
+    assert any(u.endswith("/api/sensitivity/stream") for u in fetch.calls)
     results = doc.getElementById("results")
     assert "Sensitivity (tornado)" in results.textContent
     table = results.querySelector("table.tornado-table")
@@ -853,7 +858,7 @@ def test_app_sensitivity_panel_flow():
 def test_app_sensitivity_panel_surfaces_http_error():
     class _ErrFetch(_RoutedFetch):
         def __call__(self, url, opts=None):
-            if str(url).endswith("/api/sensitivity"):
+            if str(url).endswith("/api/sensitivity/stream"):
                 self.calls.append(str(url))
                 return _Response([], ok=False, status=422,
                                  text="Unknown sensitivity parameters")
@@ -1089,6 +1094,54 @@ def test_editor_crashes_section_toggle_and_fields():
     toggle.dispatch(fe.interp, "change")
     cfg = fe.interp.get_member(editor, "config")
     assert cfg["market_crashes"] is None
+
+
+def test_editor_longevity_section_toggle_and_fields():
+    """The Longevity section: enabling writes the nested longevity defaults
+    the engine validates, fields edit the nested object, disabling nulls it
+    (the reference's fixed retirement horizon)."""
+    fe = _boot()
+    doc = fe.document
+    editor = fe.modules["app.js"].lookup("editor")
+
+    def find_toggle():
+        for lbl in doc.getElementById("config-editor").getElementsByTagName(
+            "label"
+        ):
+            if "Stochastic lifespan" in lbl.textContent:
+                return lbl.getElementsByTagName("input")[0]
+        raise AssertionError("longevity toggle not rendered")
+
+    toggle = find_toggle()
+    assert not toggle.checked
+    toggle.checked = True
+    toggle.dispatch(fe.interp, "change")
+    cfg = fe.interp.get_member(editor, "config")
+    assert cfg["longevity"]["mode_age"] == 87
+    assert cfg["longevity"]["dispersion_years"] == 10
+    assert cfg["longevity"]["max_age"] == 115
+    # The defaults round-trip through the engine's pydantic schema.
+    from monte_carlo_retirement_tpu.config import Config
+
+    Config(**cfg)
+
+    field = None
+    for lbl in doc.getElementById("config-editor").getElementsByTagName(
+        "label"
+    ):
+        if lbl.textContent.startswith("Most likely age"):
+            field = lbl.parentNode.getElementsByTagName("input")[0]
+    assert field is not None, "longevity fields not rendered when enabled"
+    field.value = "90"
+    field.dispatch(fe.interp, "change")
+    cfg = fe.interp.get_member(editor, "config")
+    assert cfg["longevity"]["mode_age"] == 90
+
+    toggle = find_toggle()  # re-rendered after enabling
+    toggle.checked = False
+    toggle.dispatch(fe.interp, "change")
+    cfg = fe.interp.get_member(editor, "config")
+    assert cfg["longevity"] is None
 
 
 def test_editor_stream_add_remove_and_reset():

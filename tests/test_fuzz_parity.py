@@ -12,7 +12,7 @@ import pytest
 
 from monte_carlo_retirement_tpu.engine.kernel import simulate_paths
 from monte_carlo_retirement_tpu.models.retirement import SimParams
-from monte_carlo_retirement_tpu.ops.shocks import stream_keys
+from monte_carlo_retirement_tpu.ops.shocks import mortality_uniform, stream_keys
 from monte_carlo_retirement_tpu.timing import expected_trajectory_length
 from tests.conftest import make_config
 from tests.oracle import simulate_path_oracle
@@ -61,12 +61,23 @@ def _random_config(rng: np.random.Generator, extensions: bool = True):
             "inv2_beta": float(rng.uniform(0.0, 1.0)),
         }
     )
+    current_age = float(rng.uniform(30, 55))
+    # Longevity in a third of the scenarios, with modes biased low relative
+    # to the (short fuzz) horizon so in-horizon deaths actually occur.
+    longevity = (
+        None if rng.random() < 0.67 else {
+            "mode_age": float(current_age + rng.uniform(-3.0, 15.0)),
+            "dispersion_years": float(rng.uniform(2.0, 15.0)),
+            "max_age": float(current_age + rng.uniform(16.0, 50.0)),
+        }
+    )
     fee1 = 0.0 if rng.random() < 0.5 else float(rng.uniform(0.0, 0.02))
     fee2 = 0.0 if rng.random() < 0.5 else float(rng.uniform(0.0, 0.02))
     if not extensions:
         glide = None
         guardrails = None
         crashes = None
+        longevity = None
         fee1 = fee2 = 0.0
     return make_config(
         inv1_expense_ratio_annual=fee1,
@@ -75,7 +86,7 @@ def _random_config(rng: np.random.Generator, extensions: bool = True):
         monthly_contribution=float(rng.uniform(0, 6000)),
         contribution_growth_rate_annual=float(rng.uniform(0, 0.06)),
         monthly_expenses=float(rng.uniform(500, 6000)),
-        current_age=float(rng.uniform(30, 55)),
+        current_age=current_age,
         retirement_years=int(rng.integers(1, 7)),
         allocation_inv1_pct=float(rng.uniform(0, 1)),
         # Extensions (oracle suites only; dropped for reference
@@ -84,6 +95,7 @@ def _random_config(rng: np.random.Generator, extensions: bool = True):
         allocation_inv1_final_pct=glide,
         spending_guardrails=guardrails,
         market_crashes=crashes,
+        longevity=longevity,
         inv1_returns_mean=float(rng.uniform(-0.05, 0.15)),
         inv1_returns_volatility=float(rng.uniform(0, 0.25)),
         inv1_annual_tax_on_gains_rate=float(rng.uniform(0, 0.4)),
@@ -102,9 +114,12 @@ def _random_config(rng: np.random.Generator, extensions: bool = True):
     )
 
 
-@pytest.mark.parametrize("case", range(10))
-def test_engine_matches_oracle_on_random_scenarios(case):
-    rng = np.random.default_rng(1000 + case)
+def run_differential_case(case_seed: int) -> None:
+    """One engine-vs-oracle differential over a random scenario (all
+    extensions in the mix). Raises AssertionError on the first per-path
+    disagreement. Shared by the CI cases below and the standalone
+    re-certification campaign (scripts/oracle_fuzz_campaign.py)."""
+    rng = np.random.default_rng(case_seed)
     cfg = _random_config(rng)
     working_months = int(rng.integers(0, 40))
     R = cfg.retirement_years
@@ -112,6 +127,7 @@ def test_engine_matches_oracle_on_random_scenarios(case):
 
     params = SimParams.from_config(cfg, dtype=jnp.float64)
     jumps = cfg.market_crashes is not None
+    mortality = cfg.longevity is not None
     _, key = stream_keys(cfg.seed)
     outs = simulate_paths(
         params,
@@ -123,6 +139,7 @@ def test_engine_matches_oracle_on_random_scenarios(case):
         traj_len=0,
         dtype=jnp.float64,
         jumps=jumps,
+        mortality=mortality,
     )
 
     # The exact same raw draws the kernel consumed, per path.
@@ -138,20 +155,30 @@ def test_engine_matches_oracle_on_random_scenarios(case):
     )  # (T, N_PATHS, 3)
 
     jd = _jump_draws_np(key, T, N_PATHS) if jumps else None
+    mu = (
+        np.asarray(mortality_uniform(key, N_PATHS, jnp.float64))
+        if mortality else None
+    )
     succ = np.asarray(outs.success)
     final = np.asarray(outs.final_balance)
     for p in range(N_PATHS):
         expected = simulate_path_oracle(
             cfg, working_months, shocks[:, p, :],
             jump_shocks=None if jd is None else jd[:, p, :],
+            mort_u=None if mu is None else float(mu[p]),
         )
         assert bool(succ[p]) == expected["success"], (
-            f"case {case} path {p}: engine={bool(succ[p])} "
+            f"seed {case_seed} path {p}: engine={bool(succ[p])} "
             f"oracle={expected['success']} (W={working_months})"
         )
         assert final[p] == pytest.approx(
             expected["final_balance"], rel=1e-8, abs=1e-6
-        ), f"case {case} path {p}"
+        ), f"seed {case_seed} path {p}"
+
+
+@pytest.mark.parametrize("case", range(10))
+def test_engine_matches_oracle_on_random_scenarios(case):
+    run_differential_case(1000 + case)
 
 
 @pytest.mark.parametrize("case", range(8))
@@ -165,6 +192,7 @@ def test_engine_full_outputs_match_oracle(case):
 
     params = SimParams.from_config(cfg, dtype=jnp.float64)
     jumps = cfg.market_crashes is not None
+    mortality = cfg.longevity is not None
     _, key = stream_keys(cfg.seed)
     L = expected_trajectory_length(working_months, R)
     outs = simulate_paths(
@@ -177,6 +205,7 @@ def test_engine_full_outputs_match_oracle(case):
         traj_len=L,
         dtype=jnp.float64,
         jumps=jumps,
+        mortality=mortality,
     )
     shocks = np.stack(
         [
@@ -189,10 +218,15 @@ def test_engine_full_outputs_match_oracle(case):
         ]
     )
     jd = _jump_draws_np(key, T, N_PATHS) if jumps else None
+    mu = (
+        np.asarray(mortality_uniform(key, N_PATHS, jnp.float64))
+        if mortality else None
+    )
     for p in range(N_PATHS):
         expected = simulate_path_oracle(
             cfg, working_months, shocks[:, p, :],
             jump_shocks=None if jd is None else jd[:, p, :],
+            mort_u=None if mu is None else float(mu[p]),
         )
         assert np.asarray(outs.start_balance)[p] == pytest.approx(
             expected["start_balance"], rel=1e-9, abs=1e-6
