@@ -90,8 +90,7 @@ export async function runOptimizeStream(body, handlers) {
 }
 
 // Run a sensitivity analysis: body = {config, working_months, params?,
-// num_paths?}. Plain POST — the server batches all probes into one device
-// dispatch, so there is no incremental progress to stream.
+// num_paths?}. Plain POST — kept for API parity with scripted clients.
 export async function runSensitivity(body) {
   const resp = await fetch(`${BASE}/api/sensitivity`, {
     method: "POST",
@@ -100,6 +99,13 @@ export async function runSensitivity(body) {
   });
   if (!resp.ok) throw new Error(await errorDetail(resp));
   return resp.json();
+}
+
+// Sensitivity over SSE (what the panel uses): the 1+2K probe rows run as
+// chunked device dispatches, so progress events are grid_chunk
+// {done, total} plus a phase event before the optional AD pass.
+export async function runSensitivityStream(body, handlers) {
+  return streamPost(`${BASE}/api/sensitivity/stream`, body, handlers);
 }
 
 // Shared SSE-over-POST transport: frames "data: {json}\n\n", terminal event

@@ -2,7 +2,8 @@
 
 import {
   getAnalysisMeta, getDefaultConfig, hasOverride, runGridStream,
-  runOptimizeStream, runSensitivity, runSimulationStream, validateConfig,
+  runOptimizeStream, runSensitivity, runSensitivityStream,
+  runSimulationStream, validateConfig,
 } from "./api.js";
 import { ConfigEditor } from "./editor.js";
 import {
@@ -86,15 +87,16 @@ function renderProgress() {
       </div>
       <div class="sub">round ${optRound.round} / ${optRound.rounds} ·
         best so far ${optRound.best_value}</div>`;
-  } else if (phase === "grid" && gridProgress) {
+  } else if ((phase === "grid" || phase === "sensitivity") && gridProgress) {
     const frac = gridProgress.total
       ? (gridProgress.done / gridProgress.total) * 100
       : 0;
+    const noun = phase === "grid" ? "variants" : "probe rows";
     bar = `
       <div class="progress-bar-track">
         <div class="progress-bar-fill" style="width:${frac}%"></div>
       </div>
-      <div class="sub">${gridProgress.done} / ${gridProgress.total} variants</div>`;
+      <div class="sub">${gridProgress.done} / ${gridProgress.total} ${noun}</div>`;
   } else if (last) {
     // target 0 is legal and always met — show a full bar, not prob/100.
     const frac = last.target === 0
@@ -420,14 +422,25 @@ function initSensitivityPanel() {
       body.params = raw.split(",").map((s) => s.trim()).filter((s) => s);
     }
     if (!readOptionalPaths("sens-paths", body, showSensError)) return;
+    gridProgress = { done: 0, total: 0 };
     await runAnalysisPanel(runBtn, "sensitivity", async () => {
       try {
-        const data = await runSensitivity(body);
-        renderSensitivityResult(data);
+        await runSensitivityStream(body, {
+          onProgress: (event) => {
+            if (event.type === "grid_chunk") {
+              gridProgress = { done: event.done, total: event.total };
+            }
+            renderProgress();
+          },
+          onResult: (data) => renderSensitivityResult(data),
+          onError: (message) => {
+            showSensError(message);
+            showBanner(message);
+          },
+        });
       } catch (err) {
-        const message = String(err.message || err);
-        showSensError(message);
-        showBanner(message);
+        showSensError(String(err));
+        showBanner(String(err));
       }
     });
   };

@@ -103,10 +103,13 @@ def _sig(x: float, digits: int = 6) -> float:
 
 
 def run_sensitivity_request(
-    request: SensitivityRequest, prepared=None
+    request: SensitivityRequest, prepared=None, progress_callback=None
 ) -> dict:
     """Dispatch the CRN grid (and optionally the AD pass) and assemble the
-    response dict (worker-thread safe)."""
+    response dict (worker-thread safe). ``progress_callback`` receives the
+    grid's per-dispatch ``grid_chunk`` events (the 1+2K probe rows run as
+    chunked device dispatches) and a ``phase`` event before the AD pass —
+    the same streaming pattern the grid/optimize surfaces follow."""
     config, names, num_paths = prepared or prepare_sensitivity(request)
     seed = int(config.seed) if config.seed is not None else 0
     rows = sensitivity_fd(
@@ -117,9 +120,17 @@ def run_sensitivity_request(
         params=names,
         rel_step=request.rel_step,
         abs_step=request.abs_step,
+        progress_callback=progress_callback,
     )
     ad = None
     if request.include_ad:
+        if progress_callback is not None:
+            progress_callback({
+                "type": "phase",
+                "phase": "sensitivity_ad",
+                "message": "Differentiating mean final balance through the "
+                "kernel (jax.jacfwd cross-check)…",
+            })
         ad = sensitivity_ad(
             config,
             request.working_months,

@@ -9,6 +9,7 @@ probes.
 """
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -281,6 +282,77 @@ def test_sensitivity_endpoint_end_to_end():
                 headers={"content-type": "application/json"},
             )
             assert resp.status == 422
+        finally:
+            await client.close()
+
+    asyncio.run(scenario())
+
+
+def test_sensitivity_stream_events():
+    """POST /api/sensitivity/stream — the SSE variant the dashboard panel
+    consumes: phase preamble, grid_chunk progress per device dispatch of
+    the probe rows (chunk size forced tiny via the grid cell budget), then
+    exactly one schema-valid result; 422s answer before any stream."""
+    import asyncio
+    import json as _json
+
+    from tests.conftest import base_config_dict
+
+    async def scenario():
+        from aiohttp.test_utils import TestClient, TestServer
+
+        from monte_carlo_retirement_tpu.hosts.sensitivity import (
+            SensitivityResponse,
+        )
+        from monte_carlo_retirement_tpu.hosts.server import create_app
+
+        client = TestClient(TestServer(create_app()))
+        await client.start_server()
+        try:
+            base = base_config_dict(
+                num_simulations_main=64, retirement_years=3, seed=5
+            )
+            body = {
+                "config": base,
+                "working_months": 12,
+                "params": ["monthly_expenses", "inv1_returns_mean"],
+            }
+            # Force multiple row-chunks: the budget is cells = rows x paths
+            # per dispatch, so 128 cells at 64 paths = 2 rows per chunk ->
+            # 3 chunked dispatches for the 5 probe rows.
+            os.environ["MCRT_GRID_CELL_BUDGET"] = "128"
+            try:
+                resp = await client.post("/api/sensitivity/stream", json=body)
+                assert resp.status == 200
+                text = (await resp.read()).decode()
+            finally:
+                del os.environ["MCRT_GRID_CELL_BUDGET"]
+            events = [
+                _json.loads(line.removeprefix("data: "))
+                for line in text.splitlines()
+                if line.startswith("data: ")
+            ]
+            types = [e["type"] for e in events]
+            assert types[0] == "phase"
+            chunks = [e for e in events if e["type"] == "grid_chunk"]
+            assert len(chunks) >= 2  # real per-dispatch progress
+            assert chunks[-1]["done"] == chunks[-1]["total"]
+            assert types[-1] == "result"
+            assert types.count("result") == 1
+            data = events[-1]["data"]
+            SensitivityResponse.model_validate(data)
+            assert {r["param"] for r in data["rows"]} == set(body["params"])
+
+            # The stream matches the plain POST's rows exactly (same CRN).
+            resp = await client.post("/api/sensitivity", json=body)
+            assert resp.status == 200
+            assert (await resp.json())["rows"] == data["rows"]
+
+            # Unknown parameter -> 422 before any stream begins.
+            bad = {**body, "params": ["not_a_field"]}
+            resp = await client.post("/api/sensitivity/stream", json=bad)
+            assert resp.status == 422
+            assert "not_a_field" in await resp.text()
         finally:
             await client.close()
 
