@@ -120,16 +120,96 @@ def verify_compilation_cache(cache_dir: str) -> int:
 _CACHE_READY = False
 
 
+def _make_cache_writes_atomic() -> None:
+    """Patch jax's file-cache ``put`` to publish entries atomically.
+
+    With eviction disabled (the default), ``LRUCache.put`` writes entries
+    with a bare ``Path.write_bytes`` and NO lock — so any concurrent
+    reader (a second serving process, a multi-controller worker, a
+    parallel test run) can observe a torn entry, and deserializing one
+    crashes natively: observed as a SIGSEGV inside
+    ``compilation_cache.get_executable_and_time`` mid-suite, and as a
+    gloo "Received data size doesn't match" abort when two distributed
+    workers raced the same key. Writing to a unique temp file and
+    ``os.replace``-ing it into place makes every entry appear atomically;
+    duplicate concurrent compiles simply last-write-win the same bytes.
+    (The startup integrity sweep still guards entries torn by a process
+    killed before this patch existed.)"""
+    try:
+        from jax._src import lru_cache as _lru
+    except Exception:  # pragma: no cover - cache impl moved/unavailable
+        return
+    if getattr(_lru.LRUCache, "_mcrt_atomic_put", False):
+        return
+    orig_put = _lru.LRUCache.put
+
+    def atomic_put(self, key, val):
+        if self.eviction_enabled or not key:
+            # Evicting caches take a real lock upstream; keep their path.
+            return orig_put(self, key, val)
+        cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+        if cache_path.exists():
+            return
+        tmp = cache_path.with_name(f".{os.getpid()}.{cache_path.name}.tmp")
+        try:
+            tmp.write_bytes(val)
+            os.replace(tmp, cache_path)
+        except OSError:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+
+    atomic_put.__doc__ = orig_put.__doc__
+    _lru.LRUCache.put = atomic_put
+    _lru.LRUCache._mcrt_atomic_put = True
+
+
+def host_cache_fingerprint() -> str:
+    """Short fingerprint of this host's CPU microarchitecture, used to
+    partition the persistent cache per machine TYPE.
+
+    XLA:CPU AOT executables embed the compile machine's feature set, but
+    jax's cache KEY does not — so when a home directory (or CI cache)
+    migrates to a different host, stale entries load with
+    "Machine type used for XLA:CPU compilation doesn't match" warnings and
+    then misbehave natively (observed on this repo: gloo collective aborts
+    inside a multi-process test and the risk of SIGILL; no Python
+    exception ever surfaces). Keying the cache DIRECTORY by the feature
+    set makes a new machine start clean while an unchanged machine keeps
+    its warm cache. TPU executables don't depend on host features, but a
+    per-host recompile is seconds of cost for a class of native crashes
+    avoided."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # pragma: no cover - non-Linux fallback
+        feats = platform.processor()
+    key = f"{platform.machine()}|{feats}"
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
+
+
 def enable_persistent_compilation_cache() -> None:
     """Cache compiled executables on disk so fresh processes skip XLA compiles."""
     global _CACHE_READY
     if _CACHE_READY:
         return
     try:
-        cache_dir = os.environ.get(
+        base_dir = os.environ.get(
             "MCRT_COMPILE_CACHE", os.path.expanduser("~/.cache/mcrt_jax_cache")
         )
+        cache_dir = os.path.join(
+            base_dir, f"host-{host_cache_fingerprint()}"
+        )
         os.makedirs(cache_dir, exist_ok=True)
+        _make_cache_writes_atomic()
         verify_compilation_cache(cache_dir)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -779,14 +859,7 @@ class Engine:
         seed = self._stream_seed(stream)
         w = jnp.asarray(working_months, dtype=jnp.int32)
 
-        vec_names = (
-            "success", "final_balance", "start_balance", "years_to_ruin",
-            "first_year_gross", "first_year_real_gross",
-            "inflation_at_retirement",
-        )
-        vec_parts = {name: [] for name in vec_names}
-        traj_parts, price_parts, wr_parts = [], [], []
-        wr_counts_acc = None
+        vec_parts, series_parts, wr_count_parts = [], [], []
         block_offset = 0
         sub_taken = 0
         for c in range(n_chunks):
@@ -813,39 +886,32 @@ class Engine:
                     self.params, w, seed, **kernel_kwargs
                 )
                 block_offset += -(-cn // block)
-            for name in vec_names:
-                vec_parts[name].append(full[name][:cn])
-            cnt = _wr_counts_jit(full["withdrawal_rates"][:cn])
-            wr_counts_acc = cnt if wr_counts_acc is None else (
-                _add_jit(wr_counts_acc, cnt)
-            )
             # Stratified subsample: the chunk's leading paths (paths are
             # iid by construction, so any fixed slice is unbiased).
-            want = min(n_sub - sub_taken,
+            take = min(cn, n_sub - sub_taken,
                        -(-n_sub * cn // n))  # proportional share, ceil
-            if want > 0:
-                take = min(cn, want)
-                traj_parts.append(full["trajectory"][:take])
-                price_parts.append(full["price_levels"][:take])
-                wr_parts.append(full["withdrawal_rates"][:take])
-                sub_taken += take
+            sub_taken += take
+            vecs_c, cnt_c, series_c = _chunk_reduce_jit(
+                full, cn=cn, take=take
+            )
+            vec_parts.append(vecs_c)
+            wr_count_parts.append(cnt_c)
+            series_parts.append(series_c)
             # Synchronize before dispatching the next chunk: output buffers
             # are allocated at DISPATCH time, so letting every chunk queue
             # up asynchronously would hold n_chunks x ~GBs of yearly series
             # live at once — the exact OOM this path exists to avoid. The
             # barrier caps live series at one chunk (plus the small slices
-            # kept above).
+            # kept above). Barriering the WHOLE per-chunk reduction also
+            # keeps multi-controller collective order strict (see
+            # _chunk_reduce_impl).
             del full
-            jax.block_until_ready(cnt)
+            jax.block_until_ready((vecs_c, cnt_c, series_c))
             log.info("phase=chunked_run chunk=%d/%d paths=%d: %.3f s",
                      c + 1, n_chunks, cn, time.perf_counter() - t_start)
 
-        vecs = {k: jnp.concatenate(v) for k, v in vec_parts.items()}
-        sub_traj = jnp.concatenate(traj_parts)
-        sub_price = jnp.concatenate(price_parts)
-        sub_wr = jnp.concatenate(wr_parts)
-        summary, dev_bins = _chunked_summary_jit(
-            vecs, sub_traj, sub_price, sub_wr, wr_counts_acc, sample_idx,
+        summary, dev_bins, vecs = _chunked_summary_jit(
+            vec_parts, series_parts, wr_count_parts, sample_idx,
             r_years=self.retirement_years, reduced=reduced,
         )
         jax.block_until_ready(summary.success_probability)
@@ -1042,22 +1108,71 @@ _pallas_full_reduced_jit = jax.jit(
 )
 
 
-_wr_counts_jit = jax.jit(lambda wr: jnp.sum(~jnp.isnan(wr), axis=0))
 _add_jit = jax.jit(lambda a, b: a + b)
 
 
+def _chunk_reduce_impl(full, *, cn, take):
+    """Per-chunk reduction of a chunked run, as ONE program: slice the
+    vector outputs to the chunk's true path count, count the chunk's WR
+    observations (a psum when sharded), and cut the band subsample slices.
+
+    Being one jitted program (instead of ~11 eager dispatches) matters
+    beyond dispatch overhead: under a multi-controller CPU mesh, gloo
+    matches collectives per TCP pair in arrival order, and XLA:CPU runs
+    INDEPENDENT programs concurrently on a thread pool — so two processes
+    issuing the same eager ops could enter their collectives in different
+    orders and abort the job ("Received data size doesn't match expected
+    size"). Inside one executable the compiled schedule orders every
+    collective identically on every process. (TPU runtimes execute
+    per-device in launch order, so they never hit this; the single-program
+    form is still fewer dispatches.)"""
+    vec_names = (
+        "success", "final_balance", "start_balance", "years_to_ruin",
+        "first_year_gross", "first_year_real_gross",
+        "inflation_at_retirement",
+    )
+    vecs = {name: full[name][:cn] for name in vec_names}
+    cnt = jnp.sum(~jnp.isnan(full["withdrawal_rates"][:cn]), axis=0)
+    series = (
+        full["trajectory"][:take],
+        full["price_levels"][:take],
+        full["withdrawal_rates"][:take],
+    )
+    return vecs, cnt, series
+
+
+_chunk_reduce_jit = jax.jit(
+    _chunk_reduce_impl, static_argnames=("cn", "take")
+)
+
+
 def _chunked_summary_impl(
-    vecs, sub_traj, sub_price, sub_wr, wr_counts, sample_idx, *, r_years,
+    vec_parts, series_parts, wr_count_parts, sample_idx, *, r_years,
     reduced,
 ):
     """Merge-phase reduction of a chunked run: vector statistics over the
     full concatenated vectors (exact), band tables over the stratified
-    subsample, with the exact per-year observation counts patched in."""
+    subsample, with the exact per-year observation counts patched in.
+    Takes the per-chunk parts as list pytrees and concatenates INSIDE the
+    program — one executable, so its collectives are schedule-ordered (see
+    :func:`_chunk_reduce_impl`) and the eager concat dispatches are gone.
+    In raw mode the concatenated vectors are returned for the host fetch;
+    reduced mode returns None there and never materialises them."""
     from ..ops.stats import (
         RunSummary, series_summary, serving_bins, vector_summary,
     )
     from .kernel import PathOutputs
 
+    vecs = {
+        k: jnp.concatenate([p[k] for p in vec_parts])
+        for k in vec_parts[0]
+    }
+    sub_traj, sub_price, sub_wr = (
+        jnp.concatenate([s[i] for s in series_parts]) for i in range(3)
+    )
+    wr_counts = wr_count_parts[0]
+    for cnt in wr_count_parts[1:]:
+        wr_counts = wr_counts + cnt
     success = vecs["success"] > 0.5
     (success_prob, median_start, median_final, swr,
      final_pcts) = vector_summary(
@@ -1092,7 +1207,7 @@ def _chunked_summary_impl(
             trajectory=None, price_levels=None, withdrawal_rates=None,
         )
         bins = serving_bins(outs_vec, r_years=r_years)
-    return summary, bins
+    return summary, bins, None if reduced else vecs
 
 
 _chunked_summary_jit = jax.jit(

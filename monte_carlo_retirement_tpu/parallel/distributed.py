@@ -84,6 +84,17 @@ def initialize(
     # and global device discovery would be forfeited.
     if _initialized:
         return True
+    if jax.config.jax_platforms and "cpu" in jax.config.jax_platforms:
+        # XLA:CPU's async dispatch runs independent executables on a thread
+        # pool, so two multi-controller processes can enter gloo collectives
+        # from INDEPENDENT programs in different orders — gloo matches
+        # messages per TCP pair in arrival order and aborts the process with
+        # "Received data size doesn't match expected size" (observed: 268 vs
+        # 4 whenever warm-cache runs overlapped dispatches; cold compiles
+        # serialize execution and mask it). Inline dispatch restores the
+        # per-process program order the collective matching assumes. TPU
+        # runs don't take this branch (their runtime orders collectives).
+        jax.config.update("jax_cpu_enable_async_dispatch", False)
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

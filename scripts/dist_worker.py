@@ -119,6 +119,50 @@ def main() -> None:
         "ruin_counts": rr.bins.ruin_counts.tolist(),
     }
 
+    # HBM chunking COMPOSED with the cross-process mesh: the per-chip path
+    # budget splits an oversized run into mesh-sized chunks whose
+    # block_offset bookkeeping must stay globally contiguous across BOTH
+    # the process boundary and the chunk boundary (runner.py _run_chunked).
+    # Reduced tables from the chunked multi-host run must equal the
+    # single-process unchunked run bit for bit; the parent test pins that.
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        FULL_BLOCK_ROWS,
+    )
+
+    block = FULL_BLOCK_ROWS * 128
+    # Expenses chosen so the 2-year outcome is genuinely mixed (~66%
+    # success) — a degenerate 0/100% scenario would let a broken merge
+    # hide behind constant tables.
+    cfg_small = Config(
+        **{**raw, "retirement_years": 2, "monthly_expenses": 6_600.0}
+    )
+    eng2 = Engine(cfg_small, dtype=jnp.float32, mesh=mesh)
+    w_chunk = 6
+    n_big = 2 * n_devices * block  # 2 mesh-sized chunks
+    os.environ["MCRT_MAX_DEVICE_PATHS"] = str(block)
+    os.environ["MCRT_CHUNK_SUBSAMPLE"] = str(n_big)  # exact band tables
+    try:
+        rr = eng2._run_chunked(
+            w_chunk, n_big, "final",
+            True,  # reduced: the multi-host serving path
+            eng2._pallas_traj_len(w_chunk),
+            jnp.arange(5, dtype=jnp.int32),
+            interpret=True, sharded=True,
+        )
+    finally:
+        del os.environ["MCRT_MAX_DEVICE_PATHS"]
+        del os.environ["MCRT_CHUNK_SUBSAMPLE"]
+    chunked = {
+        "n_paths": n_big,
+        "working_months": w_chunk,
+        "success_probability": rr.success_probability,
+        "final_balance_percentiles": rr.final_balance_percentiles.tolist(),
+        "trajectory_percentiles": rr.trajectory_percentiles.tolist(),
+        "wr_observation_counts": rr.wr_observation_counts.tolist(),
+        "finals_hist_counts": rr.bins.finals_hist_counts.tolist(),
+        "ruin_counts": rr.bins.ruin_counts.tolist(),
+    }
+
     def _clean(obj):
         if isinstance(obj, list):
             return [_clean(v) for v in obj]
@@ -141,6 +185,7 @@ def main() -> None:
                 "n_paths": n_paths,
                 "summary": {k: _listify(v) for k, v in summary_host.items()},
                 "reduced": {k: _clean(v) for k, v in reduced.items()},
+                "chunked": {k: _clean(v) for k, v in chunked.items()},
                 "shards": shards,
             },
             allow_nan=False,

@@ -62,12 +62,22 @@ def _launch_pair():
             )
         )
     results = []
-    for p in procs:
-        out, err = p.communicate(timeout=420)
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
-        assert lines, f"no RESULT line:\n{out[-1000:]}\n{err[-2000:]}"
-        results.append(json.loads(lines[0][len("RESULT "):]))
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+            assert lines, f"no RESULT line:\n{out[-1000:]}\n{err[-2000:]}"
+            results.append(json.loads(lines[0][len("RESULT "):]))
+    finally:
+        # One worker failing must not strand its peer: an unreaped worker
+        # keeps spinning on collectives and poisons every later run on
+        # this machine (observed: a stranded pair from a failed run made
+        # the next invocation hang for its full timeout).
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate(timeout=60)
     return results
 
 
@@ -204,6 +214,70 @@ def test_multihost_reduced_serving_matches_single_process(pair_results):
         np.testing.assert_array_equal(
             np.asarray(red["ruin_counts"]), rr.bins.ruin_counts
         )
+
+
+def test_multihost_chunked_run_matches_single_process(pair_results):
+    """HBM chunking COMPOSED with the cross-process mesh: the workers split
+    an oversized run into two mesh-sized chunks over the (2 proc x 2 dev)
+    global mesh; the reduced tables must equal this process's SINGLE-device
+    UNCHUNKED run bit for bit. The block_offset bookkeeping at chunk
+    boundaries (runner.py _run_chunked) is exactly where a multi-controller
+    off-by-one would hide — this is the pin VERDICT r3 item 7 asked for."""
+    from monte_carlo_retirement_tpu.config import Config, load_config_from_json
+    from monte_carlo_retirement_tpu.engine.runner import Engine
+    from monte_carlo_retirement_tpu.ops.quantiles import exact_quantiles
+
+    r0, r1 = pair_results
+    # Both processes report the identical replicated chunked tables.
+    assert json.dumps(r0["chunked"], sort_keys=True) == json.dumps(
+        r1["chunked"], sort_keys=True
+    )
+    ch = r0["chunked"]
+
+    raw = load_config_from_json(os.path.join(REPO, "config.json"))
+    raw["retirement_years"] = 2
+    raw["seed"] = 1234
+    raw["initial_balance"] = 120_000.0
+    raw["monthly_expenses"] = 6_600.0  # mixed outcomes (~66% success)
+    eng = Engine(Config(**raw), dtype=jnp.float32)  # mesh-less, unchunked
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        pallas_simulate_full,
+    )
+
+    n, w = ch["n_paths"], ch["working_months"]
+    traj_len = eng._pallas_traj_len(w)
+    full = pallas_simulate_full(
+        eng.params, jnp.asarray(w, jnp.int32), eng._stream_seed("final"),
+        n_paths=n, retirement_years=eng.retirement_years,
+        n_streams=eng.params.n_streams, statics=eng.statics,
+        traj_len=traj_len, interpret=True,
+    )
+    succ = np.asarray(full["success"][:n]) > 0.5
+    assert ch["success_probability"] == pytest.approx(
+        succ.mean() * 100.0, abs=1e-9
+    )
+    assert 0.0 < ch["success_probability"] < 100.0  # non-degenerate
+    want_traj = np.asarray(exact_quantiles(
+        jnp.asarray(full["trajectory"][:n]),
+        jnp.asarray([0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95], jnp.float32),
+    ))
+    got_traj = np.asarray(ch["trajectory_percentiles"], dtype=np.float32)
+    np.testing.assert_array_equal(
+        got_traj, want_traj[:, : got_traj.shape[1]]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ch["wr_observation_counts"]),
+        (~np.isnan(np.asarray(full["withdrawal_rates"][:n]))).sum(axis=0),
+    )
+    want_finals = np.asarray(exact_quantiles(
+        jnp.asarray(full["final_balance"][:n]).reshape(-1, 1),
+        jnp.asarray([0.01, 0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95, 0.99],
+                    jnp.float32),
+    )).ravel()
+    np.testing.assert_array_equal(
+        np.asarray(ch["final_balance_percentiles"], dtype=np.float32),
+        want_finals,
+    )
 
 
 def test_initialize_from_env_requires_complete_triplet(monkeypatch):

@@ -225,3 +225,70 @@ def test_compile_cache_integrity_sweep(tmp_path):
     assert survivors == [".lockfile", "jit_good-cache"]
     # Idempotent: a clean cache sweeps clean.
     assert verify_compilation_cache(str(tmp_path)) == 0
+
+
+def test_compile_cache_put_is_atomic(tmp_path):
+    """jax's LRUCache.put writes entries with a bare non-atomic
+    write_bytes and no lock when eviction is disabled, so a concurrent
+    reader (second server process, distributed worker, parallel test) can
+    see a torn entry and crash natively deserializing it. The engine
+    patches put to temp-file + os.replace; entries must appear complete,
+    never be overwritten, and leave no temp litter."""
+    from monte_carlo_retirement_tpu.engine.runner import (
+        _make_cache_writes_atomic,
+    )
+
+    _make_cache_writes_atomic()
+    from jax._src import compilation_cache as cc
+    from jax._src import lru_cache as _lru
+
+    assert getattr(_lru.LRUCache, "_mcrt_atomic_put", False)
+    cache = _lru.LRUCache(str(tmp_path), max_size=-1)  # eviction disabled
+    assert not cache.eviction_enabled
+    payload = cc.compress_executable(
+        cc.combine_executable_and_time(b"x" * 512, 42)
+    )
+    cache.put("jit_entry", payload)
+    assert cache.get("jit_entry") == payload
+    # Same-key put is a no-op (matches upstream semantics).
+    cache.put("jit_entry", payload + b"tail")
+    assert cache.get("jit_entry") == payload
+    # No temp litter left behind.
+    leftovers = [p.name for p in tmp_path.iterdir() if ".tmp" in p.name]
+    assert leftovers == []
+    # The integrity sweep ignores temp names even if a crash strands one:
+    # only *-cache entries are swept.
+    (tmp_path / ".1234.jit_x-cache.tmp").write_bytes(b"half a wri")
+    from monte_carlo_retirement_tpu.engine.runner import (
+        verify_compilation_cache,
+    )
+
+    assert verify_compilation_cache(str(tmp_path)) == 0
+
+
+def test_compile_cache_partitioned_per_host_cpu():
+    """The persistent cache is partitioned by a host-CPU fingerprint:
+    XLA:CPU AOT executables embed the compile machine's feature set but
+    jax's cache key does not, so a cache directory migrated to a different
+    host would load foreign native code (observed: gloo aborts inside the
+    two-process test after this repo changed machines). The fingerprint
+    must be stable within a process and sensitive to the feature set."""
+    from monte_carlo_retirement_tpu.engine.runner import (
+        host_cache_fingerprint,
+    )
+
+    fp = host_cache_fingerprint()
+    assert fp == host_cache_fingerprint()  # deterministic
+    assert len(fp) == 12
+    int(fp, 16)  # hex digest prefix
+    # The enabled cache dir (Engine() enables it on construction in this
+    # suite) points inside a host-<fp> partition of the configured base.
+    import jax
+
+    from tests.conftest import make_config
+    from monte_carlo_retirement_tpu.engine.runner import Engine
+
+    Engine(make_config())
+    cache_dir = jax.config.jax_compilation_cache_dir
+    assert cache_dir is not None
+    assert os.path.basename(cache_dir) == f"host-{fp}"
