@@ -27,7 +27,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
-from ..constants import MAX_SEARCH_YEARS, MONTHS_PER_YEAR, NUM_SAMPLE_PATHS
+from ..constants import (
+    MAX_SEARCH_YEARS,
+    MONTHS_PER_YEAR,
+    NUM_SAMPLE_PATHS,
+    SMALL_EPSILON,
+    TRAJECTORY_PERCENTILES,
+    WITHDRAWAL_RATE_PERCENTILES,
+)
 from ..logging_utils import generate_seed_from_timestamp
 from ..models.retirement import SimParams
 from ..ops.shocks import stream_keys
@@ -59,16 +66,6 @@ def max_probe_paths() -> int:
     """Probe-mode budget per dispatch (success/final vectors only — a few
     bytes per path); chunked above it, merged as a weighted mean."""
     return int(os.environ.get("MCRT_MAX_PROBE_PATHS", str(16 * 2**20)))
-
-
-def chunk_subsample_paths() -> int:
-    """Path count of the iid subsample that feeds the per-year band tables
-    (trajectory / real / withdrawal-rate percentiles) on a CHUNKED run.
-    Vector statistics (success, finals, histograms, ruin bins, counts) stay
-    exact over every path; the band tables of a >4M-path run are computed
-    from this many stratified paths — the same Monte Carlo band noise a
-    1M-path run already carries, at none of the multi-pass merge cost."""
-    return int(os.environ.get("MCRT_CHUNK_SUBSAMPLE", str(2**20)))
 
 
 def verify_compilation_cache(cache_dir: str) -> int:
@@ -828,21 +825,24 @@ class Engine:
         Chunk c simulates global path blocks [c*B, (c+1)*B) via the Pallas
         kernel's global-block PRNG offsets (the same mechanism the sharded
         path uses), so the union of chunks IS the unchunked run path for
-        path. Vector statistics — success, final balances, medians, SWR,
-        final-balance percentiles, the serving histograms/ruin bins,
-        per-year observation counts — are computed EXACTLY over all n
-        paths. The per-year band tables (trajectory/real/WR percentiles)
-        reduce over a stratified iid subsample of chunk_subsample_paths()
-        paths: band noise equal to a ~1M-path run's, with no multi-pass
-        chunk merge (see docs/NOTES.md).
+        path. EVERY statistic is computed exactly over all n paths and
+        bit-equals the unchunked run's: the vector statistics and serving
+        bins from the concatenated per-chunk vectors, the per-year band
+        tables (trajectory/real/WR percentiles) by the additive-count
+        order-statistic search (ops/chunked_quantiles.py) — compare-counts
+        accumulate across chunks, and a chunk is re-simulated
+        deterministically per search round instead of ever holding more
+        than one chunk's yearly series live.
 
         With ``sharded=True`` each chunk dispatches the shard_map'd kernel
         over the Engine mesh: the budget scales to n_dev chips per chunk,
         and chunk sizes stay multiples of n_dev * block so the per-device
         block numbering is globally contiguous — the union still equals
         the single-device unchunked run bit for bit."""
+        from ..ops.chunked_quantiles import BandSearch
         from .pallas_kernel import (
             FULL_BLOCK_ROWS,
+            _local_blocks,
             pallas_simulate_full,
             pallas_simulate_full_sharded,
         )
@@ -855,16 +855,19 @@ class Engine:
             unit, (n_dev * max_device_paths() // unit) * unit
         )
         n_chunks = -(-n // chunk_paths)
-        n_sub = min(n, chunk_subsample_paths())
         seed = self._stream_seed(stream)
         w = jnp.asarray(working_months, dtype=jnp.int32)
 
-        vec_parts, series_parts, wr_count_parts = [], [], []
-        block_offset = 0
-        sub_taken = 0
+        chunk_meta, boff = [], 0
         for c in range(n_chunks):
             start = c * chunk_paths
             cn = min(chunk_paths, n - start)
+            chunk_meta.append((start, cn, boff))
+            boff += (n_dev * _local_blocks(cn, n_dev, block) if sharded
+                     else -(-cn // block))
+
+        def _sim(c):
+            start, cn, off = chunk_meta[c]
             kernel_kwargs = dict(
                 n_paths=cn,
                 retirement_years=self.retirement_years,
@@ -872,60 +875,114 @@ class Engine:
                 statics=self.statics,
                 traj_len=traj_len,
                 interpret=interpret,
-                block_offset=jnp.asarray(block_offset, jnp.int32),
+                block_offset=jnp.asarray(off, jnp.int32),
             )
             if sharded:
-                from .pallas_kernel import _local_blocks
-
                 full = pallas_simulate_full_sharded(
                     self.params, w, seed, mesh=self.mesh, **kernel_kwargs
                 )
-                block_offset += n_dev * _local_blocks(cn, n_dev, block)
             else:
                 full = pallas_simulate_full(
                     self.params, w, seed, **kernel_kwargs
                 )
-                block_offset += -(-cn // block)
-            # Stratified subsample: the chunk's leading paths (paths are
-            # iid by construction, so any fixed slice is unbiased).
-            take = min(cn, n_sub - sub_taken,
-                       -(-n_sub * cn // n))  # proportional share, ceil
-            sub_taken += take
-            vecs_c, cnt_c, series_c = _chunk_reduce_jit(
-                full, cn=cn, take=take
+            return full, start, cn
+
+        vec_parts, samp_t_parts, samp_r_parts, wr_count_parts = [], [], [], []
+        for c in range(n_chunks):
+            full, start, cn = _sim(c)
+            vecs_c, cnt_c, st_c, sr_c = _chunk_reduce_jit(
+                full, jnp.asarray(start, jnp.int32), sample_idx, cn=cn
             )
             vec_parts.append(vecs_c)
             wr_count_parts.append(cnt_c)
-            series_parts.append(series_c)
+            samp_t_parts.append(st_c)
+            samp_r_parts.append(sr_c)
             # Synchronize before dispatching the next chunk: output buffers
             # are allocated at DISPATCH time, so letting every chunk queue
             # up asynchronously would hold n_chunks x ~GBs of yearly series
             # live at once — the exact OOM this path exists to avoid. The
-            # barrier caps live series at one chunk (plus the small slices
-            # kept above). Barriering the WHOLE per-chunk reduction also
-            # keeps multi-controller collective order strict (see
-            # _chunk_reduce_impl).
+            # barrier caps live series at one chunk (plus the small per-
+            # chunk reductions kept above). Barriering the WHOLE per-chunk
+            # reduction also keeps multi-controller collective order strict
+            # (see _chunk_reduce_impl).
             del full
-            jax.block_until_ready((vecs_c, cnt_c, series_c))
+            jax.block_until_ready((vecs_c, cnt_c, st_c, sr_c))
             log.info("phase=chunked_run chunk=%d/%d paths=%d: %.3f s",
                      c + 1, n_chunks, cn, time.perf_counter() - t_start)
 
-        summary, dev_bins, vecs = _chunked_summary_jit(
-            vec_parts, series_parts, wr_count_parts, sample_idx,
+        (scalars, samples, samples_real, wr_counts, dev_bins,
+         vecs) = _chunked_summary_jit(
+            vec_parts, samp_t_parts, samp_r_parts, wr_count_parts,
             r_years=self.retirement_years, reduced=reduced,
         )
-        jax.block_until_ready(summary.success_probability)
+        jax.block_until_ready(scalars[0])
+        log.info("phase=chunked_summary done: %.3f s",
+                 time.perf_counter() - t_start)
+
+        # Exact band tables: host-driven additive-count bisection. Each
+        # round re-simulates the chunks (deterministic: same seed + block
+        # offsets) and accumulates one fused compare-count pass; the fetch
+        # of each chunk's counts doubles as the ordering barrier.
+        wr_counts_h = np.asarray(wr_counts)
+        n_cols_full = np.full((traj_len,), n, dtype=np.int64)
+        qs_band = np.asarray(TRAJECTORY_PERCENTILES, np.float32)
+        qs_wr = np.asarray(WITHDRAWAL_RATE_PERCENTILES, np.float32)
+        # Edges per rank per round: 32 (5 bits/round, 7 rounds) balances
+        # count-pass FLOPs against kernel re-simulation. Measured dead end:
+        # widening to E=256 to cut rounds makes the count program itself
+        # ~90x slower per run on XLA:CPU (58.6 s vs 0.66 s at the test
+        # shapes — superlinear, not the 8x the edge count predicts), so
+        # wider rounds lose on both backends. See docs/NOTES.md.
+        search = BandSearch(
+            [qs_band, qs_band, qs_wr],
+            [n_cols_full, n_cols_full, wr_counts_h.astype(np.int64)],
+            edges_per_rank=32,
+        )
+        band_passes = 0
+        while not search.resolved:
+            edges_dev = tuple(jnp.asarray(e) for e in search.edges())
+            totals = None
+            for c in range(n_chunks):
+                full, _, cn = _sim(c)
+                cnts = _band_counts_jit(full, *edges_dev, cn=cn)
+                del full
+                cnts = [np.asarray(x, np.int64) for x in jax.device_get(cnts)]
+                totals = cnts if totals is None else [
+                    t + x for t, x in zip(totals, cnts)
+                ]
+            search.update(totals)
+            band_passes += 1
+            log.info("phase=band_pass round=%d: %.3f s",
+                     band_passes, time.perf_counter() - t_start)
+        v_lo_dev = tuple(jnp.asarray(v) for v in search.floor_values())
+        cnt_le = gt_min = None
+        for c in range(n_chunks):
+            full, _, cn = _sim(c)
+            out = jax.device_get(_band_ceil_jit(full, *v_lo_dev, cn=cn))
+            del full
+            if cnt_le is None:
+                cnt_le = [np.asarray(o[0], np.int64) for o in out]
+                gt_min = [np.asarray(o[1], np.float32) for o in out]
+            else:
+                cnt_le = [a + np.asarray(o[0], np.int64)
+                          for a, o in zip(cnt_le, out)]
+                gt_min = [np.minimum(a, np.asarray(o[1], np.float32))
+                          for a, o in zip(gt_min, out)]
+        band_passes += 1
+        traj_pcts, real_pcts, wr_pcts = search.interpolate(cnt_le, gt_min)
+
         # Single batched host fetch (see Engine.run): one tunnel round trip
-        # for the summary, bins and (raw mode) the per-path vectors.
-        summary, dev_bins, vecs_h = jax.device_get(
-            (summary, dev_bins if reduced else None,
+        # for the scalars, samples, bins and (raw mode) per-path vectors.
+        scalars, samples, samples_real, dev_bins, vecs_h = jax.device_get(
+            (scalars, samples, samples_real, dev_bins if reduced else None,
              None if reduced else vecs)
         )
+        (success_prob, median_start, median_final, swr, final_pcts) = scalars
         log.info(
             "phase=final_run backend=%s paths=%d months=%d "
-            "chunks=%d subsample=%d reduced=%s: %.3f s",
+            "chunks=%d band_passes=%d reduced=%s: %.3f s",
             "pallas_sharded_chunked" if sharded else "pallas_chunked",
-            n, int(working_months), n_chunks, sub_taken, reduced,
+            n, int(working_months), n_chunks, band_passes, reduced,
             time.perf_counter() - t_start,
         )
         L = expected_trajectory_length(
@@ -947,25 +1004,17 @@ class Engine:
                 "inflation_at_retirement"
             ],
             bins=bins,
-            success_probability=float(summary.success_probability),
-            median_start_balance=float(summary.median_start_balance),
-            median_final_successful=float(summary.median_final_successful),
-            swr=float(summary.swr),
-            final_balance_percentiles=np.asarray(
-                summary.final_balance_percentiles
-            ),
-            trajectory_percentiles=np.asarray(
-                summary.trajectory_percentiles
-            )[:, :L],
-            real_trajectory_percentiles=np.asarray(
-                summary.real_trajectory_percentiles
-            )[:, :L],
-            sample_trajectories=np.asarray(summary.sample_trajectories)[:, :L],
-            sample_real_trajectories=np.asarray(
-                summary.sample_real_trajectories
-            )[:, :L],
-            wr_percentiles=np.asarray(summary.wr_percentiles),
-            wr_observation_counts=np.asarray(summary.wr_observation_counts),
+            success_probability=float(success_prob),
+            median_start_balance=float(median_start),
+            median_final_successful=float(median_final),
+            swr=float(swr),
+            final_balance_percentiles=np.asarray(final_pcts),
+            trajectory_percentiles=traj_pcts[:, :L],
+            real_trajectory_percentiles=real_pcts[:, :L],
+            sample_trajectories=np.asarray(samples)[:, :L],
+            sample_real_trajectories=np.asarray(samples_real)[:, :L],
+            wr_percentiles=wr_pcts,
+            wr_observation_counts=wr_counts_h,
         )
 
     # ------------------------------------------------------------------
@@ -1111,10 +1160,24 @@ _pallas_full_reduced_jit = jax.jit(
 _add_jit = jax.jit(lambda a, b: a + b)
 
 
-def _chunk_reduce_impl(full, *, cn, take):
+def _chunk_real_series(full, cn):
+    """The inflation-adjusted trajectory of one chunk — the IDENTICAL
+    elementwise arithmetic ops/stats.series_summary applies, so values
+    derived per chunk bit-match the unchunked derivation."""
+    traj = full["trajectory"][:cn]
+    price = full["price_levels"][:cn]
+    real = jnp.where(
+        price > SMALL_EPSILON, traj / jnp.maximum(price, SMALL_EPSILON), 0.0
+    )
+    return traj, real
+
+
+def _chunk_reduce_impl(full, start, sample_idx, *, cn):
     """Per-chunk reduction of a chunked run, as ONE program: slice the
     vector outputs to the chunk's true path count, count the chunk's WR
-    observations (a psum when sharded), and cut the band subsample slices.
+    observations (a psum when sharded), and gather this chunk's share of
+    the dashboard sample paths (each global sample index lives in exactly
+    one chunk; out-of-chunk rows contribute zeros and the summary sums).
 
     Being one jitted program (instead of ~11 eager dispatches) matters
     beyond dispatch overhead: under a multi-controller CPU mesh, gloo
@@ -1133,67 +1196,94 @@ def _chunk_reduce_impl(full, *, cn, take):
     )
     vecs = {name: full[name][:cn] for name in vec_names}
     cnt = jnp.sum(~jnp.isnan(full["withdrawal_rates"][:cn]), axis=0)
-    series = (
-        full["trajectory"][:take],
-        full["price_levels"][:take],
-        full["withdrawal_rates"][:take],
-    )
-    return vecs, cnt, series
+    traj, real = _chunk_real_series(full, cn)
+    in_chunk = (sample_idx >= start) & (sample_idx < start + cn)
+    local = jnp.clip(sample_idx - start, 0, cn - 1)
+    samp_t = jnp.where(in_chunk[:, None], traj[local], 0.0)
+    samp_r = jnp.where(in_chunk[:, None], real[local], 0.0)
+    return vecs, cnt, samp_t, samp_r
 
 
-_chunk_reduce_jit = jax.jit(
-    _chunk_reduce_impl, static_argnames=("cn", "take")
-)
+_chunk_reduce_jit = jax.jit(_chunk_reduce_impl, static_argnames=("cn",))
+
+
+def _band_counts_impl(full, traj_edges, real_edges, wr_edges, *, cn):
+    """One band-search round's compare-counts over one chunk: for every
+    (column, probe) cell, how many of this chunk's entries are <= the
+    probe value (ops/chunked_quantiles.py drives the rounds; counts are
+    additive across chunks and lower to a psum when the chunk is sharded).
+    Masking mirrors series_summary: WR NaNs count as +inf (never <= a
+    finite probe)."""
+    traj, real = _chunk_real_series(full, cn)
+    wr = full["withdrawal_rates"][:cn]
+    wrf = jnp.where(jnp.isnan(wr), jnp.asarray(jnp.inf, wr.dtype), wr)
+
+    def count(x, edges):
+        return jnp.sum(
+            (x[:, :, None] <= edges[None, :, :]).astype(jnp.int32), axis=0
+        )
+
+    return count(traj, traj_edges), count(real, real_edges), count(wrf, wr_edges)
+
+
+_band_counts_jit = jax.jit(_band_counts_impl, static_argnames=("cn",))
+
+
+def _band_ceil_impl(full, traj_v, real_v, wr_v, *, cn):
+    """The band search's final pass over one chunk: count-at-floor and
+    smallest-entry-above-floor per (column, rank) — both additive across
+    chunks (sum / min) — from which the interpolation's ceil order
+    statistic follows (duplicate rule identical to quantiles._ceil_values)."""
+    traj, real = _chunk_real_series(full, cn)
+    wr = full["withdrawal_rates"][:cn]
+    wrf = jnp.where(jnp.isnan(wr), jnp.asarray(jnp.inf, wr.dtype), wr)
+
+    def ceil_stats(x, v):
+        le = x[:, :, None] <= v[None, :, :]
+        cnt = jnp.sum(le.astype(jnp.int32), axis=0)
+        gt_min = jnp.min(
+            jnp.where(le, jnp.asarray(jnp.inf, x.dtype), x[:, :, None]),
+            axis=0,
+        )
+        return cnt, gt_min
+
+    return ceil_stats(traj, traj_v), ceil_stats(real, real_v), ceil_stats(wrf, wr_v)
+
+
+_band_ceil_jit = jax.jit(_band_ceil_impl, static_argnames=("cn",))
 
 
 def _chunked_summary_impl(
-    vec_parts, series_parts, wr_count_parts, sample_idx, *, r_years,
+    vec_parts, samp_t_parts, samp_r_parts, wr_count_parts, *, r_years,
     reduced,
 ):
     """Merge-phase reduction of a chunked run: vector statistics over the
-    full concatenated vectors (exact), band tables over the stratified
-    subsample, with the exact per-year observation counts patched in.
+    full concatenated vectors (exact), sample paths and per-year WR
+    observation counts summed from the chunks' contributions. The band
+    percentile tables are NOT computed here — they come from the exact
+    additive-count search the caller drives (ops/chunked_quantiles.py).
     Takes the per-chunk parts as list pytrees and concatenates INSIDE the
     program — one executable, so its collectives are schedule-ordered (see
     :func:`_chunk_reduce_impl`) and the eager concat dispatches are gone.
     In raw mode the concatenated vectors are returned for the host fetch;
     reduced mode returns None there and never materialises them."""
-    from ..ops.stats import (
-        RunSummary, series_summary, serving_bins, vector_summary,
-    )
+    from ..ops.stats import serving_bins, vector_summary
     from .kernel import PathOutputs
 
     vecs = {
         k: jnp.concatenate([p[k] for p in vec_parts])
         for k in vec_parts[0]
     }
-    sub_traj, sub_price, sub_wr = (
-        jnp.concatenate([s[i] for s in series_parts]) for i in range(3)
-    )
-    wr_counts = wr_count_parts[0]
-    for cnt in wr_count_parts[1:]:
-        wr_counts = wr_counts + cnt
+    samples = sum(samp_t_parts[1:], samp_t_parts[0])
+    samples_real = sum(samp_r_parts[1:], samp_r_parts[0])
+    wr_counts = sum(wr_count_parts[1:], wr_count_parts[0])
     success = vecs["success"] > 0.5
     (success_prob, median_start, median_final, swr,
      final_pcts) = vector_summary(
         success, vecs["final_balance"], vecs["start_balance"],
         vecs["first_year_real_gross"],
     )
-    (traj_pcts, real_pcts, samples, samples_real, wr_pcts,
-     _sub_counts) = series_summary(sub_traj, sub_price, sub_wr, sample_idx)
-    summary = RunSummary(
-        success_probability=success_prob,
-        median_start_balance=median_start,
-        median_final_successful=median_final,
-        swr=swr,
-        final_balance_percentiles=final_pcts,
-        trajectory_percentiles=traj_pcts,
-        real_trajectory_percentiles=real_pcts,
-        sample_trajectories=samples,
-        sample_real_trajectories=samples_real,
-        wr_percentiles=wr_pcts,
-        wr_observation_counts=wr_counts,
-    )
+    scalars = (success_prob, median_start, median_final, swr, final_pcts)
     bins = None
     if reduced:
         outs_vec = PathOutputs(
@@ -1207,7 +1297,8 @@ def _chunked_summary_impl(
             trajectory=None, price_levels=None, withdrawal_rates=None,
         )
         bins = serving_bins(outs_vec, r_years=r_years)
-    return summary, bins, None if reduced else vecs
+    return (scalars, samples, samples_real, wr_counts, bins,
+            None if reduced else vecs)
 
 
 _chunked_summary_jit = jax.jit(

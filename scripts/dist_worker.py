@@ -140,7 +140,6 @@ def main() -> None:
     w_chunk = 6
     n_big = 2 * n_devices * block  # 2 mesh-sized chunks
     os.environ["MCRT_MAX_DEVICE_PATHS"] = str(block)
-    os.environ["MCRT_CHUNK_SUBSAMPLE"] = str(n_big)  # exact band tables
     try:
         rr = eng2._run_chunked(
             w_chunk, n_big, "final",
@@ -151,7 +150,6 @@ def main() -> None:
         )
     finally:
         del os.environ["MCRT_MAX_DEVICE_PATHS"]
-        del os.environ["MCRT_CHUNK_SUBSAMPLE"]
     chunked = {
         "n_paths": n_big,
         "working_months": w_chunk,

@@ -38,15 +38,32 @@ def _unchunked_reference(eng, w, n, traj_len):
     return {k: np.asarray(v[:n]) for k, v in full.items()}
 
 
+def _unchunked_series_tables(ref, sample_idx):
+    """The single-dispatch device reduction over the reference arrays —
+    the bit-equality target for the chunked band tables and samples."""
+    from monte_carlo_retirement_tpu.ops.stats import series_summary
+
+    out = series_summary(
+        jnp.asarray(ref["trajectory"]),
+        jnp.asarray(ref["price_levels"]),
+        jnp.asarray(ref["withdrawal_rates"]),
+        sample_idx,
+    )
+    return [np.asarray(t) for t in out]
+
+
 def test_chunked_run_equals_single_dispatch(monkeypatch):
-    """Two chunks with full subsampling reproduce every field of the
-    unchunked run bit for bit."""
+    """Two chunks reproduce every field of the unchunked run bit for bit —
+    including the per-year band tables, which the additive-count search
+    (ops/chunked_quantiles.py) computes exactly over ALL paths."""
     monkeypatch.setenv("MCRT_MAX_DEVICE_PATHS", str(BLOCK))
-    monkeypatch.setenv("MCRT_CHUNK_SUBSAMPLE", str(2 * BLOCK))
     eng = _engine()
     n, w = 2 * BLOCK, 6
     traj_len = eng._pallas_traj_len(w)
-    sample_idx = jnp.arange(5, dtype=jnp.int32)
+    # Sample rows from BOTH chunks (the gather crosses the chunk boundary).
+    sample_idx = jnp.asarray(
+        [0, 3, BLOCK + 1, 2 * BLOCK - 1, 7], dtype=jnp.int32
+    )
 
     res = eng._run_chunked(
         w, n, "final", False, traj_len, sample_idx, interpret=True
@@ -57,27 +74,24 @@ def test_chunked_run_equals_single_dispatch(monkeypatch):
     np.testing.assert_array_equal(res.final_balance, ref["final_balance"])
     np.testing.assert_array_equal(res.start_balance, ref["start_balance"])
 
-    # Band tables over the full subsample == exact tables of the same data.
-    from monte_carlo_retirement_tpu.ops.quantiles import exact_quantiles
-
-    want = np.asarray(exact_quantiles(
-        jnp.asarray(ref["trajectory"]),
-        jnp.asarray([0.05, 0.10, 0.25, 0.50, 0.75, 0.90, 0.95],
-                    dtype=jnp.float32),
-    ))
+    (traj_pcts, real_pcts, samples, samples_real, wr_pcts,
+     wr_counts) = _unchunked_series_tables(ref, sample_idx)
     L = res.trajectory_percentiles.shape[1]
-    np.testing.assert_array_equal(res.trajectory_percentiles, want[:, :L])
-    np.testing.assert_array_equal(
-        res.wr_observation_counts,
-        (~np.isnan(ref["withdrawal_rates"])).sum(axis=0),
-    )
+    np.testing.assert_array_equal(res.trajectory_percentiles,
+                                  traj_pcts[:, :L])
+    np.testing.assert_array_equal(res.real_trajectory_percentiles,
+                                  real_pcts[:, :L])
+    np.testing.assert_array_equal(res.wr_percentiles, wr_pcts)
+    np.testing.assert_array_equal(res.sample_trajectories, samples[:, :L])
+    np.testing.assert_array_equal(res.sample_real_trajectories,
+                                  samples_real[:, :L])
+    np.testing.assert_array_equal(res.wr_observation_counts, wr_counts)
 
 
 def test_chunked_reduced_bins_exact(monkeypatch):
     """Reduced mode on a chunked run: serving bins computed from the merged
     vectors equal the single-dispatch bins."""
     monkeypatch.setenv("MCRT_MAX_DEVICE_PATHS", str(BLOCK))
-    monkeypatch.setenv("MCRT_CHUNK_SUBSAMPLE", str(BLOCK // 2))
     # Spend enough that a visible share of paths fail (non-trivial bins):
     # 24 months x $5.5k indexed needs ~$135k against $120k at t=0.
     eng = _engine(initial_balance=120_000.0, monthly_expenses=5_500.0)
@@ -102,12 +116,21 @@ def test_chunked_reduced_bins_exact(monkeypatch):
     failed = ~succ & ~np.isnan(ytr)
     assert res.bins.failure_count == int(failed.sum())
     assert res.success_probability == pytest.approx(succ.mean() * 100.0)
-    # Headline scalars are exact over ALL paths (not the subsample).
     assert res.median_start_balance == pytest.approx(
         np.median(ref["start_balance"]), rel=1e-6
     )
-    # Band tables come from the subsample: statistically close, not equal.
-    assert res.trajectory_percentiles.shape[0] == 7
+    # Band tables are exact over ALL paths in reduced mode too (a run with
+    # real failures exercises the WR NaN masking through the search).
+    sample_idx = jnp.arange(5, dtype=jnp.int32)
+    (traj_pcts, real_pcts, _s, _sr, wr_pcts,
+     wr_counts) = _unchunked_series_tables(ref, sample_idx)
+    L = res.trajectory_percentiles.shape[1]
+    np.testing.assert_array_equal(res.trajectory_percentiles,
+                                  traj_pcts[:, :L])
+    np.testing.assert_array_equal(res.real_trajectory_percentiles,
+                                  real_pcts[:, :L])
+    np.testing.assert_array_equal(res.wr_percentiles, wr_pcts)
+    np.testing.assert_array_equal(res.wr_observation_counts, wr_counts)
 
 
 def test_sharded_chunked_union_equals_single_device(monkeypatch):
@@ -124,7 +147,6 @@ def test_sharded_chunked_union_equals_single_device(monkeypatch):
     assert n_dev == 8  # conftest forces 8 virtual CPU devices
     monkeypatch.setenv("MCRT_MAX_DEVICE_PATHS", str(BLOCK))
     n, w = 2 * n_dev * BLOCK, 6
-    monkeypatch.setenv("MCRT_CHUNK_SUBSAMPLE", str(n))
 
     cfg = make_config(retirement_years=2, seed=11)
     eng = Engine(cfg, dtype=jnp.float32, mesh=mesh)
@@ -144,6 +166,16 @@ def test_sharded_chunked_union_equals_single_device(monkeypatch):
         res.wr_observation_counts,
         (~np.isnan(ref["withdrawal_rates"])).sum(axis=0),
     )
+    # Band tables exact across BOTH the mesh and the chunk boundary.
+    (traj_pcts, real_pcts, samples, _sr, wr_pcts,
+     _wc) = _unchunked_series_tables(ref, sample_idx)
+    L = res.trajectory_percentiles.shape[1]
+    np.testing.assert_array_equal(res.trajectory_percentiles,
+                                  traj_pcts[:, :L])
+    np.testing.assert_array_equal(res.real_trajectory_percentiles,
+                                  real_pcts[:, :L])
+    np.testing.assert_array_equal(res.wr_percentiles, wr_pcts)
+    np.testing.assert_array_equal(res.sample_trajectories, samples[:, :L])
 
 
 def test_run_routes_oversized_sharded_to_chunked(monkeypatch):
