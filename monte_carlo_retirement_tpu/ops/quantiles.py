@@ -34,6 +34,7 @@ sentinel at the extreme top rank.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -46,6 +47,22 @@ from jax import lax
 # ever traced where x64 is enabled.
 _F32_SIGN = np.uint32(0x80000000)
 _F64_SIGN = np.uint64(0x8000000000000000)
+
+
+def _default_bits_per_pass() -> int:
+    """How many result bits each compare-count pass decides (radix 2^k).
+
+    k bits per pass needs 2^k - 1 ordered probes per (column, rank) —
+    compare work grows (2^k - 1)/k per element while the number of
+    streaming passes over the data shrinks k-fold. The data passes are
+    HBM-bandwidth-bound at the serving scale (~200-400 MB per pass), so
+    k > 1 trades cheap VPU compares for expensive memory sweeps. k must
+    divide the float's bit width (32/64): one of 1, 2, 4, 8.
+
+    MCRT_QUANTILE_RADIX_BITS overrides (trace-time: different k compiles
+    a different — bit-identical-valued — executable).
+    """
+    return int(os.environ.get("MCRT_QUANTILE_RADIX_BITS", "1"))
 
 
 def _uint_info(dtype):
@@ -91,7 +108,9 @@ def _column_slices(parts):
     return out, c0
 
 
-def _search_floor_values_parts(parts, need: jnp.ndarray) -> jnp.ndarray:
+def _search_floor_values_parts(
+    parts, need: jnp.ndarray, bits_per_pass: Optional[int] = None
+) -> jnp.ndarray:
     """Smallest value v (as a float) with count(x <= v) >= need, per
     (column, rank), jointly for a LIST of column groups.
 
@@ -101,21 +120,42 @@ def _search_floor_values_parts(parts, need: jnp.ndarray) -> jnp.ndarray:
     together — per-part counts are concatenated each pass — so G groups
     pay ONE loop's pass overhead instead of G (measured ~2 ms per merged
     1M x 51 group at the serving scale), and no (n, sum C_i) concat is
-    ever materialised. Returns (C, K) floats (+inf when need > #finite).
+    ever materialised.
+
+    Each pass decides ``k = bits_per_pass`` result bits (radix 2^k, see
+    :func:`_default_bits_per_pass`): with the high bits fixed in ``res``
+    and a k-bit group at position ``b``, the candidate key for group
+    value m is ``res | (m << b) | ((1 << b) - 1)`` (group = m, all lower
+    bits 1) and ``count(x <= decode(candidate)) >= need`` iff the true
+    group value is <= m — monotone in m, so the group value is simply
+    how many of the 2^k - 1 probes (m = 0..2^k-2) FAIL the test. k = 1
+    reduces to classic bisection. Results are bit-identical for every k.
+
+    Returns (C, K) floats (+inf when need > #finite).
     """
     n = parts[0].shape[0]
     dtype = parts[0].dtype
     slices, _ = _column_slices(parts)
     _, uint, nbits = _uint_info(dtype)
+    k = _default_bits_per_pass() if bits_per_pass is None else bits_per_pass
+    if nbits % k:
+        raise ValueError(f"bits_per_pass {k} must divide {nbits}")
+    n_probes = (1 << k) - 1
     cdt = _count_dtype(n)
     need_c = need.astype(cdt)
     one = jnp.asarray(1, dtype=uint)
+    ms = jnp.arange(n_probes, dtype=uint)  # probe group values 0..2^k-2
+
+    K = need.shape[1]
 
     def body(i, res):
-        bit = jnp.asarray(nbits - 1 - i, dtype=uint)
-        # Candidate: current prefix, this bit 0, all lower bits 1. If
-        # enough entries lie at or below its float value, the bit stays 0.
-        test = _from_ordered_bits(res | ((one << bit) - one), dtype)
+        b = jnp.asarray(nbits, uint) - (i.astype(uint) + 1) * jnp.asarray(
+            k, uint
+        )
+        # Candidates: prefix | m << b | (all lower bits 1), m = 0..2^k-2.
+        low_ones = (one << b) - one
+        test_keys = res[..., None] | (ms << b) | low_ones
+        test = _from_ordered_bits(test_keys, dtype)
         # Candidate keys outside the float range decode to NaN. Keys above
         # +inf (positive-NaN space) have every real key below them: clamp
         # to +inf so the compare counts everything (keeps an exact +inf
@@ -125,19 +165,28 @@ def _search_floor_values_parts(parts, need: jnp.ndarray) -> jnp.ndarray:
             jnp.isnan(test) & ~jnp.signbit(test),
             jnp.asarray(jnp.inf, dtype), test,
         )
+        # Probes fold into the rank axis — the compare stays the rank-3
+        # (n, C, K*P) broadcast XLA fuses into the count reduction without
+        # materialising (a trailing size-P axis instead measured 91 ->
+        # 760 ms full stats on chip: the rank-4 pattern broke the fusion).
+        test_flat = test.reshape(test.shape[0], K * n_probes)
         cnt = jnp.concatenate(
             [
                 jnp.sum(
-                    (xf[:, :, None] <= test[None, s, :]).astype(cdt), axis=0
+                    (xf[:, :, None] <= test_flat[None, s, :]).astype(cdt),
+                    axis=0,
                 )
                 for xf, s in zip(parts, slices)
             ],
             axis=0,
-        )
-        return jnp.where(cnt >= need_c, res, res | (one << bit))
+        ).reshape(need.shape[0], K, n_probes)
+        g = jnp.sum(
+            (cnt < need_c[..., None]).astype(jnp.int32), axis=-1
+        ).astype(uint)
+        return res | (g << b)
 
     res = lax.fori_loop(
-        0, nbits, body, jnp.zeros(need.shape, dtype=uint)
+        0, nbits // k, body, jnp.zeros(need.shape, dtype=uint)
     )
     return _from_ordered_bits(res, dtype)
 

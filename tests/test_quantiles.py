@@ -189,3 +189,37 @@ def test_works_under_jit_and_grad_free_path():
     got = np.asarray(fn(jnp.asarray(x)))
     want = np.percentile(x, [25, 50, 75], axis=0)
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_radix_bits_per_pass_bit_identical():
+    """The radix-2^k floor search (k result bits per compare-count pass)
+    returns BIT-identical keys for every k — the perf knob
+    (MCRT_QUANTILE_RADIX_BITS) can never change a value. Exercises sign
+    mixes, exact zeros, duplicates, masked columns, and both dtypes."""
+    from monte_carlo_retirement_tpu.ops.quantiles import (
+        _search_floor_values_parts,
+    )
+
+    rng = np.random.default_rng(7)
+    for dtype in (np.float32, np.float64):
+        x = (rng.standard_normal((3001, 9)) * 10.0 ** rng.integers(
+            -3, 4, size=9
+        )).astype(dtype)
+        x[rng.random(x.shape) < 0.05] = 0.0       # exact-zero ties
+        x[rng.random(x.shape) < 0.05] = dtype(2)  # duplicates
+        x[:, 4] = -np.abs(x[:, 4])                # all-negative column
+        valid = rng.random(x.shape) > 0.15
+        xf = jnp.where(jnp.asarray(valid), jnp.asarray(x),
+                       jnp.asarray(np.inf, dtype))
+        nv = np.maximum(valid.sum(axis=0), 1)
+        need = jnp.asarray(
+            np.stack([np.ones(9), nv // 2, nv], axis=1), jnp.int32
+        )
+        outs = {
+            k: np.asarray(
+                _search_floor_values_parts([xf], need, bits_per_pass=k)
+            )
+            for k in (1, 2, 4, 8)
+        }
+        for k in (2, 4, 8):
+            np.testing.assert_array_equal(outs[k], outs[1])
