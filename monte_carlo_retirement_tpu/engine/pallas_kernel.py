@@ -656,7 +656,15 @@ def _make_kernel(
             init += [zero_v + 1.0]  # spending multiplier, year 0 = the plan
         if track:
             init += [
-                zero_v + jnp.nan,            # years_to_ruin
+                zero_v,                      # alive-months counter: +1 per
+                                             # retirement month the path is
+                                             # alive at month start; at the
+                                             # kernel end /12 = years_to_
+                                             # ruin (survivors -> NaN). One
+                                             # add/month where the old
+                                             # death-month select cost
+                                             # mul+add+select (measured
+                                             # -2.1 ms at 1M x 600).
                 zero_v,                      # yg (year gross)
                 zero_v,                      # yr (year gross in ret-$,
                                              #     deflated; x infl_ret
@@ -764,11 +772,10 @@ def _make_kernel(
             if any_bills:
                 killed = st[i_bills + 2] > 0.5  # pre-ret tax failure
                 st[5] = jnp.where(killed, 0.0, st[5])
+            # (Pre-retirement failures need no years_to_ruin bookkeeping:
+            # their alive flag drops here, so the alive-months counter
+            # simply never increments and the final /12 yields 0.)
             if track:
-                st[i_track] = (
-                    jnp.where(killed, 0.0, st[i_track]) if any_bills
-                    else st[i_track]
-                )  # years_to_ruin = 0 for pre-retirement failures
                 total_rec = st[0] + st[2]
                 infl_rec = st[4]
                 # Retirement-start constants live in their output refs from
@@ -975,13 +982,15 @@ def _make_kernel(
 
             alive_f = jnp.where(dies, 0.0, alive_f)
             if track:
-                ytr = jnp.where(
-                    dies_regular,
-                    (ret_idx_f + 1.0) / MONTHS_PER_YEAR,
-                    ytr,
-                )
-                if any_bills:
-                    ytr = jnp.where(settle_failed, jnp.float32(R), ytr)
+                # Alive-months counter: a ruined path was alive at the start
+                # of its death month, so the count freezes at exactly
+                # ret_idx + 1 — including the settle-month tax failure,
+                # where it freezes at R*12 (the final /12 gives R, the
+                # value the old select wrote). Survivors and mortality
+                # deaths (the estate keeps living) count to R*12 and are
+                # mapped to NaN at the kernel end. One add replaces the
+                # old per-month death-month select chain.
+                ytr = ytr + alive0_f
 
                 # First-year withdrawal capture: k <= 12 IS the year-0
                 # window (ret_idx <= 11), so the whole subgraph is skipped
@@ -1010,7 +1019,11 @@ def _make_kernel(
                     total2 = b1 + b2
                     # Dead paths froze at death, so total2 is the at-death
                     # balance for deaths this year; older deaths pad zero.
-                    death_k = jnp.round(ytr * MONTHS_PER_YEAR)
+                    # The alive-months counter IS the death month for dead
+                    # paths; for still-alive paths it equals k, which
+                    # passes the died_this_year window but is absorbed by
+                    # the alive_now branch of the mask/value selects below.
+                    death_k = ytr
                     y_f = (k // MONTHS_PER_YEAR - 1).astype(jnp.float32)
                     died_this_year = (
                         death_k > y_f * MONTHS_PER_YEAR + 0.5
@@ -1067,7 +1080,15 @@ def _make_kernel(
         if track:
             # start/inflret were stored at the snapshot; fy_g/fy_r
             # accumulated in their refs during the year-0 window.
+            # years_to_ruin from the alive-months counter: still-alive
+            # paths (survivors AND mortality deaths, whose estate lived
+            # on) -> NaN; ruined paths -> death month / 12 (pre-retirement
+            # kills counted zero months -> 0.0, the reference's value).
             ytr, _yg, _yr = final[i_track:]
+            ytr = jnp.where(
+                final[5] > 0.5, jnp.float32(jnp.nan),
+                ytr / MONTHS_PER_YEAR,
+            )
             out_ytr[:] = ytr.reshape(out_ytr.shape)
 
     return kernel
