@@ -398,6 +398,14 @@ def _make_kernel(
             else:
                 stream_cell = lambda arr, s: arr[s]
         w_f = w.astype(jnp.float32)
+        # Loop-invariant residue: (w + k) % 12 == 0  <=>  k % 12 ==
+        # boundary_k, so the retirement loop derives ALL its calendar
+        # predicates from the single k % 12 below (integer mod lowers to
+        # a multi-op divide sequence; dropping two of the three distinct
+        # per-month mods measured -1.9 ms at 1M x 600 full mode).
+        boundary_k = (
+            MONTHS_PER_YEAR - w % MONTHS_PER_YEAR
+        ) % MONTHS_PER_YEAR
         # Injected-shock runs (tests) supply their own z — antithetic applies
         # only to in-kernel PRNG draws.
         antithetic = st_.antithetic and not with_shocks
@@ -804,9 +812,12 @@ def _make_kernel(
             k = m - w
             ret_idx = k - 1
             ret_idx_f = ret_idx.astype(jnp.float32)
+            # The month's ONE calendar mod; every year-boundary predicate
+            # below is an equality against it (see boundary_k above).
+            k_mod = k % MONTHS_PER_YEAR
             if track:
                 ytr, yg, yr = st[i_track:]
-                new_year = (ret_idx % MONTHS_PER_YEAR) == 0
+                new_year = k_mod == 1  # ret_idx % 12 == 0, k = ret_idx+1
                 yg = jnp.where(new_year, 0.0, yg)
                 yr = jnp.where(new_year, 0.0, yr)
 
