@@ -34,7 +34,7 @@ class GridVariant(BaseModel):
 
 class GridRequest(BaseModel):
     config: Dict[str, Any] = Field(
-        ..., description="Base configuration (same schema as config.json)."
+        ..., description="Base scenario as a JSON object (the on-disk scenario-file shape; see docs/CONFIG.md)."
     )
     variants: List[GridVariant] = Field(..., min_length=1)
     working_months: Union[int, List[int]] = Field(

@@ -37,7 +37,7 @@ class OptimizeParamSpec(BaseModel):
 
 class OptimizeRequest(BaseModel):
     config: Dict[str, Any] = Field(
-        ..., description="Base configuration (same schema as config.json)."
+        ..., description="Base scenario as a JSON object (the on-disk scenario-file shape; see docs/CONFIG.md)."
     )
     working_months: int = Field(..., ge=0)
     param: Optional[str] = Field(

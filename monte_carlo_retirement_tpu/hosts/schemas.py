@@ -34,8 +34,10 @@ class SimulationSummary(BaseModel):
     swr: Optional[float] = Field(
         None,
         description=(
-            "Median first-year real gross withdrawal divided by "
-            "start-of-retirement balance, as a percentage."
+            "Sustainable withdrawal rate, in percent: the cohort-median "
+            "gross withdrawal taken during retirement year 0 (deflated to "
+            "retirement-date dollars) over the portfolio value on the "
+            "retirement date."
         ),
     )
     final_balance_percentiles: Dict[str, float]
@@ -48,8 +50,12 @@ class TrajectoryData(BaseModel):
 
 
 class WithdrawalRateData(BaseModel):
-    """Real withdrawal rate by year: inflation-adjusted portfolio withdrawal
-    as a percentage of the balance at retirement start (Trinity/Bengen)."""
+    """Per-retirement-year withdrawal-rate table for the dashboard's band
+    chart. Each year's rate is that year's portfolio withdrawals, deflated to
+    retirement-date purchasing power, divided by the retirement-date balance
+    (the denominator classic 4%-rule studies use). Years a path did not fund
+    in full contribute NaN/None and are excluded from the percentile rows;
+    ``observation_counts`` says how many paths remain per year."""
 
     years: List[float]
     percentiles: Dict[str, List[Optional[float]]]
@@ -70,10 +76,12 @@ class SearchCurveData(BaseModel):
 
 
 class RuinHistogramData(BaseModel):
-    """Elapsed retirement years at the first unfunded month (failed paths).
+    """How far into retirement the failing paths got before running dry.
 
-    Above the raw-path payload cap the per-path list is replaced by
-    ``year_counts`` (integer-year bins, trailing zeros trimmed) so a
+    ``years_to_ruin`` holds one fractional-year value per failed path —
+    measured from the retirement date to the first month an expense could
+    not be met. Above the raw-path payload cap the per-path list is replaced
+    by ``year_counts`` (integer-year bins, trailing zeros trimmed) so a
     million-path run serves a bounded response.
     """
 
@@ -121,12 +129,19 @@ class SimulationResponse(BaseModel):
 
 class SimulationRequest(BaseModel):
     config: Dict[str, Any] = Field(
-        ..., description="Simulation configuration (same schema as config.json)."
+        ...,
+        description=(
+            "Scenario definition as a JSON object — the same shape a "
+            "scenario file on disk uses (see docs/CONFIG.md for every field)."
+        ),
     )
     working_months_override: Optional[int] = Field(
         None,
         ge=0,
-        description="Skip the search and run the final simulation directly.",
+        description=(
+            "When set, bypass the minimum-working-months search entirely and "
+            "simulate the final cohort at exactly this many months."
+        ),
     )
     include_raw_paths: Optional[bool] = Field(
         None,

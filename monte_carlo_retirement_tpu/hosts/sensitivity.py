@@ -24,7 +24,7 @@ from ..engine.sensitivity import (
 
 class SensitivityRequest(BaseModel):
     config: Dict[str, Any] = Field(
-        ..., description="Base configuration (same schema as config.json)."
+        ..., description="Base scenario as a JSON object (the on-disk scenario-file shape; see docs/CONFIG.md)."
     )
     working_months: int = Field(..., ge=0)
     params: Optional[List[str]] = Field(
