@@ -161,6 +161,44 @@ def main() -> None:
         "ruin_counts": rr.bins.ruin_counts.tolist(),
     }
 
+    # The minimum-working-months SEARCH — the reference's flagship host
+    # algorithm (/root/reference/backend/simulation.py:1138-1343) — driven
+    # end-to-end over the cross-process mesh. Each probe batch is one SPMD
+    # dispatch whose success reduction is replicated, so every process sees
+    # the identical curve and the host-side ladder->verify loop stays in
+    # lockstep across processes (a divergent probe result would deadlock the
+    # next collective — this exercising IS the test). Overrides mirrored in
+    # tests/test_distributed.py::test_cross_process_search_matches_single_process.
+    from monte_carlo_retirement_tpu.search.driver import (
+        find_minimum_working_months as search_months,
+    )
+
+    cfg_search = Config(
+        **{
+            **raw,
+            "retirement_years": 3,
+            "monthly_expenses": 8_000.0,
+            "num_simulations_search": 64,
+            "target_probability": 90.0,
+            "starting_working_months_search": 0,
+        }
+    )
+    eng3 = Engine(cfg_search, dtype=jnp.float64, mesh=mesh)
+    # Covers the ladder's first two chunks (start + 396 months); the
+    # scenario converges inside the first (answer ~30 months), so the
+    # driver never probes beyond it.
+    sm, sp, scurve = search_months(
+        lambda ms: eng3.probe(
+            list(ms), 64, stream="search", horizon_months=396
+        ),
+        starting_working_months=0,
+        target_probability_pct=90.0,
+        sim_count=64,
+        scenario_name="dist-search",
+        verbose=False,
+    )
+    search_res = {"months": sm, "probability": sp, "curve": scurve}
+
     def _clean(obj):
         if isinstance(obj, list):
             return [_clean(v) for v in obj]
@@ -184,6 +222,7 @@ def main() -> None:
                 "summary": {k: _listify(v) for k, v in summary_host.items()},
                 "reduced": {k: _clean(v) for k, v in reduced.items()},
                 "chunked": {k: _clean(v) for k, v in chunked.items()},
+                "search": search_res,
                 "shards": shards,
             },
             allow_nan=False,

@@ -64,7 +64,7 @@ def _launch_pair():
     results = []
     try:
         for p in procs:
-            out, err = p.communicate(timeout=420)
+            out, err = p.communicate(timeout=540)
             assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
             lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
             assert lines, f"no RESULT line:\n{out[-1000:]}\n{err[-2000:]}"
@@ -278,6 +278,58 @@ def test_multihost_chunked_run_matches_single_process(pair_results):
         np.asarray(ch["final_balance_percentiles"], dtype=np.float32),
         want_finals,
     )
+
+
+def test_cross_process_search_matches_single_process(pair_results):
+    """find_minimum_working_months driven END-TO-END across two processes:
+    every probe batch is one SPMD dispatch over the global mesh, the
+    replicated success reductions feed the host-side ladder->verify loop,
+    and both processes must walk the IDENTICAL search (a divergent probe
+    result would desynchronize the next collective). The answer, final
+    probability, and full search curve must equal a single-process
+    mesh-less run exactly — success counts are integral sums, so sharding
+    cannot perturb them even in the last bit.
+
+    Reference analog: backend/simulation.py:1138-1343 (the flagship host
+    algorithm), which only ever ran single-process."""
+    from monte_carlo_retirement_tpu.config import Config, load_config_from_json
+    from monte_carlo_retirement_tpu.engine.runner import Engine
+    from monte_carlo_retirement_tpu.search.driver import (
+        find_minimum_working_months as search_months,
+    )
+
+    r0, r1 = pair_results
+    assert r0["search"] == r1["search"]
+    got = r0["search"]
+
+    # Same scenario the workers search (keep in sync with dist_worker.py).
+    raw = load_config_from_json(os.path.join(REPO, "config.json"))
+    raw.update(
+        retirement_years=3,
+        seed=1234,
+        initial_balance=120_000.0,
+        monthly_expenses=8_000.0,
+        num_simulations_search=64,
+        target_probability=90.0,
+        starting_working_months_search=0,
+    )
+    eng = Engine(Config(**raw), dtype=jnp.float64)  # mesh-less
+    months, prob, curve = search_months(
+        lambda ms: eng.probe(list(ms), 64, stream="search",
+                             horizon_months=396),
+        starting_working_months=0,
+        target_probability_pct=90.0,
+        sim_count=64,
+        scenario_name="dist-search",
+        verbose=False,
+    )
+    assert got["months"] == months
+    assert got["probability"] == prob
+    assert 0.0 < prob < 100.0  # mixed outcomes: the pin is non-degenerate
+    assert got["curve"] == curve
+    # The search actually exercised both phases (ladder + verify sweep).
+    probed = [pt["working_months"] for pt in curve]
+    assert any(m % 12 for m in probed), "verification sweep never ran"
 
 
 def test_initialize_from_env_requires_complete_triplet(monkeypatch):

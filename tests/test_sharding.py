@@ -1,5 +1,7 @@
 """Multi-device path-parallel tests on the virtual 8-CPU-device mesh."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -148,3 +150,36 @@ def test_extreme_horizon_falls_back_to_scan(caplog):
     assert eng2._pallas_traj_len((PALLAS_MAX_TRAJ_LEN + 10) * 12) is None
     # Bucketing: overrides in the same 10-year step share one width.
     assert eng2._pallas_traj_len(1_210) == eng2._pallas_traj_len(1_310)
+
+
+@pytest.mark.parametrize("n_devices", [16, 32])
+def test_dryrun_multichip_wide_meshes(n_devices):
+    """Run the full multi-chip dryrun at 16 and 32 virtual devices.
+
+    The in-process suite is pinned at the conftest's 8-device mesh, so the
+    global-block / block-offset arithmetic in the sharded Pallas entry
+    points (per-shard PRNG block seeding keyed by a GLOBAL block index)
+    had only ever been exercised at n=8 — exactly the regime where an
+    off-by-one in block-offset math hides. A clean subprocess forces a
+    fresh CPU platform with n virtual devices and asserts n-shard ==
+    1-device exactness across all four Pallas entry points plus the XLA
+    run/probe paths (see __graft_entry__.dryrun_multichip)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["MCRT_WARMUP"] = "0"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            f"import __graft_entry__ as g; g.dryrun_multichip({n_devices})",
+        ],
+        cwd=repo,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
