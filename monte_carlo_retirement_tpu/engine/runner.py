@@ -37,6 +37,7 @@ from ..constants import (
 )
 from ..logging_utils import generate_seed_from_timestamp
 from ..models.retirement import SimParams
+from ..ops.quantiles import _count_dtype, _search_floor_values_parts
 from ..ops.shocks import stream_keys
 from ..ops.stats import serving_bins, summarize
 from ..timing import expected_trajectory_length
@@ -839,7 +840,7 @@ class Engine:
         and chunk sizes stay multiples of n_dev * block so the per-device
         block numbering is globally contiguous — the union still equals
         the single-device unchunked run bit for bit."""
-        from ..ops.chunked_quantiles import BandSearch
+        from ..ops.chunked_quantiles import BandSearch, bracket_ranks
         from .pallas_kernel import (
             FULL_BLOCK_ROWS,
             _local_blocks,
@@ -887,6 +888,15 @@ class Engine:
                 )
             return full, start, cn
 
+        qs_band = np.asarray(TRAJECTORY_PERCENTILES, np.float32)
+        qs_wr = np.asarray(WITHDRAWAL_RATE_PERCENTILES, np.float32)
+        kb, kw = qs_band.shape[0], qs_wr.shape[0]
+        # Bracket margin: covers the chunk-count slack and every f32
+        # rounding discrepancy (ops/chunked_quantiles.bracket_ranks).
+        margin = n_chunks + 8
+        brk_lo: Optional[list] = None
+        brk_hi: Optional[list] = None
+
         vec_parts, samp_t_parts, samp_r_parts, wr_count_parts = [], [], [], []
         for c in range(n_chunks):
             full, start, cn = _sim(c)
@@ -897,6 +907,52 @@ class Engine:
             wr_count_parts.append(cnt_c)
             samp_t_parts.append(st_c)
             samp_r_parts.append(sr_c)
+            # Warm-start brackets for the band search, computed while this
+            # chunk's series are still live: the min/max over chunks of
+            # per-chunk order statistics at margin-padded ranks provably
+            # contain every global order statistic (bracket_ranks), so the
+            # search starts from intervals a few thousand keys wide instead
+            # of the full 2^32 space — most re-simulation rounds disappear
+            # with bit-identical results. The wr count fetch below doubles
+            # as the per-chunk ordering barrier (replicated under a mesh,
+            # so multi-controller dispatch order stays identical).
+            cnt_h = np.asarray(cnt_c, dtype=np.int64)
+            cw = cnt_h.shape[0]
+            lo_t, hi_t = bracket_ranks(
+                qs_band, np.full((traj_len,), cn, dtype=np.int64), margin
+            )
+            lo_w, hi_w = bracket_ranks(qs_wr, cnt_h, margin)
+            pad = ((0, 0), (0, kb - kw))
+            need = np.concatenate(
+                [
+                    lo_t, lo_t, np.pad(lo_w, pad, mode="edge"),
+                    hi_t, hi_t, np.pad(hi_w, pad, mode="edge"),
+                ],
+                axis=0,
+            ) + 1
+            brk = np.asarray(
+                _band_bracket_jit(full, jnp.asarray(need, jnp.int32), cn=cn),
+                dtype=np.float32,
+            )
+            t_len = traj_len
+            half = 2 * t_len + cw
+            lo_half, hi_half = brk[:half], brk[half:]
+            lo_vals = [lo_half[:t_len], lo_half[t_len:2 * t_len],
+                       lo_half[2 * t_len:, :kw]]
+            hi_vals = [hi_half[:t_len], hi_half[t_len:2 * t_len],
+                       hi_half[2 * t_len:, :kw]]
+            # Empty wr columns contribute no counts: exclude their
+            # degenerate statistics from the accumulation.
+            empty = cnt_h == 0
+            lo_vals[2] = np.where(empty[:, None], np.float32(np.inf),
+                                  lo_vals[2])
+            hi_vals[2] = np.where(empty[:, None], np.float32(-np.inf),
+                                  hi_vals[2])
+            if brk_lo is None:
+                brk_lo, brk_hi = lo_vals, hi_vals
+            else:
+                brk_lo = [np.minimum(a, b) for a, b in zip(brk_lo, lo_vals)]
+                brk_hi = [np.maximum(a, b) for a, b in zip(brk_hi, hi_vals)]
             # Synchronize before dispatching the next chunk: output buffers
             # are allocated at DISPATCH time, so letting every chunk queue
             # up asynchronously would hold n_chunks x ~GBs of yearly series
@@ -925,8 +981,6 @@ class Engine:
         # of each chunk's counts doubles as the ordering barrier.
         wr_counts_h = np.asarray(wr_counts)
         n_cols_full = np.full((traj_len,), n, dtype=np.int64)
-        qs_band = np.asarray(TRAJECTORY_PERCENTILES, np.float32)
-        qs_wr = np.asarray(WITHDRAWAL_RATE_PERCENTILES, np.float32)
         # Edges per rank per round: 32 (5 bits/round, 7 rounds) balances
         # count-pass FLOPs against kernel re-simulation. Measured dead end:
         # widening to E=256 to cut rounds makes the count program itself
@@ -938,6 +992,8 @@ class Engine:
             [n_cols_full, n_cols_full, wr_counts_h.astype(np.int64)],
             edges_per_rank=32,
         )
+        if brk_lo is not None:
+            search.seed_intervals(brk_lo, brk_hi)
         band_passes = 0
         while not search.resolved:
             edges_dev = tuple(jnp.asarray(e) for e in search.edges())
@@ -1207,6 +1263,35 @@ def _chunk_reduce_impl(full, start, sample_idx, *, cn):
 _chunk_reduce_jit = jax.jit(_chunk_reduce_impl, static_argnames=("cn",))
 
 
+def _band_bracket_impl(full, need, *, cn):
+    """Floor order statistics of ONE chunk at margin-padded bracket ranks
+    (``need`` is a (2*C_total, K) table of 1-based counts: the series
+    columns once with lo-bracket ranks, then again with hi-bracket ranks,
+    built by the runner from ops.chunked_quantiles.bracket_ranks). The
+    min/max of these per-chunk statistics across chunks provably contain
+    the global order statistics the band search targets, so seeding the
+    search with them (BandSearch.seed_intervals) removes most of its
+    re-simulation rounds without changing a bit of the answer. Runs while
+    the chunk's series are already live from the initial reduction pass —
+    no extra kernel dispatch. Masking mirrors _band_counts_impl exactly
+    (same count semantics as every other search pass).
+
+    Layout note (measured on chip, scripts/bracket_microbench.py): the
+    lo/hi doubling rides the COLUMN axis, not the rank axis — a K=14
+    search runs 5.4x slower than K=7 at a 4M-path chunk (862 vs 161 ms;
+    rank-minor broadcast layout pathology), while doubling the parts list
+    keeps K=7 for the same total compare and HBM work."""
+    traj, real = _chunk_real_series(full, cn)
+    wr = full["withdrawal_rates"][:cn]
+    wrf = jnp.where(jnp.isnan(wr), jnp.asarray(jnp.inf, wr.dtype), wr)
+    return _search_floor_values_parts(
+        [traj, real, wrf, traj, real, wrf], need
+    )
+
+
+_band_bracket_jit = jax.jit(_band_bracket_impl, static_argnames=("cn",))
+
+
 def _band_counts_impl(full, traj_edges, real_edges, wr_edges, *, cn):
     """One band-search round's compare-counts over one chunk: for every
     (column, probe) cell, how many of this chunk's entries are <= the
@@ -1217,10 +1302,14 @@ def _band_counts_impl(full, traj_edges, real_edges, wr_edges, *, cn):
     traj, real = _chunk_real_series(full, cn)
     wr = full["withdrawal_rates"][:cn]
     wrf = jnp.where(jnp.isnan(wr), jnp.asarray(jnp.inf, wr.dtype), wr)
+    # f32 accumulation runs the compare-count at full VPU rate and is
+    # exact below 2**24 rows (ops.quantiles._count_dtype); the host
+    # accumulator converts back to int64 losslessly.
+    cdt = _count_dtype(cn)
 
     def count(x, edges):
         return jnp.sum(
-            (x[:, :, None] <= edges[None, :, :]).astype(jnp.int32), axis=0
+            (x[:, :, None] <= edges[None, :, :]).astype(cdt), axis=0
         )
 
     return count(traj, traj_edges), count(real, real_edges), count(wrf, wr_edges)
@@ -1238,9 +1327,11 @@ def _band_ceil_impl(full, traj_v, real_v, wr_v, *, cn):
     wr = full["withdrawal_rates"][:cn]
     wrf = jnp.where(jnp.isnan(wr), jnp.asarray(jnp.inf, wr.dtype), wr)
 
+    cdt = _count_dtype(cn)
+
     def ceil_stats(x, v):
         le = x[:, :, None] <= v[None, :, :]
-        cnt = jnp.sum(le.astype(jnp.int32), axis=0)
+        cnt = jnp.sum(le.astype(cdt), axis=0)
         gt_min = jnp.min(
             jnp.where(le, jnp.asarray(jnp.inf, x.dtype), x[:, :, None]),
             axis=0,

@@ -128,6 +128,48 @@ class BandSearch:
         self._hi = np.full(n_total, np.uint64(KEY_POS_INF), dtype=np.uint64)
         self.rounds = 0
 
+    # -- optional warm start ---------------------------------------------
+    def seed_intervals(
+        self,
+        lo_parts: Sequence[np.ndarray],
+        hi_parts: Sequence[np.ndarray],
+    ) -> None:
+        """Shrink the initial search intervals to a caller-proven bracket.
+
+        ``lo_parts``/``hi_parts`` are per-part ``(C_i, K_i)`` float32 VALUES
+        with the containment guarantee ``count(x <= v) < need`` for every v
+        strictly below ``lo`` (in key order) and ``count(x <= hi) >= need``
+        — e.g. the min/max over chunks of per-chunk order statistics at
+        margin-padded ranks (see ``bracket_ranks``; the chunked runner's
+        use). Seeding never changes the answer (the search converges to the
+        same smallest satisfying key from any containing interval); it only
+        removes rounds. Entries with an inverted bracket (all-empty
+        columns, where per-chunk statistics degenerate to +inf/-inf) fall
+        back to the full unseeded interval, which is correct for every
+        input. Must be called before the first :meth:`update`.
+        """
+        if self.rounds:
+            raise RuntimeError("seed_intervals() after the search started")
+        lo_flat, hi_flat = [], []
+        for (C, K), lo, hi in zip(self._shapes, lo_parts, hi_parts):
+            lo = np.asarray(lo, dtype=np.float32)
+            hi = np.asarray(hi, dtype=np.float32)
+            if lo.shape != (C, K) or hi.shape != (C, K):
+                raise ValueError(
+                    f"bracket shape {lo.shape}/{hi.shape} != part {(C, K)}"
+                )
+            lo_flat.append(encode_keys(lo).reshape(-1))
+            hi_flat.append(encode_keys(hi).reshape(-1))
+        lo_k = np.concatenate(lo_flat).astype(np.uint64)
+        hi_k = np.concatenate(hi_flat).astype(np.uint64)
+        lo_k = np.clip(lo_k, np.uint64(KEY_NEG_INF), np.uint64(KEY_POS_INF))
+        hi_k = np.clip(hi_k, np.uint64(KEY_NEG_INF), np.uint64(KEY_POS_INF))
+        bad = lo_k > hi_k
+        lo_k = np.where(bad, np.uint64(KEY_NEG_INF), lo_k)
+        hi_k = np.where(bad, np.uint64(KEY_POS_INF), hi_k)
+        self._lo = lo_k
+        self._hi = hi_k
+
     # -- round protocol -------------------------------------------------
     @property
     def resolved(self) -> bool:
@@ -218,14 +260,60 @@ class BandSearch:
             at += n
             dup = np.asarray(cnt_le, np.int64) >= lo_rank + 2
             v_hi = np.where(dup, v_lo, np.asarray(gt_min, np.float32))
-            v = np.where(
-                frac == 0,
-                v_lo,
-                (v_lo + frac * (v_hi - v_lo)).astype(np.float32),
-            ).astype(np.float32)
+            # errstate: empty/extreme columns make the (discarded) lerp
+            # branch compute inf - inf; the frac == 0 select masks it.
+            with np.errstate(invalid="ignore"):
+                v = np.where(
+                    frac == 0,
+                    v_lo,
+                    (v_lo + frac * (v_hi - v_lo)).astype(np.float32),
+                ).astype(np.float32)
             v = np.where(n_valid > 0, v, np.float32(np.nan))
             out.append(snap_zero_band(v).T.astype(np.float32))
         return out
+
+
+def bracket_ranks(
+    qs: np.ndarray, n_valid: np.ndarray, margin: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-chunk 0-indexed ranks whose order statistics bracket the GLOBAL
+    order statistic the BandSearch targets.
+
+    For global rank ``need_g = floor(q*(nv_g-1)) + 1`` over C chunks with
+    per-chunk valid counts ``nv_c`` (``nv_g = sum nv_c``), let
+    ``x_c(k)`` be chunk c's k-th (0-indexed) smallest valid entry under
+    the count semantics of the search, and::
+
+        lo_c = clamp(floor(q*(nv_c-1)) - margin, 0, nv_c-1)
+        hi_c = clamp(ceil (q*(nv_c-1)) + margin, 0, nv_c-1)
+
+    Then with ``margin >= C + 8`` (absorbing every f32-rounding
+    discrepancy between this h and the search's own f32 h):
+
+      * Upper containment: ``count_g(max_c x_c(hi_c)) >= sum_c
+        min(h_c+1, nv_c) >= h_g - q*(C-1) + C >= need_g`` — at the max
+        every chunk counts at least its own bracketed rank (or its whole
+        valid set when clamped), and ``C*(1-q) + q >= 1`` closes the gap.
+      * Lower containment: for any v strictly below ``min_c x_c(lo_c)``,
+        ``count_c(v) <= lo_c`` per chunk, and ``sum_c floor(h_c) <=
+        floor(sum_c h_c) <= floor(h_g)`` (floor superadditivity), so
+        ``count_g(v) < need_g`` once the margin eats the f32 error.
+
+    Chunks with ``nv_c = 0`` contribute nothing to either count; exclude
+    their (degenerate +inf) statistics from the min/max accumulation (see
+    the runner) — dropping them from the sums above only strengthens both
+    inequalities over the remaining chunks.
+
+    Returns ``(lo, hi)`` int64 arrays of shape ``(C_cols, K)`` — 0 where
+    ``nv = 0`` (callers mask those columns out).
+    """
+    qs = np.asarray(qs, dtype=np.float64)
+    nv = np.asarray(n_valid, dtype=np.int64)
+    h = qs[None, :] * np.maximum(nv - 1, 0)[:, None].astype(np.float64)
+    top = np.maximum(nv - 1, 0)[:, None]
+    lo = np.clip(np.floor(h).astype(np.int64) - margin, 0, top)
+    hi = np.clip(np.ceil(h).astype(np.int64) + margin, 0, top)
+    return lo, hi
 
 
 def exact_quantiles_chunked(
@@ -233,12 +321,18 @@ def exact_quantiles_chunked(
     qs,
     valids: Optional[Sequence[Optional[np.ndarray]]] = None,
     edges_per_rank: int = 32,
+    seed_brackets: bool = False,
 ) -> np.ndarray:
     """Reference driver over in-memory numpy chunks (tests / host fallback).
 
     Equal to ``np.percentile(concat(chunks), qs*100, axis=0)`` /
     ``nanpercentile`` — but touching one chunk at a time, exactly the
     access pattern the chunked runner uses on device. Returns (Q, C).
+
+    ``seed_brackets=True`` warm-starts the search from per-chunk order
+    statistics at :func:`bracket_ranks` ranks, the same containment
+    construction the chunked runner applies on device — results are
+    bit-identical either way; only the round count changes.
     """
     if valids is None:
         valids = [None] * len(chunks)
@@ -252,7 +346,26 @@ def exact_quantiles_chunked(
          np.full(c.shape[1], c.shape[0], dtype=np.int64))
         for c, v in zip(chunks, valids)
     )
+    qs = np.asarray(qs, np.float32)
     search = BandSearch([qs], [np.asarray(n_valid)], edges_per_rank)
+    if seed_brackets:
+        margin = len(chunks) + 8
+        lo_acc = hi_acc = None
+        for x, v in zip(masked, valids):
+            nv_c = (
+                v.sum(axis=0).astype(np.int64) if v is not None
+                else np.full(x.shape[1], x.shape[0], dtype=np.int64)
+            )
+            lo_r, hi_r = bracket_ranks(qs, nv_c, margin)
+            srt = np.sort(x, axis=0)
+            cols = np.arange(x.shape[1])[:, None]
+            lo_v, hi_v = srt[lo_r, cols], srt[hi_r, cols]
+            empty = nv_c == 0
+            lo_v = np.where(empty[:, None], np.float32(np.inf), lo_v)
+            hi_v = np.where(empty[:, None], np.float32(-np.inf), hi_v)
+            lo_acc = lo_v if lo_acc is None else np.minimum(lo_acc, lo_v)
+            hi_acc = hi_v if hi_acc is None else np.maximum(hi_acc, hi_v)
+        search.seed_intervals([lo_acc], [hi_acc])
     while not search.resolved:
         edges = search.edges()[0]
         total = np.zeros(edges.shape, dtype=np.int64)

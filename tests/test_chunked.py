@@ -295,3 +295,127 @@ def test_chunked_probe_weighted_merge():
     ))
     merged = 0.5 * part0 + 0.5 * part1
     np.testing.assert_allclose(merged, whole, atol=1e-4)
+
+
+def test_band_search_seeded_brackets_bit_identical():
+    """seed_intervals (the runner's warm start) never changes a bit: over
+    random chunked data with duplicates, signed zeros, empty columns and
+    extreme magnitudes, the seeded search returns tables bit-identical to
+    the unseeded search AND to numpy nanpercentile, in no more rounds."""
+    from monte_carlo_retirement_tpu.ops.chunked_quantiles import (
+        exact_quantiles_chunked,
+        snap_zero_band,
+    )
+
+    rng = np.random.default_rng(20260820)
+    qs = np.asarray([0.05, 0.25, 0.5, 0.75, 0.95], np.float32)
+    for trial in range(10):
+        n_chunks = int(rng.integers(2, 6))
+        sizes = rng.integers(3, 400, size=n_chunks)
+        C = int(rng.integers(1, 9))
+        chunks, valids, rows = [], [], []
+        for s in sizes:
+            x = np.empty((s, C), np.float32)
+            for c in range(C):
+                kind = rng.integers(0, 5)
+                if kind == 0:  # heavy duplicates
+                    x[:, c] = rng.choice(
+                        np.asarray([0.0, -0.0, 1.0, 2.5], np.float32), size=s
+                    )
+                elif kind == 1:  # extreme magnitudes
+                    x[:, c] = rng.choice([1e-38, 1e30, -1e30, 3e-39], size=s)
+                elif kind == 2:  # constant column
+                    x[:, c] = np.float32(trial - 2)
+                else:
+                    x[:, c] = rng.normal(scale=10.0 ** rng.integers(-3, 6),
+                                         size=s)
+            v = rng.random((s, C)) < rng.random()
+            if trial % 3 == 0:
+                v[:, 0] = False  # a column empty in EVERY chunk
+            chunks.append(x)
+            valids.append(v)
+            rows.append(np.where(v, x, np.nan))
+        plain = exact_quantiles_chunked(chunks, qs, valids)
+        seeded = exact_quantiles_chunked(chunks, qs, valids,
+                                         seed_brackets=True)
+        np.testing.assert_array_equal(seeded, plain)
+        # Independent semantic reference: sorted selection + the SAME f32
+        # interpolation arithmetic the search documents (h and frac in
+        # f32 — bit-faithful to the device reducer — then lerp, NaN for
+        # empty columns, zero-band snap). Must match BIT-EXACTLY.
+        stacked = np.concatenate(rows, axis=0)
+        nv = np.sum(~np.isnan(stacked), axis=0).astype(np.int64)
+        srt = np.sort(
+            np.where(np.isnan(stacked), np.float32(np.inf), stacked), axis=0
+        )
+        nv_f = np.maximum(nv - 1, 0).astype(np.float32)
+        h = (qs[:, None] * nv_f[None, :]).astype(np.float32)
+        lo_rank = np.floor(h).astype(np.int64)
+        frac = (h - lo_rank.astype(np.float32)).astype(np.float32)
+        cols = np.arange(stacked.shape[1])[None, :]
+        v_lo = srt[lo_rank, cols]
+        v_hi = srt[np.minimum(lo_rank + 1, stacked.shape[0] - 1), cols]
+        want = np.where(
+            frac == 0, v_lo,
+            (v_lo + frac * (v_hi - v_lo)).astype(np.float32),
+        )
+        want = snap_zero_band(
+            np.where(nv[None, :] > 0, want, np.float32(np.nan))
+        )
+        np.testing.assert_array_equal(seeded, want)
+
+
+def test_band_search_seeded_rounds_shrink():
+    """On realistic homogeneous chunk data the seed collapses the search
+    to a handful of rounds — the property the 16M headline rides on."""
+    from monte_carlo_retirement_tpu.ops.chunked_quantiles import (
+        BandSearch, bracket_ranks,
+    )
+
+    rng = np.random.default_rng(7)
+    qs = np.asarray([0.05, 0.5, 0.95], np.float32)
+    chunks = [rng.normal(loc=100.0, size=(50_000, 3)).astype(np.float32)
+              for _ in range(4)]
+    n_valid = np.full((3,), 200_000, dtype=np.int64)
+
+    def drive(seed):
+        search = BandSearch([qs], [n_valid])
+        if seed:
+            margin = len(chunks) + 8
+            lo_acc = hi_acc = None
+            for x in chunks:
+                nv_c = np.full(3, x.shape[0], dtype=np.int64)
+                lo_r, hi_r = bracket_ranks(qs, nv_c, margin)
+                srt = np.sort(x, axis=0)
+                cols = np.arange(3)[:, None]
+                lo_v, hi_v = srt[lo_r, cols], srt[hi_r, cols]
+                lo_acc = lo_v if lo_acc is None else np.minimum(lo_acc, lo_v)
+                hi_acc = hi_v if hi_acc is None else np.maximum(hi_acc, hi_v)
+            search.seed_intervals([lo_acc], [hi_acc])
+        while not search.resolved:
+            edges = search.edges()[0]
+            total = np.zeros(edges.shape, dtype=np.int64)
+            for x in chunks:
+                total += (x[:, :, None] <= edges[None, :, :]).sum(axis=0)
+            search.update([total])
+        return search.rounds, search.floor_values()[0]
+
+    rounds_plain, v_plain = drive(False)
+    rounds_seeded, v_seeded = drive(True)
+    np.testing.assert_array_equal(v_seeded, v_plain)
+    assert rounds_seeded <= 4 < rounds_plain
+
+
+def test_band_search_seed_misuse_raises():
+    from monte_carlo_retirement_tpu.ops.chunked_quantiles import BandSearch
+
+    qs = np.asarray([0.5], np.float32)
+    search = BandSearch([qs], [np.asarray([8], np.int64)])
+    with pytest.raises(ValueError):
+        search.seed_intervals([np.zeros((2, 2), np.float32)],
+                              [np.ones((2, 2), np.float32)])
+    edges = search.edges()[0]
+    search.update([np.full(edges.shape, 8, dtype=np.int64)])
+    with pytest.raises(RuntimeError):
+        search.seed_intervals([np.zeros((1, 1), np.float32)],
+                              [np.ones((1, 1), np.float32)])
