@@ -148,6 +148,9 @@ function showBanner(message) {
 
 function renderResult(result) {
   lastResult = result;
+  // Verification hook: scripts/browser_verify.py reads this to assert the
+  // rendered DOM against the exact payload the cards were built from.
+  window.__mcrtLastResult = result;
   lastRenderFn = () => renderResult(result);
   emptyState.classList.add("hidden");
   resultsDiv.innerHTML = "";

@@ -38,15 +38,20 @@ import urllib.request
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Card titles views.js renders after one successful /api/simulate/stream run.
-EXPECTED_CARDS = [
-    "Summary",
-    "Success probability vs working months",
-    "Portfolio trajectory",
-    "Real withdrawal rate by retirement year",
-    "Years to ruin (failed paths)",
-    "Final balance distribution",
-]
+# Card titles views.js renders, keyed by the payload field that gates each
+# card (renderResult in frontend/js/app.js): a card must be rendered IFF its
+# field is present/truthy in the result payload. The search-curve card, for
+# example, is absent on --override runs (no search ran), and the ruin
+# histogram is absent when no path failed.
+CARD_FOR_FIELD = {
+    "summary": "Summary",
+    "search_curve": "Success probability vs working months",
+    "trajectory": "Portfolio trajectory",
+    "withdrawal_rate": "Real withdrawal rate by retirement year",
+    "ruin_histogram": "Years to ruin (failed paths)",
+    "histogram": "Final balance distribution",
+}
+EXPECTED_CARDS = list(CARD_FOR_FIELD.values())
 
 # First-level response fields those cards read (frontend contract — kept in
 # sync by tests/test_utils_and_frontend.py; this is the handoff's own check).
@@ -88,8 +93,235 @@ def boot_server(port: int, config: str) -> subprocess.Popen:
     )
 
 
+# JS snippet run once after the cards render: extracts everything the
+# contract checks need (per-card SVG geometry + summary metric texts + the
+# exact payload the app rendered from) in a single page.evaluate round trip.
+_EXTRACT_JS = """
+() => {
+  const cards = [...document.querySelectorAll('#results .card')].map((c) => {
+    const svg = c.querySelector('svg');
+    const paths = svg ? [...svg.querySelectorAll('path')] : [];
+    const isBand = (p) =>
+      p.getAttribute('stroke') === 'none' && p.getAttribute('fill') !== 'none';
+    return {
+      title: (c.querySelector('h3') || c).innerText.trim(),
+      // Point count per filled band polygon (the stacked-band render):
+      // number of M/L commands in its path data.
+      bands: paths.filter(isBand)
+        .map((p) => (p.getAttribute('d').match(/[ML]/g) || []).length),
+      lines: paths.filter((p) => p.getAttribute('fill') === 'none').length,
+      bars: svg ? svg.querySelectorAll('rect[opacity]').length : 0,
+      markers: svg ? svg.querySelectorAll('circle').length : 0,
+      svgText: svg
+        ? [...svg.querySelectorAll('text')].map((t) => t.textContent).join('|')
+        : '',
+    };
+  });
+  const metrics = {};
+  document.querySelectorAll('#results .metric').forEach((m) => {
+    metrics[m.querySelector('.k').innerText.trim()] =
+      m.querySelector('.v').innerText.trim();
+  });
+  return {
+    cards,
+    metrics,
+    pctHeaders: [...document.querySelectorAll('#results .pct-table th')]
+      .map((t) => t.innerText.trim()),
+    errorBanner: document.getElementById('error-banner')?.innerText ?? null,
+    payload: window.__mcrtLastResult ?? null,
+  };
+}
+"""
+
+
+def _parse_money(text: str):
+    """Invert charts.js fmtMoney ('$7.33M' -> 7.33e6) + its rounding unit."""
+    m = re.fullmatch(r"\$(-?[\d.]+)([BMk]?)", text.strip())
+    if not m:
+        return None, None
+    unit = {"B": 1e9, "M": 1e6, "k": 1e3, "": 1.0}[m.group(2)]
+    decimals = {"B": 2, "M": 2, "k": 0, "": 0}[m.group(2)]
+    return float(m.group(1)) * unit, 0.51 * unit / 10**decimals
+
+
+def _band_points(xs, lo, hi):
+    """Mirror charts.js drawBand: 2 polygon points per non-null (lo, hi)
+    pair, 0 points = band not drawn at all."""
+    n = sum(
+        1 for i in range(len(xs))
+        if lo[i] is not None and hi[i] is not None
+        and lo[i] == lo[i] and hi[i] == hi[i]  # NaN guard
+    )
+    return 2 * n if n else None
+
+
+def contract_failures(state: dict, override: int) -> list:
+    """Assert the rendered DOM against the payload it was built from.
+
+    Returns a list of human-readable failure strings (empty = contract
+    holds). Every check compares DOM content to the SSE payload the page
+    itself received (window.__mcrtLastResult), so a pass means the cards
+    show the API's numbers — not merely that cards exist.
+    """
+    fails: list = []
+    payload = state["payload"]
+    if payload is None:
+        return ["window.__mcrtLastResult is unset — renderResult never ran"]
+    if state["errorBanner"]:
+        fails.append(f"error banner shown: {state['errorBanner']!r}")
+
+    titles = [c["title"].split("\n")[0] for c in state["cards"]]
+    by_title = {c["title"].split("\n")[0]: c for c in state["cards"]}
+
+    # 1. Card set == payload fields (both directions).
+    for field, title in CARD_FOR_FIELD.items():
+        if payload.get(field) and title not in titles:
+            fails.append(f"payload has {field} but card {title!r} not rendered")
+        if not payload.get(field) and title in titles:
+            fails.append(f"card {title!r} rendered without payload {field}")
+
+    # 2. Summary numbers == payload.summary.
+    s = payload["summary"]
+    metrics = state["metrics"]
+
+    def metric(name):
+        return metrics.get(name)
+
+    sp_text = metric("Success probability") or ""
+    m = re.match(r"(-?[\d.]+)%", sp_text)
+    if not m or abs(float(m.group(1)) - s["success_probability"]) > 0.006:
+        fails.append(
+            f"summary success probability {sp_text!r} != "
+            f"{s['success_probability']:.4f}"
+        )
+    wp_key = (
+        "Estimated working period"
+        if s["working_period_is_estimate"] else "Working period"
+    )
+    wp_text = metric(wp_key) or ""
+    # :g matches JS number rendering (18, not 18.0) whatever the JSON type.
+    if not wp_text.startswith(f"{s['required_working_months']:g} mo"):
+        fails.append(
+            f"summary {wp_key!r} {wp_text!r} != "
+            f"{s['required_working_months']:g} mo"
+        )
+    if s["required_working_months"] != override:
+        fails.append(
+            f"required_working_months {s['required_working_months']} != "
+            f"the override {override} that was submitted"
+        )
+    for name, want in [
+        ("Median balance at retirement", s["median_start_balance"]),
+        ("Median final (successful)", s["median_final_balance_successful"]),
+    ]:
+        got, tol = _parse_money(metric(name) or "")
+        if want is None:
+            continue
+        if got is None or abs(got - want) > tol:
+            fails.append(f"summary {name!r} {metric(name)!r} != {want:.0f}")
+    tgt = re.match(r"(-?[\d.]+)%", metric("Target") or "")
+    if not tgt or abs(float(tgt.group(1)) - s["target_probability"]) > 0.051:
+        fails.append(
+            f"summary Target {metric('Target')!r} != {s['target_probability']}"
+        )
+    want_headers = [k.upper() for k in s["final_balance_percentiles"]]
+    if state["pctHeaders"] != want_headers:
+        fails.append(
+            f"percentile table headers {state['pctHeaders']} != {want_headers}"
+        )
+
+    # 3. Trajectory card: stacked-band geometry (the render trick CI cannot
+    # pixel-verify — reference TrajectoryChart.jsx stacks an invisible base
+    # series; here each band must be a closed polygon with exactly
+    # 2 points per non-null percentile pair), sample-path and median line
+    # counts, and one numbered marker per in-horizon reference line.
+    traj = payload.get("trajectory")
+    card = by_title.get(CARD_FOR_FIELD["trajectory"])
+    if traj and card:
+        p = traj["percentiles"]
+        xs = traj["years"]
+        want_bands = sorted(
+            b for b in (
+                _band_points(xs, p.get("p5"), p.get("p95")),
+                _band_points(xs, p.get("p25"), p.get("p75")),
+            ) if b
+        )
+        if sorted(card["bands"]) != want_bands:
+            fails.append(
+                f"trajectory bands {sorted(card['bands'])} != {want_bands} "
+                "(2 polygon points per year, one polygon per band)"
+            )
+        want_lines = len(traj["sample_paths"]) + (1 if p.get("p50") else 0)
+        if card["lines"] != want_lines:
+            fails.append(
+                f"trajectory line paths {card['lines']} != {want_lines} "
+                f"({len(traj['sample_paths'])} samples + median)"
+            )
+        max_year = xs[-1] if xs else 0
+        want_markers = sum(
+            1 for r in payload.get("reference_lines") or []
+            if r["year"] <= max_year
+        )
+        if card["markers"] != want_markers:
+            fails.append(
+                f"trajectory stream markers {card['markers']} != "
+                f"{want_markers}"
+            )
+
+    # 4. Withdrawal-rate card: the 4% rule line + both bands over the rows
+    # whose median is observed.
+    wr = payload.get("withdrawal_rate")
+    card = by_title.get(CARD_FOR_FIELD["withdrawal_rate"])
+    if wr and card:
+        if "4% rule" not in card["svgText"]:
+            fails.append("withdrawal-rate card: '4% rule' line label missing")
+        p = wr["percentiles"]
+        rows = [
+            i for i in range(len(wr["years"]))
+            if p.get("p50") and p["p50"][i] is not None
+        ]
+        if rows:
+            sub = lambda key: [p[key][i] for i in rows] if p.get(key) else None
+            want_bands = sorted(
+                b for b in (
+                    _band_points(rows, sub("p5"), sub("p95")),
+                    _band_points(rows, sub("p25"), sub("p75")),
+                ) if b
+            )
+            if sorted(card["bands"]) != want_bands:
+                fails.append(
+                    f"withdrawal-rate bands {sorted(card['bands'])} != "
+                    f"{want_bands}"
+                )
+
+    # 5. Histograms: one drawn bar per non-empty bin (server-binned runs).
+    rh = payload.get("ruin_histogram")
+    card = by_title.get(CARD_FOR_FIELD["ruin_histogram"])
+    if rh and card and rh.get("failure_count"):
+        if rh.get("year_counts"):
+            want = sum(1 for c in rh["year_counts"] if c > 0)
+            if card["bars"] != want:
+                fails.append(f"ruin histogram bars {card['bars']} != {want}")
+        elif card["bars"] < 1:
+            fails.append("ruin histogram rendered no bars")
+    h = payload.get("histogram")
+    card = by_title.get(CARD_FOR_FIELD["histogram"])
+    if h and card:
+        binned = h.get("binned")
+        if binned and binned.get("success_count"):
+            want = sum(1 for c in binned["counts"] if c > 0)
+            if card["bars"] != want:
+                fails.append(f"balance histogram bars {card['bars']} != {want}")
+        elif not binned and card["bars"] < 1:
+            fails.append("balance histogram rendered no bars")
+
+    return fails
+
+
 def browser_pass(base: str, override: int, out_dir: str, timeout: float) -> None:
-    """The real verification: drive chromium through playwright."""
+    """The real verification: drive chromium through playwright, then assert
+    the rendered DOM against the payload it was rendered from (pass/fail —
+    a nonzero exit means a card is missing or shows the wrong numbers)."""
     from playwright.sync_api import sync_playwright  # noqa: deferred import
 
     os.makedirs(out_dir, exist_ok=True)
@@ -108,33 +340,33 @@ def browser_pass(base: str, override: int, out_dir: str, timeout: float) -> None
         page.fill("#override-input", str(override))
         page.click("#run-btn")
 
-        # First run on a fresh host may include kernel compilation.
+        # First run on a fresh host may include kernel compilation. The run
+        # is done when renderResult publishes the payload it drew from.
         page.wait_for_function(
-            "document.querySelectorAll('#results .card').length >= 5",
+            "window.__mcrtLastResult !== undefined"
+            " && window.__mcrtLastResult !== null",
             timeout=timeout * 1000,
         )
         page.screenshot(path=os.path.join(out_dir, "01_results.png"),
                         full_page=True)
 
-        body_text = page.inner_text("#results")
-        missing = [t for t in EXPECTED_CARDS if t not in body_text]
-        if missing:
-            raise AssertionError(f"cards missing from #results: {missing}")
+        state = page.evaluate(_EXTRACT_JS)
+        fails = contract_failures(state, override)
 
         for i, card in enumerate(page.query_selector_all("#results .card")):
             title = (card.query_selector("h3") or card).inner_text()
             slug = re.sub(r"[^a-z0-9]+", "_", title.lower())[:40]
             card.screenshot(path=os.path.join(out_dir, f"card_{i:02d}_{slug}.png"))
 
-        # The trajectory chart's stacked bands are the one rendering trick
-        # never pixel-verified in CI (reference:
-        # frontend/src/components/TrajectoryChart.jsx:24-44) — require real
-        # drawn SVG geometry, not just the card shell.
-        n_paths = page.evaluate(
-            "document.querySelectorAll('#results svg path').length")
-        assert n_paths >= 6, f"expected chart SVG paths, found {n_paths}"
         browser.close()
-    print(f"BROWSER PASS — screenshots in {out_dir}")
+    if fails:
+        for f in fails:
+            print(f"CONTRACT FAIL: {f}")
+        raise AssertionError(f"{len(fails)} contract check(s) failed")
+    print(
+        f"BROWSER PASS — {len(state['cards'])} cards match the payload; "
+        f"screenshots in {out_dir}"
+    )
 
 
 def http_smoke(base: str, override: int) -> None:

@@ -577,6 +577,121 @@ def test_full_app_boot_and_simulation_flow(result_payload):
     assert run_btn.disabled is False
 
 
+def _dom_contract_state(doc, payload):
+    """Mirror scripts/browser_verify._EXTRACT_JS over the jsmini DOM stub,
+    so the browser handoff's contract checks run against the DOM the real
+    frontend code builds in CI (the browser run then only re-verifies the
+    environment, not the logic)."""
+
+    def attr(el, name):
+        v = el.getAttribute(name)
+        return None if v in (None, UNDEFINED) else js_str(v)
+
+    cards = []
+    results = doc.getElementById("results")
+    for c in results.children:
+        if "card" not in (c.className or "").split():
+            continue
+        h3 = c.querySelector("h3")
+        svg = c.querySelector("svg")
+        paths = svg.getElementsByTagName("path") if svg else []
+        bands, lines = [], 0
+        for p in paths:
+            if attr(p, "stroke") == "none" and attr(p, "fill") != "none":
+                d = attr(p, "d") or ""
+                bands.append(d.count("M") + d.count("L"))
+            elif attr(p, "fill") == "none":
+                lines += 1
+        cards.append({
+            "title": h3.textContent if h3 is not None else "",
+            "bands": bands,
+            "lines": lines,
+            "bars": sum(
+                1 for r in (svg.getElementsByTagName("rect") if svg else [])
+                if attr(r, "opacity") is not None
+            ),
+            "markers": len(svg.getElementsByTagName("circle")) if svg else 0,
+            "svgText": "|".join(
+                t.textContent
+                for t in (svg.getElementsByTagName("text") if svg else [])
+            ),
+        })
+    metrics = {
+        m.querySelector(".k").textContent.strip():
+            m.querySelector(".v").textContent.strip()
+        for m in results.querySelectorAll(".metric")
+    }
+    banner = doc.getElementById("error-banner")
+    return {
+        "cards": cards,
+        "metrics": metrics,
+        "pctHeaders": [
+            th.textContent.strip()
+            for th in results.querySelectorAll(".pct-table th")
+        ],
+        "errorBanner": banner.textContent if banner is not None else None,
+        "payload": payload,
+    }
+
+
+def test_browser_contract_holds_on_jsmini_dom(result_payload):
+    """scripts/browser_verify.py's payload-vs-DOM contract, executed in CI:
+    the same checks the playwright pass runs (card set == payload fields,
+    summary numbers, stacked-band polygon geometry, 4%-rule line, histogram
+    bar counts) must hold on the DOM the shipped frontend builds."""
+    import importlib.util
+    import json as _j
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "browser_verify",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), "scripts", "browser_verify.py"),
+    )
+    bv = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bv)
+
+    default_cfg = base_config_dict(num_simulations_main=64,
+                                   retirement_years=6)
+    frames = [
+        "data: " + _j.dumps({"type": "result", "data": result_payload})
+        + "\n\n",
+    ]
+    fetch = _RoutedFetch(_floatify(default_cfg), frames)
+    fe = load_frontend(ALL_MODULES, fetch=fetch, load_page=True)
+    doc = fe.document
+    doc.getElementById("override-input").value = "18"
+    doc.getElementById("run-btn").dispatch(fe.interp, "click")
+
+    # The verification hook the playwright pass reads must be published.
+    assert getattr(fe.window, "__mcrtLastResult", None) is not None
+
+    state = _dom_contract_state(doc, result_payload)
+    assert bv.contract_failures(state, override=18) == []
+
+    # And the contract must actually bite: corrupt one rendered number and
+    # one band polygon — both checks must fail.
+    sp = [
+        m for m in doc.getElementById("results").querySelectorAll(".metric")
+        if m.querySelector(".k").textContent == "Success probability"
+    ][0]
+    sp.querySelector(".v").textContent = "12.34%"
+    traj_card = [
+        c for c in doc.getElementById("results").children
+        if "Portfolio trajectory" in c.textContent
+    ][0]
+    band = [
+        p for p in traj_card.getElementsByTagName("path")
+        if js_str(p.getAttribute("stroke") or "") == "none"
+    ][0]
+    band.setAttribute("d", "M0,0L1,1Z")
+    broken = bv.contract_failures(
+        _dom_contract_state(doc, result_payload), override=18
+    )
+    assert any("success probability" in f for f in broken)
+    assert any("trajectory bands" in f for f in broken)
+
+
 def test_app_surfaces_validation_error(result_payload):
     default_cfg = base_config_dict()
     fetch = _RoutedFetch(_floatify(default_cfg), [], validate_ok=False)
