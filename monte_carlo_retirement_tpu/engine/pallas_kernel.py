@@ -309,6 +309,42 @@ def _uniform(shape):
     return r * jnp.float32(1.0 / (1 << 23))
 
 
+class _PackedView:
+    """A leading-axis window of the packed full-mode output ref.
+
+    Full mode historically used ten separate output refs; Mosaic gives each
+    its own VMEM window and per-grid-step copy-out. Packing them into one
+    ``(7 + 2*traj_len + R, rows, 128)`` ref collapses those windows into a
+    single DMA stream; this view translates the kernel body's historical
+    indexing (``[:]``, ``[int]``, ``[pl.ds(...)]``) onto the packed leading
+    axis so the month-loop code is shared verbatim between layouts —
+    bit-identity between the layouts holds by construction.
+    """
+
+    def __init__(self, ref, offset, length, vec=False):
+        self.ref, self.offset, self.length, self.vec = ref, offset, length, vec
+
+    @property
+    def shape(self):
+        base = tuple(self.ref.shape[1:])
+        return base if self.vec else (self.length,) + base
+
+    def _key(self, key):
+        if isinstance(key, slice):
+            assert key == slice(None), "packed views take full slices only"
+            return self.offset if self.vec else pl.ds(self.offset, self.length)
+        if isinstance(key, int):
+            return self.offset + key
+        # pl.ds(...) — a pallas Slice (static or dynamic start)
+        return pl.ds(key.start + self.offset, key.size)
+
+    def __getitem__(self, key):
+        return self.ref[self._key(key)]
+
+    def __setitem__(self, key, value):
+        self.ref[self._key(key)] = value
+
+
 def _make_kernel(
     n_streams: int,
     retirement_years: int,
@@ -320,6 +356,7 @@ def _make_kernel(
     traj_len: int = 0,
     multi_params: bool = False,
     interpret: bool = False,
+    packed: int = 0,
 ):
     """Build the block kernel for one (streams, R, statics) combination.
 
@@ -363,7 +400,25 @@ def _make_kernel(
             rest = rest[5:]
         if with_shocks:
             shocks_ref = rest.pop(0)
-        if track:
+        track_refs = track and packed == 2
+        if track and packed:
+            (out_full,) = rest
+            (out_success, out_final, out_start, out_ytr, out_fyg, out_fyr,
+             out_inflret) = (
+                _PackedView(out_full, i, 1, vec=True) for i in range(7)
+            )
+            # packed=2: the per-month track accumulators (yg, yr; ytr lives
+            # in its own output slot) move from loop carries to VMEM scratch
+            # rows of the packed buffer — 3 fewer carries in BOTH month
+            # loops at the cost of a ref load+store per month.
+            base = 9 if track_refs else 7
+            if track_refs:
+                yg_view = _PackedView(out_full, 7, 1, vec=True)
+                yr_view = _PackedView(out_full, 8, 1, vec=True)
+            out_traj = _PackedView(out_full, base, traj_len)
+            out_price = _PackedView(out_full, base + traj_len, traj_len)
+            out_wr = _PackedView(out_full, base + 2 * traj_len, R)
+        elif track:
             (out_success, out_final, out_start, out_ytr, out_fyg, out_fyr,
              out_inflret, out_traj, out_price, out_wr) = rest
         else:
@@ -655,6 +710,10 @@ def _make_kernel(
             # register pressure in the 600-iteration retirement loop.
             out_fyg[:] = zero_v
             out_fyr[:] = zero_v
+            if track_refs:
+                out_ytr[:] = zero_v
+                yg_view[:] = zero_v
+                yr_view[:] = zero_v
 
         init = [b1_0, b1_0, b2_0, b2_0, zero_v + 1.0, zero_v + 1.0]
         if any_bills:
@@ -662,7 +721,7 @@ def _make_kernel(
         init += [zero_v - 1.0] * n_fixed
         if st_.guardrails:
             init += [zero_v + 1.0]  # spending multiplier, year 0 = the plan
-        if track:
+        if track and not track_refs:
             init += [
                 zero_v,                      # alive-months counter: +1 per
                                              # retirement month the path is
@@ -816,7 +875,10 @@ def _make_kernel(
             # below is an equality against it (see boundary_k above).
             k_mod = k % MONTHS_PER_YEAR
             if track:
-                ytr, yg, yr = st[i_track:]
+                if track_refs:
+                    ytr, yg, yr = out_ytr[:], yg_view[:], yr_view[:]
+                else:
+                    ytr, yg, yr = st[i_track:]
                 new_year = k_mod == 1  # ret_idx % 12 == 0, k = ret_idx+1
                 yg = jnp.where(new_year, 0.0, yg)
                 yr = jnp.where(new_year, 0.0, yr)
@@ -1073,7 +1135,10 @@ def _make_kernel(
                         wr_mask, wr_value, old_w
                     )[None]
 
-                st[i_track:] = [ytr, yg, yr]
+                if track_refs:
+                    out_ytr[:], yg_view[:], yr_view[:] = ytr, yg, yr
+                else:
+                    st[i_track:] = [ytr, yg, yr]
 
             st[0], st[1], st[2], st[3], st[4], st[5] = (
                 b1, c1, b2, c2, infl, alive_f
@@ -1095,7 +1160,10 @@ def _make_kernel(
             # paths (survivors AND mortality deaths, whose estate lived
             # on) -> NaN; ruined paths -> death month / 12 (pre-retirement
             # kills counted zero months -> 0.0, the reference's value).
-            ytr, _yg, _yr = final[i_track:]
+            if track_refs:
+                ytr = out_ytr[:]
+            else:
+                ytr, _yg, _yr = final[i_track:]
             ytr = jnp.where(
                 final[5] > 0.5, jnp.float32(jnp.nan),
                 ytr / MONTHS_PER_YEAR,
@@ -1331,7 +1399,8 @@ def pallas_probe(
 @partial(
     jax.jit,
     static_argnames=("n_paths", "retirement_years", "n_streams", "statics",
-                     "traj_len", "t_scan", "with_shocks", "interpret"),
+                     "traj_len", "t_scan", "with_shocks", "interpret",
+                     "packed"),
 )
 def pallas_simulate_full(
     params: SimParams,
@@ -1348,6 +1417,7 @@ def pallas_simulate_full(
     with_shocks: bool = False,
     interpret: bool = False,
     block_offset=0,
+    packed: int = 0,
 ):
     """Full-statistics simulation on the Pallas kernel.
 
@@ -1355,6 +1425,14 @@ def pallas_simulate_full(
     infl_ret of shape (n_padded,), trajectory/price (n_padded, traj_len) and
     wr (n_padded, R). Same semantics as the XLA scan kernel's tracked mode
     (pinned by the injected-shocks parity suite).
+
+    ``packed`` selects the output-window layout (all bit-identical, pinned
+    on CPU and on device — see docs/NOTES.md §r5-window-packing):
+    0 = ten separate output refs (production default), 1 = one fused
+    (7+2L+R, rows, 128) window, 2 = fused window plus the track
+    accumulators (yg/yr/ytr) moved from loop carries into VMEM rows.
+    Layout 1 measured perf-NEUTRAL vs 0 on chip at 1M×600; kept with the
+    A/B harness `scripts/packed_ab.py` (numbers in NOTES).
     """
     del t_scan
     assert n_streams == params.n_streams
@@ -1375,6 +1453,7 @@ def pallas_simulate_full(
     kernel = _make_kernel(
         n_streams, retirement_years, with_shocks=with_shocks,
         statics=statics, rows=rows, traj_len=traj_len, interpret=interpret,
+        packed=packed,
     )
 
     in_specs = [
@@ -1390,18 +1469,33 @@ def pallas_simulate_full(
         inputs.append(shocks.astype(jnp.float32))
 
     n_pad = n_blocks * rows
-    vec = jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)
-    vec_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    series = lambda L: jax.ShapeDtypeStruct((L, n_pad, 128), jnp.float32)
-    series_spec = pl.BlockSpec(
-        (traj_len, rows, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-    )
-    wr_spec = pl.BlockSpec(
-        (R, rows, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-    )
-    out_shape = [vec] * 7 + [series(traj_len), series(traj_len), series(R)]
-    out_specs = [vec_spec] * 7 + [series_spec, series_spec, wr_spec]
+    if packed:
+        # One fused output window: [0:7] per-path vectors (success, final,
+        # start, ytr, fy_g, fy_r, infl_ret), then traj, price, wr slabs.
+        # packed=2 adds two scratch rows (yg, yr accumulators) at [7:9] so
+        # the month loops carry three fewer values.
+        base = 9 if packed == 2 else 7
+        C = base + 2 * traj_len + R
+        out_shape = [jax.ShapeDtypeStruct((C, n_pad, 128), jnp.float32)]
+        out_specs = [
+            pl.BlockSpec((C, rows, 128), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+        ]
+    else:
+        vec = jax.ShapeDtypeStruct((n_pad, 128), jnp.float32)
+        vec_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        series = lambda L: jax.ShapeDtypeStruct((L, n_pad, 128), jnp.float32)
+        series_spec = pl.BlockSpec(
+            (traj_len, rows, 128), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM
+        )
+        wr_spec = pl.BlockSpec(
+            (R, rows, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        )
+        out_shape = [vec] * 7 + [series(traj_len), series(traj_len),
+                                 series(R)]
+        out_specs = [vec_spec] * 7 + [series_spec, series_spec, wr_spec]
 
     outs = pl.pallas_call(
         kernel,
@@ -1411,7 +1505,18 @@ def pallas_simulate_full(
         out_shape=out_shape,
         interpret=interpret,
     )(*inputs)
-    (succ, final, start, ytr, fy_g, fy_r, infl_ret, traj, price, wr) = outs
+    if packed:
+        out_full = outs[0]
+        succ, final, start, ytr, fy_g, fy_r, infl_ret = (
+            out_full[i] for i in range(7)
+        )
+        base = 9 if packed == 2 else 7
+        traj = out_full[base:base + traj_len]
+        price = out_full[base + traj_len:base + 2 * traj_len]
+        wr = out_full[base + 2 * traj_len:]
+    else:
+        (succ, final, start, ytr, fy_g, fy_r, infl_ret, traj, price,
+         wr) = outs
     flat = lambda x: x.reshape(-1)
     # (L, rows, 128) -> (path, L) with path = row * 128 + lane, matching the
     # flattening of the per-path vectors above.

@@ -461,3 +461,55 @@ def test_pallas_full_sharded_matches_single_device_exactly():
         np.testing.assert_array_equal(
             np.asarray(sharded[name]), np.asarray(single[name]), err_msg=name
         )
+
+
+@pytest.mark.parametrize("packed", [1, 2])
+def test_full_mode_packed_layouts_bit_identical(packed):
+    """The fused-output-window layouts (packed=1: one VMEM window for all
+    ten outputs; packed=2: + track accumulators in VMEM rows instead of
+    loop carries) are bit-identical to the production layout on every
+    output — the A/B harness scripts/packed_ab.py pins the same on the
+    real chip (docs/NOTES.md §r5-window-packing)."""
+    from monte_carlo_retirement_tpu.engine.pallas_kernel import (
+        FULL_BLOCK_ROWS,
+        pallas_simulate_full,
+        statics_from_config,
+    )
+    from monte_carlo_retirement_tpu.timing import expected_trajectory_length
+
+    cfg = make_config(
+        retirement_years=3,
+        seed=23,
+        initial_balance=400_000.0,
+        monthly_contribution=2_000.0,
+        monthly_expenses=3_100.0,
+        inv1_annual_tax_on_gains_rate=0.25,
+        inv1_use_realized_gains_tax_system=False,
+        other_income_streams=[
+            {
+                "name": "S",
+                "monthly_amount_today": 700.0,
+                "start_at_age": 40.5,
+                "duration_years": None,
+                "inflation_indexed": True,
+                "tax_rate": 0.12,
+            }
+        ],
+    )
+    params = SimParams.from_config(cfg, dtype=jnp.float32)
+    statics = statics_from_config(cfg)
+    N = FULL_BLOCK_ROWS * 128
+    L = expected_trajectory_length(7, 3)
+
+    outs = {
+        p: pallas_simulate_full(
+            params, 7, 23, n_paths=N, retirement_years=3, n_streams=1,
+            statics=statics, traj_len=L, interpret=True, packed=p,
+        )
+        for p in (0, packed)
+    }
+    for name in outs[0]:
+        np.testing.assert_array_equal(
+            np.asarray(outs[0][name]), np.asarray(outs[packed][name]),
+            err_msg=name,
+        )
